@@ -1,0 +1,86 @@
+"""Query catalog: named (Spark query, DuckDB oracle) pairs.
+
+Every operator from SURVEY.md §2 lands here as a registered query over the
+driver's TPC-H-ish testdata tables, together with the ANSI-SQL oracle the
+driver runs through DuckDB. Keeping both halves in one place keeps column
+names/aliases in lockstep (the driver's compare hashes values after sorting
+columns by name).
+
+Determinism conventions (so order-insensitive value hashes match):
+- Every float aggregate is ``round()``-ed identically on both sides (sum
+  order differs between engines; rounding masks the ~1e-9 fp drift).
+- Timestamps in output are formatted to strings (session-TZ independent).
+- Anything ranked/limited carries a total order (explicit tiebreak keys).
+- No nondeterministic functions (rand/uuid/sample) in oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One catalog entry: the Spark implementation + its oracle SQL."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # None → driver records rows-only check
+    headline: bool = False  # include in bench.py
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(
+            spark=fn, oracle=oracle, headline=headline, doc=(fn.__doc__ or "").strip(), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def catalog() -> dict[str, QuerySpec]:
+    """All registered queries (imports operator modules for side effects)."""
+    # Imported lazily so `import live_data_spark` stays cheap.
+    from live_data_spark import queries_reference  # noqa: F401
+    from live_data_spark.operators import dedup, similarity, text  # noqa: F401
+    from live_data_spark.streaming import events_batch  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+# events.parquet stores ts as INT64 TIMESTAMP(NANOS) — Spark has no nanosecond
+# timestamp, so we read nanos as long and rebuild a TIMESTAMP_NTZ at microsecond
+# precision with pure integer arithmetic (session-TZ independent; matches
+# DuckDB's nanos→micros truncation).
+_EVENTS_TS_NTZ = (
+    "timestampadd(MICROSECOND, (ts div 1000) % 1000000, "
+    "timestampadd(SECOND, ts div 1000000000, TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr(_EVENTS_TS_NTZ))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,337 @@
+"""Deduplication operators over the ``documents`` table.
+
+The dedup ladder for an LLM-training corpus, each rung cheaper per candidate
+but coarser (BASELINE.json north star):
+
+1. exact        — md5 fingerprint group-by (one shuffle of 16-byte keys)
+2. n-gram Jaccard — exact set similarity via inverted shingle index
+3. MinHash+LSH  — banded signatures; candidates from band-bucket joins only
+4. SimHash      — 64-bit sketch; hamming-ball candidates via bit-band joins
+5. embedding    — cosine near-dup pairs (see operators/similarity.py)
+
+All shingle/signature work is JVM-side and whole-stage-codegen'd — no
+Python UDFs, no driver collect, and deliberately no interpreted
+higher-order array functions in hot paths (see ``shingle_rows`` for the
+measured why). Sketches are built as explode → plain aggregates so the
+shuffle map-side-combines to one sketch row per doc. 100 TB posture: the
+only all-pairs work ever done is *within LSH buckets*; nothing is
+quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+from live_data_spark.operators.text import fingerprint, normalized_text
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup — hash-groupBy on content fingerprint.
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM fp GROUP BY fp
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, headline=True, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the lowest doc_id.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). The shuffle moves only (16-byte fp, doc_id) pairs —
+    at 100 TB that's the dedup of the full corpus while moving ~0.1% of
+    its bytes. Survivors join back to the corpus by doc_id when the full
+    rows are needed.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingling.
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column | str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles of normalized text (JVM-side only)."""
+    words = F.split(normalized_text(col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a small scan out across all cores before CPU-heavy row work.
+
+    A small parquet file arrives as ONE input partition
+    (< maxPartitionBytes) and would pin a CPU-bound stage to a single
+    core; at real scale the file count keeps the stage wide, but the
+    operator shouldn't degrade on small inputs. The round-robin shuffle
+    costs one pass over the (tiny) input and is skipped when the scan
+    already splits.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
+def shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3, distinct: bool = True) -> DataFrame:
+    """Word k-gram shingles of ``documents`` in exploded (doc_id, s) form.
+
+    Deliberately NOT ``explode(word_shingles(...))``: Spark's Generate
+    re-evaluates an inline generator expression per *output* row, so
+    exploding an interpreted higher-order-function array costs ~|array|×
+    its build price (measured 52× at sf0.1). Instead the generator is a
+    cheap integer ``sequence`` and each gram is assembled per exploded
+    row with codegen'd ``element_at``/``concat_ws`` — the whole pipeline
+    stays in whole-stage codegen with no array materialization at all.
+
+    ``distinct=False`` skips the (doc_id, s) shuffle — safe for MinHash
+    (min over a multiset equals min over its set); Jaccard math needs
+    the distinct set.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    w = F.split(normalized_text("text"), " ")
+    ex = (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            # guard: sequence(1, 0) is a DESCENDING [1, 0] in Spark, so
+            # short docs must map to an empty array (DuckDB's
+            # generate_series(1, 0) is empty — semantics must agree)
+            F.explode(
+                F.when(
+                    F.size("w") >= k, F.sequence(F.lit(1), F.size("w") - (k - 1))
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.element_at("w", F.col("i") + j) for j in range(k)]
+            ).alias("s"),
+        )
+    )
+    return ex.dropDuplicates(["doc_id", "s"]) if distinct else ex
+
+
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM toks
+)
+"""
+
+_JACCARD_PAIRS_ORACLE = (
+    _SHINGLE_CTE
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         count(*) AS n_common, any_value(a.n) AS n1, any_value(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       round(n_common / (n1 + n2 - n_common), 4) AS jaccard
+FROM pairs
+WHERE n_common / (n1 + n2 - n_common) >= 0.8
+"""
+)
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_PAIRS_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8).
+
+    Inverted-index algorithm: explode distinct shingles → self-join on
+    shingle (pairs that share ≥1 shingle) → count common → Jaccard from
+    set sizes. Exact but the candidate set grows with shingle collision
+    rates — the MinHash variant below is the 100 TB path; this one is the
+    ground truth it is verified against.
+    """
+    ex = shingle_rows(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # set sizes joined onto the (already aggregated, small) pair table;
+    # one row per doc so Spark broadcasts when it fits
+    pairs = common.join(
+        sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")), "doc_id_1"
+    ).join(sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")), "doc_id_2")
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return pairs.where(jac >= 0.8).select(
+        "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH banding — the scale path for near-dup detection.
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 64
+BAND_SIZE = 4  # rows per band → 16 bands; P(candidate | jac=0.8) ≈ 0.9998
+
+
+def lsh_bands(sig: Column, band_size: int = BAND_SIZE, num_hashes: int = NUM_HASHES) -> Column:
+    """Collapse the signature into per-band bucket keys (one hash per band)."""
+    n_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.xxhash64(*[F.element_at(sig, b * band_size + r + 1) for r in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+
+
+@register("dedup_minhash", oracle=_JACCARD_PAIRS_ORACLE, headline=True, tags=("dedup",))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified (threshold 0.8).
+
+    Pipeline: shingle → 64-hash MinHash signature → 16 bands of 4 →
+    explode band keys → self-join on (band, bucket) for candidates →
+    verify candidates with exact Jaccard on the shingle arrays.
+
+    Because candidates are *verified*, the output equals the exact
+    inverted-index result whenever LSH recall holds (≥1-4e-8 for
+    jaccard ≥0.9 with these parameters) — so it shares the exact oracle.
+    At 100 TB only band-bucket collisions are ever compared: the shuffle
+    is 16 bigint keys per doc, and the verify join touches candidate
+    pairs only.
+    """
+    # Signature from the multiset shingle stream (distinct unnecessary:
+    # min over a multiset = min over its set) via 64 plain min-aggregates
+    # — every hash stays in whole-stage codegen and the shuffle
+    # map-side-combines down to one 64-long row per doc.
+    sig = shingle_rows(spark, sf_dir, distinct=False).groupBy("doc_id").agg(
+        F.array(*[F.min(F.xxhash64("s", F.lit(i))) for i in range(NUM_HASHES)]).alias("sig")
+    )
+    banded = sig.select("doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .dropDuplicates()
+    )
+    # exact-verify on the distinct shingle sets, materialized per doc by
+    # the collect_list aggregation (so the arrays are real columns, never
+    # re-derived expression trees)
+    sets = (
+        shingle_rows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("shingles"))
+    )
+    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
+    verified = cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    jac = inter / union
+    return verified.where(jac >= 0.8).select(
+        "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash — 64-bit sketch, hamming-ball near-dups via bit-band joins.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 8 on 64-bit sketches.
+
+    Candidate generation: split the sketch into 4×16-bit bands; by
+    pigeonhole any pair within hamming ≤ 3 shares an exact band, and
+    near-dups at our planted similarity share several. Band-bucket join →
+    exact hamming verify via bit_count(xor). Rows-only driver check
+    (murmur-family hashes aren't SQL-reproducible); ground truth covered
+    in tests/test_dedup.py against the Jaccard pairs.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    tokens = F.split(normalized_text("text"), " ")
+    # Sketch via explode + 64 codegen'd sum-aggregates (see dedup_minhash
+    # for why the HOF fold form is avoided): vote_j = 2·Σbit_j − n, so we
+    # aggregate per-bit counts + the token count and build the sketch
+    # from the 64 vote columns afterwards. Map-side combine leaves one
+    # 65-long row per doc on the shuffle.
+    tok = d.select("doc_id", F.explode(tokens).alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)).cast("long")).alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+    sketch = F.lit(0).cast("long")
+    for j in range(64):
+        # j=63 is the sign bit: adding int64-min sets it in two's complement
+        bit = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        sketch = sketch + F.when(
+            2 * F.col(f"b{j}") - F.col("n") > 0, bit
+        ).otherwise(F.lit(0).cast("long"))
+    sk = votes.select("doc_id", sketch.alias("sketch"))
+    bands = sk.select(
+        "doc_id",
+        "sketch",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sketch"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.sketch").alias("sk1"),
+            F.col("b.sketch").alias("sk2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    hamming = F.bit_count(F.col("sk1").bitwiseXOR(F.col("sk2")))
+    return (
+        cand.where(hamming <= 8)
+        .select("doc_id_1", "doc_id_2", hamming.cast("int").alias("hamming"))
+        .orderBy("doc_id_1", "doc_id_2")
+    )

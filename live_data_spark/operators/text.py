@@ -1,0 +1,228 @@
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-training-data pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language ID, document fingerprinting. All
+JVM-side expressions (regex/hash built-ins) — zero Python in the hot path,
+so a 100 TB corpus scans at full whole-stage-codegen speed with filters
+pushed to parquet.
+
+Regex note: Spark compiles Java regex, DuckDB compiles RE2. Every pattern
+used here (``\\s+``, ``\\b...\\b`` word alternations, literal classes) is in
+the common subset with identical semantics — verified by the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# Token counting — whitespace tokenization + a BPE-ish subword estimate.
+# ---------------------------------------------------------------------------
+
+_TOKEN_ORACLE = r"""
+SELECT
+  doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+  cast(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+  length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+@register("text_token_count", oracle=_TOKEN_ORACLE, tags=("text",))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + chars/4 BPE token estimate per document.
+
+    The chars/4 heuristic is the standard quick estimate for byte-pair
+    encodings on English-like text; exact BPE needs the tokenizer's merge
+    table (out of scope — no tokenizer libs in the container).
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length / punctuation / stopword / repetition signals.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "the|a|of|and|is|in|to|for|on|with"
+
+_QUALITY_ORACLE = rf"""
+WITH scored AS (
+  SELECT
+    doc_id,
+    length(text) AS n_chars_actual,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+    len(regexp_extract_all(text, '\b({_STOPWORDS})\b')) AS n_stopwords,
+    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT
+  doc_id,
+  n_tokens,
+  round(n_chars_actual / n_tokens, 4) AS avg_token_len,
+  round(n_stopwords / n_tokens, 4) AS stopword_ratio,
+  round(n_punct / n_chars_actual, 4) AS punct_ratio,
+  CASE WHEN n_tokens >= 20
+        AND n_stopwords / n_tokens BETWEEN 0.01 AND 0.5
+        AND n_punct / n_chars_actual < 0.2
+       THEN 1 ELSE 0 END AS quality_pass
+FROM scored
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality signals (C4/Gopher-style rules).
+
+    Emits the standard cheap filters: token count, mean token length,
+    stopword ratio, punctuation density, and a composite pass flag.
+    Everything is a narrow projection — quality filtering of a 100 TB
+    corpus is a single scan with the pass-flag predicate pushed down
+    when materialized as a partition column.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    n_stop = F.regexp_count("text", F.lit(rf"\b({_STOPWORDS})\b")).cast("double")
+    n_punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+    scored = d.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_chars_actual") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(F.col("n_punct") / F.col("n_chars_actual"), 4).alias("punct_ratio"),
+        F.when(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stopwords") / F.col("n_tokens")).between(0.01, 0.5)
+            & (F.col("n_punct") / F.col("n_chars_actual") < 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID — marker-word n-gram heuristic.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, str] = {
+    "en": "the|and|of|is|with",
+    "de": "der|die|das|und|ist",
+    "es": "el|la|los|que|es",
+    "fr": "le|la|les|est|dans",
+}
+
+
+def _marker_count(col: Column | str, pattern: str) -> Column:
+    return F.regexp_count(col, F.lit(rf"\b({pattern})\b"))
+
+
+_LANGID_ORACLE = rf"""
+WITH counts AS (
+  SELECT doc_id, lang AS labeled_lang,
+    len(regexp_extract_all(text, '\b({_LANG_MARKERS["en"]})\b')) AS c_en,
+    len(regexp_extract_all(text, '\b({_LANG_MARKERS["de"]})\b')) AS c_de,
+    len(regexp_extract_all(text, '\b({_LANG_MARKERS["es"]})\b')) AS c_es,
+    len(regexp_extract_all(text, '\b({_LANG_MARKERS["fr"]})\b')) AS c_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+  CASE
+    WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+    WHEN c_es >= c_fr THEN 'es'
+    ELSE 'fr'
+  END AS detected_lang
+FROM counts
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE, tags=("text",))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification (n-gram heuristic).
+
+    Counts per-language stopword markers and picks the argmax with a
+    deterministic priority tie-break (en > de > es > fr). The testdata's
+    ``lang`` label is synthetic (texts are identical word-salad across
+    labels) so the label is carried through for accuracy inspection, not
+    used. Real pipelines swap the marker table for a trained model via a
+    Pandas UDF — the query shape (scan → classify → group) is identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_marker_count("text", pat).alias(f"c_{lang}") for lang, pat in _LANG_MARKERS.items()],
+    )
+    c = {lang: F.col(f"c_{lang}") for lang in _LANG_MARKERS}
+    detected = (
+        F.when((c["en"] == 0) & (c["de"] == 0) & (c["es"] == 0) & (c["fr"] == 0), "und")
+        .when((c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]), "en")
+        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]), "de")
+        .when(c["es"] >= c["fr"], "es")
+        .otherwise("fr")
+    )
+    return counts.select("doc_id", "labeled_lang", detected.alias("detected_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting.
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: Column | str = "text") -> Column:
+    """Canonical normalization used by every dedup operator: lowercase,
+    collapse whitespace, trim. Keep this the single source of truth so
+    exact-dedup, MinHash, and SimHash agree on the input space.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str = "text") -> Column:
+    """MD5 content fingerprint over normalized text — the engine-agnostic
+    exact-dup key (md5 is bit-identical everywhere, unlike murmur3).
+    """
+    return F.md5(F.encode(normalized_text(col), "UTF-8"))
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT
+  doc_id,
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+  length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text", "dedup"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 over normalized text) per document.
+
+    The building block for exact dedup at scale: fingerprints are tiny,
+    so the dedup shuffle moves 16-byte keys instead of documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )

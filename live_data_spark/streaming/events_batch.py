@@ -1,0 +1,163 @@
+"""Batch-mode event analytics over the ``events`` table.
+
+These are the batch equivalents of the Structured Streaming operators in
+``live_data_spark.streaming.jobs`` — same windowing/sessionization semantics,
+expressed so the driver's DuckDB oracle can verify them. The reference's only
+"streaming" is the every-N-minutes append DAG (SURVEY §2.9 O5); the events
+surface is the BASELINE.json extension mandate.
+
+Timestamp convention: all window bounds leave the query as formatted strings
+(session-TZ independent); gaps computed in epoch microseconds (exact integers
+on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+from live_data_spark.functions.dialect import money_sum
+
+_HOURLY_ORACLE = """
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_rollup", oracle=_HOURLY_ORACLE, headline=True, tags=("events", "window"))
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch form of a streaming rollup).
+
+    Streaming twin: ``F.window(ts, '1 hour')`` + watermark in
+    streaming/jobs.py. ``date_trunc`` ≡ tumbling window start. Map-side
+    partial agg; at 100 TB the events table is date-partitioned so the
+    scan prunes to the hours in play. count(DISTINCT) shuffles per
+    (window, type) group — swap to approx_count_distinct at scale when
+    exactness isn't contractual.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  count(*) FILTER (WHERE cast(props->>'$.k' AS INTEGER) > 50) AS high_k,
+  round(avg(cast(props->>'$.k' AS INTEGER)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_props", oracle=_JSON_ORACLE, tags=("events", "json"))
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction from the props column.
+
+    ``get_json_object`` is JVM-side (Jackson) — no Python in the path.
+    At scale prefer parsing once via ``from_json`` with an explicit schema
+    into a struct column, then pruning; shown here in the single-field
+    form the oracle can mirror (DuckDB ``->>``).
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.when(k > 50, 1)).alias("high_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT
+    user_id, ts, value,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT
+  user_id,
+  cast(session_seq AS BIGINT) AS session_seq,
+  count(*) AS n_events,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register("events_sessionize", oracle=_SESSION_ORACLE, headline=True, tags=("events", "session"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (batch form).
+
+    Streaming twin: ``F.session_window(ts, '30 minutes')`` in
+    streaming/jobs.py. Batch algorithm: lag → new-session flag → running
+    sum = session id → per-session rollup. Two window passes + one agg,
+    all over a single hash partition on user_id (one shuffle total —
+    Spark reuses the partitioning across the window specs and the
+    groupBy because the keys are aligned).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new",
+        F.when(F.col("prev_ts").isNull(), 1)
+        .when(F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000, 1)
+        .otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(wrun))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        money_sum("value").alias("session_value"),
+    )
+
+
+@register(
+    "events_dedup_latest",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    tags=("events",),
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-key rollup (the batch shape of streaming
+    ``dropDuplicatesWithinWatermark`` + last-value state).
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.count(F.lit(1)).alias("n"),
+    )

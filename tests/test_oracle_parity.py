@@ -1,0 +1,91 @@
+"""Oracle-parity harness: replicate the driver's correctness gate locally.
+
+For every catalog entry with an oracle, run the Spark query and the DuckDB
+SQL on the same parquet tables and compare row count, column names, and an
+order-insensitive value hash — the same contract the driver enforces at
+sf0.01 (run here at sf0.001 for speed).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from live_data_spark.catalog import catalog
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, stringify."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def canon(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            # collapse -0.0/0.0 and format stably
+            return f"{v + 0.0:.10g}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    return sorted(tuple(canon(row[i]) for i in order) for row in rows)
+
+
+ORACLE_CASES = sorted(name for name, spec in catalog().items() if spec.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(spark, sf_dir, name):
+    spec = catalog()[name]
+    sdf = spec.spark(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connection(sf_dir)
+    res = con.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
+    mism = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b][:5]
+    assert ns == nd, f"{name}: value mismatch at sorted rows {mism}: " + "; ".join(
+        f"spark={ns[i]} duck={nd[i]}" for i in mism[:2]
+    )
+
+
+def test_every_query_runs(spark, sf_dir):
+    """Rows-only entries (no oracle) must still execute and return a schema."""
+    for name, spec in catalog().items():
+        if spec.oracle is None:
+            df = spec.spark(spark, sf_dir)
+            assert df.columns, name
+            df.limit(5).collect()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    assert df.count() > 0
+    assert set(se.oracle_sql()) <= set(se.queries())
