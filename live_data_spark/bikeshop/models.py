@@ -1,0 +1,190 @@
+"""The 8 dbt models + 20 declared tests, on the engine.
+
+1:1 with the reference's dbt_sao project:
+
+- staging (views): stg_bike_shop__{customers,orders,products,order_products}
+  — rename projections + decode/initcap/round
+  (dbt_sao/models/staging/*.sql).
+- mart (tables): dim_customer, dim_order, dim_product (SELECT * EXCLUDE),
+  fct_order_products (two left joins + projection)
+  (dbt_sao/models/mart/*.sql; materialization override
+  dbt_project.yml:35-36).
+- tests: the complete 20-test inventory from the three YAML files
+  (SURVEY.md §5 lists every citation).
+
+Scale posture: staging stays lazy (views = unexecuted plans — Catalyst
+collapses them into the mart queries exactly like Snowflake inlines dbt
+views). The fact's products/orders joins broadcast the dimension side when
+small; at 100 TB the orders join shuffles on order_id and AQE handles skew,
+or both sides are bucketed by order_id to eliminate the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from live_data_spark.bikeshop.schema import RAW_SCHEMAS
+from live_data_spark.functions.dialect import decode, exclude
+from live_data_spark.plans import (
+    Project,
+    SourceDef,
+    accepted_values,
+    not_null,
+    relationships,
+    unique,
+)
+
+
+def register_sources(project: Project, raw_root: str, fmt: str = "parquet") -> None:
+    """Declare the four raw tables (models/sources/_bike_shop.yml:3-55)."""
+    for table, schema in RAW_SCHEMAS.items():
+        project.add_source(
+            SourceDef("bike_shop", table, f"{raw_root}/{table}", schema=schema, fmt=fmt)
+        )
+
+
+def register_models(project: Project) -> None:
+    # -- staging (dbt default materialization: view) -----------------------
+
+    @project.model(materialized="view", schema="staging")
+    def stg_bike_shop__customers(ctx) -> DataFrame:
+        """stg_bike_shop__customers.sql:1-28 — rename + decode(gender)."""
+        src = ctx.source("bike_shop", "customers")
+        return src.select(
+            F.col("id").alias("customer_id"),
+            F.col("first_name").alias("customer_first_name"),
+            F.col("last_name").alias("customer_last_name"),
+            F.col("email").alias("customer_email"),
+            decode("gender", "F", "Female", "M", "Male", "X", "Non-binary").alias(
+                "customer_gender"
+            ),
+            F.col("city").alias("customer_city"),
+            F.col("loaded_at"),
+        )
+
+    @project.model(materialized="view", schema="staging")
+    def stg_bike_shop__orders(ctx) -> DataFrame:
+        """stg_bike_shop__orders.sql:1-24 — rename + initcap(order_status)."""
+        src = ctx.source("bike_shop", "orders")
+        return src.select(
+            F.col("id").alias("order_id"),
+            F.col("customer_id"),
+            F.initcap("order_status").alias("order_status"),
+            F.col("order_date"),
+            F.col("loaded_at"),
+        )
+
+    @project.model(materialized="view", schema="staging")
+    def stg_bike_shop__products(ctx) -> DataFrame:
+        """stg_bike_shop__products.sql:1-30 — rename + round(product_cost, 2)."""
+        src = ctx.source("bike_shop", "products")
+        return src.select(
+            F.col("id").alias("product_id"),
+            F.col("model").alias("product_name"),
+            F.col("frame").alias("product_material"),
+            F.col("category").alias("product_category"),
+            F.col("subcategory").alias("product_subcategory"),
+            F.col("price").alias("product_price"),
+            F.round("product_cost", 2).alias("product_cost"),
+            F.col("loaded_at"),
+        )
+
+    @project.model(materialized="view", schema="staging")
+    def stg_bike_shop__order_products(ctx) -> DataFrame:
+        """stg_bike_shop__order_products.sql:1-22 — rename projection."""
+        src = ctx.source("bike_shop", "order_products")
+        return src.select(
+            F.col("id").alias("order_product_id"),
+            F.col("product_id"),
+            F.col("order_id"),
+            F.col("quantity").alias("order_product_quantity"),
+            F.col("loaded_at"),
+        )
+
+    # -- mart (materialization override: table) ----------------------------
+
+    @project.model(materialized="table", schema="mart")
+    def dim_customer(ctx) -> DataFrame:
+        """dim_customer.sql:1-7 — SELECT * EXCLUDE loaded_at (P2)."""
+        return exclude(ctx.ref("stg_bike_shop__customers"), "loaded_at")
+
+    @project.model(materialized="table", schema="mart")
+    def dim_order(ctx) -> DataFrame:
+        """dim_order.sql:1-7 — EXCLUDE (customer_id, loaded_at) (P3)."""
+        return exclude(ctx.ref("stg_bike_shop__orders"), "customer_id", "loaded_at")
+
+    @project.model(materialized="table", schema="mart")
+    def dim_product(ctx) -> DataFrame:
+        """dim_product.sql:1-7 — EXCLUDE (product_cost, product_price, loaded_at)."""
+        return exclude(
+            ctx.ref("stg_bike_shop__products"), "product_cost", "product_price", "loaded_at"
+        )
+
+    @project.model(materialized="table", schema="mart")
+    def fct_order_products(ctx) -> DataFrame:
+        """fct_order_products.sql:1-33 — two left equi-joins + fact projection.
+
+        Products is the tiny static dim (97 rows) → explicit broadcast
+        (J1); orders is bounded per batch — AQE picks broadcast vs
+        shuffle (J2).
+        """
+        op = ctx.ref("stg_bike_shop__order_products")
+        products = ctx.ref("stg_bike_shop__products")
+        orders = ctx.ref("stg_bike_shop__orders")
+        joined = op.join(F.broadcast(products), "product_id", "left").join(
+            orders, "order_id", "left"
+        )
+        return joined.select(
+            "order_product_id",
+            "product_id",
+            "order_id",
+            "customer_id",
+            "order_date",
+            "order_product_quantity",
+            "product_price",
+            "product_cost",
+        )
+
+
+def register_tests(project: Project) -> None:
+    """All 20 declared data tests (SURVEY.md §5 inventory, 1:1)."""
+    src = "source:bike_shop."
+    tests = [
+        # sources/_bike_shop.yml
+        not_null(src + "customers", "id"),          # :13-15
+        unique(src + "customers", "id"),
+        not_null(src + "orders", "id"),             # :20-22
+        unique(src + "orders", "id"),
+        not_null(src + "orders", "customer_id"),    # :23-29
+        unique(src + "orders", "customer_id"),      # §8.1 quirk: per-batch-true
+        relationships(src + "orders", "customer_id", src + "customers", "id"),
+        not_null(src + "order_products", "id"),     # :34-36
+        unique(src + "order_products", "id"),
+        not_null(src + "order_products", "product_id"),  # :38-42
+        relationships(src + "order_products", "product_id", src + "products", "id"),
+        not_null(src + "order_products", "order_id"),    # :44-48
+        relationships(src + "order_products", "order_id", src + "orders", "id"),
+        not_null(src + "products", "id"),           # :52-55
+        unique(src + "products", "id"),
+        # staging/_stg_bike_shop.yml:5-11
+        accepted_values(
+            "stg_bike_shop__customers", "customer_gender", ["Male", "Female", "Non-binary"]
+        ),
+        # mart/_mart_bike_shop.yml
+        not_null("fct_order_products", "order_product_id"),  # :4-7
+        unique("fct_order_products", "order_product_id"),
+        not_null("fct_order_products", "order_id"),          # :8-10
+        not_null("fct_order_products", "customer_id"),       # :11-13
+    ]
+    for t in tests:
+        project.add_test(t)
+
+
+def build_project(spark, warehouse_dir: str, raw_root: str, fmt: str = "parquet") -> Project:
+    """Assemble the full bike-shop project (sources + models + tests)."""
+    project = Project(spark, warehouse_dir=warehouse_dir)
+    register_sources(project, raw_root, fmt=fmt)
+    register_models(project)
+    register_tests(project)
+    return project

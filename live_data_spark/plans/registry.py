@@ -1,0 +1,252 @@
+"""Model & source registry with dbt-style ``ref``/``source`` resolution.
+
+Re-creates the reference's compile plane (dbt-core + dbt_sao project) as a
+thin Python layer over Spark DataFrames:
+
+- ``source(name, table)``   → registered storage location + explicit schema
+  (reference: staging models line 2, resolved via
+  dbt_sao/models/sources/_bike_shop.yml:4-6).
+- ``ref(model)``            → upstream model's DataFrame, building it first
+  (reference: fct_order_products.sql:2,6,10; dim_*.sql:2).
+- materialization dispatch  → ``view`` (lazy plan + temp view, the dbt
+  staging default) vs ``table`` (parquet write + read-back, the mart
+  override at dbt_project.yml:35-36).
+- dependency DAG + topo order → derived from actual ``ref``/``source``
+  calls at build time, with cycle detection (dbt's manifest graph).
+
+Spark-first notes: a "view" costs nothing — it IS the unexecuted Catalyst
+plan, so view models chain into one optimized query exactly like dbt's
+view-on-view compilation collapses inside the warehouse. A "table" is an
+explicit materialization barrier: parquet written once, downstream reads
+prune columns/partitions against real files. At 100 TB choose ``table``
+for fan-in hubs (read many times) and ``view`` for 1:1 cleanups — same
+judgment calls as the reference made (staging=view, mart=table).
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass(frozen=True)
+class SourceDef:
+    """A raw input: logical (source_name, table) → physical location.
+
+    ``path`` holds parquet (the engine's raw storage; the reference's
+    Snowflake raw tables). ``schema`` is the explicit StructType —
+    schema-on-read inference is never used for raw data (SURVEY §1.3).
+    """
+
+    source_name: str
+    table: str
+    path: str
+    schema: StructType | None = None
+    fmt: str = "parquet"
+
+
+@dataclass
+class ModelDef:
+    name: str
+    fn: Callable[["BuildContext"], DataFrame]
+    materialized: str = "view"  # "view" | "table"
+    schema: str = "main"  # output namespace (dbt generate_schema_name, D4)
+    description: str = ""
+    deps: set[str] = field(default_factory=set)  # discovered at build time
+
+
+class BuildContext:
+    """What a model function sees: ``ctx.source(...)`` and ``ctx.ref(...)``.
+
+    Recording which refs/sources each model touches builds the lineage
+    DAG without any SQL parsing — the Python call graph IS the manifest.
+    """
+
+    def __init__(self, project: "Project", model_name: str):
+        self._project = project
+        self._model = model_name
+
+    def source(self, source_name: str, table: str) -> DataFrame:
+        self._project._models[self._model].deps.add(f"source:{source_name}.{table}")
+        return self._project.read_source(source_name, table)
+
+    def ref(self, model_name: str) -> DataFrame:
+        self._project._models[self._model].deps.add(model_name)
+        return self._project.build(model_name)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._project.spark
+
+
+class Project:
+    """A collection of sources, models, and data tests — the dbt project.
+
+    Usage::
+
+        project = Project(spark, warehouse_dir="/tmp/wh")
+        project.add_source(SourceDef("bike_shop", "customers", path, schema))
+
+        @project.model(materialized="view", schema="staging")
+        def stg_bike_shop__customers(ctx):
+            return ctx.source("bike_shop", "customers").select(...)
+
+        project.run()          # builds every model in dependency order
+        project.run_tests()    # every declared test, 0 rows == pass
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, env: str = "dev"):
+        self.spark = spark
+        self.warehouse_dir = Path(warehouse_dir)
+        self.env = env  # namespace prefix (generate_schema_name passthrough)
+        self._sources: dict[tuple[str, str], SourceDef] = {}
+        self._models: dict[str, ModelDef] = {}
+        self._built: dict[str, DataFrame] = {}
+        self._building: list[str] = []  # cycle-detection stack
+        self._tests: list = []  # populated via plans.testing
+
+    # -- registration ------------------------------------------------------
+
+    def add_source(self, source: SourceDef) -> None:
+        self._sources[(source.source_name, source.table)] = source
+
+    def model(
+        self,
+        fn: Callable | None = None,
+        *,
+        name: str | None = None,
+        materialized: str = "view",
+        schema: str = "main",
+    ):
+        """Decorator registering a model function (dbt model .sql analog)."""
+
+        def deco(f: Callable[[BuildContext], DataFrame]):
+            model_name = name or f.__name__
+            if materialized not in ("view", "table"):
+                raise ValueError(f"unknown materialization {materialized!r}")
+            self._models[model_name] = ModelDef(
+                name=model_name,
+                fn=f,
+                materialized=materialized,
+                schema=schema,
+                description=(f.__doc__ or "").strip(),
+            )
+            return f
+
+        return deco(fn) if fn is not None else deco
+
+    def add_test(self, test) -> None:
+        self._tests.append(test)
+
+    # -- resolution --------------------------------------------------------
+
+    def read_source(self, source_name: str, table: str) -> DataFrame:
+        key = (source_name, table)
+        if key not in self._sources:
+            raise KeyError(f"source {source_name}.{table} not registered")
+        src = self._sources[key]
+        reader = self.spark.read.format(src.fmt)
+        if src.schema is not None:
+            reader = reader.schema(src.schema)
+        if src.fmt == "csv":
+            reader = reader.option("header", True).option("sep", "\t")
+        return reader.load(src.path)
+
+    def build(self, name: str) -> DataFrame:
+        """Resolve a model to its DataFrame, building upstreams first.
+
+        Views memoize the lazy plan; tables materialize to parquet under
+        ``warehouse_dir/<env>_<schema>/<name>`` and return the read-back
+        scan (the materialization barrier downstream models consume).
+        """
+        if name in self._built:
+            return self._built[name]
+        if name not in self._models:
+            raise KeyError(f"model {name!r} not registered")
+        if name in self._building:
+            cycle = " -> ".join([*self._building, name])
+            raise ValueError(f"dependency cycle: {cycle}")
+
+        mdef = self._models[name]
+        self._building.append(name)
+        try:
+            df = mdef.fn(BuildContext(self, name))
+        finally:
+            self._building.pop()
+
+        if mdef.materialized == "table":
+            out = self._table_path(mdef)
+            df.write.mode("overwrite").parquet(str(out))
+            df = self.spark.read.parquet(str(out))
+        # both materializations are queryable by name, like dbt relations
+        df.createOrReplaceTempView(name)
+        self._built[name] = df
+        return df
+
+    def _table_path(self, mdef: ModelDef) -> Path:
+        # generate_schema_name passthrough: env-prefixed namespace (D4)
+        return self.warehouse_dir / f"{self.env}_{mdef.schema}" / mdef.name
+
+    # -- execution ---------------------------------------------------------
+
+    def topo_order(self) -> list[str]:
+        """Dependency-ordered model names (stable: registration order
+        within a level). Deps are discovered lazily, so this plans from
+        whatever has been recorded — ``run()`` resolves the full graph
+        regardless by building recursively.
+        """
+        order: list[str] = []
+        seen: set[str] = set()
+
+        def visit(n: str, stack: tuple[str, ...]):
+            if n in seen:
+                return
+            if n in stack:
+                raise ValueError(f"dependency cycle: {' -> '.join([*stack, n])}")
+            for dep in sorted(self._models[n].deps):
+                if not dep.startswith("source:"):
+                    visit(dep, (*stack, n))
+            seen.add(n)
+            order.append(n)
+
+        for n in self._models:
+            visit(n, ())
+        return order
+
+    def run(self, select: list[str] | None = None) -> dict[str, DataFrame]:
+        """Build every (selected) model, upstream-first. Returns name → df."""
+        names = select or list(self._models)
+        return {n: self.build(n) for n in names}
+
+    def run_tests(self, select: list[str] | None = None):
+        """Run declared data tests; see plans.testing for semantics."""
+        results = []
+        for t in self._tests:
+            if select and t.model not in select:
+                continue
+            results.append(t.run(self))
+        return results
+
+    def invalidate(self) -> None:
+        """Drop memoized builds (e.g., after raw tables received a batch)."""
+        for name in self._built:
+            self.spark.catalog.dropTempView(name)
+        self._built.clear()
+
+    def drop_warehouse(self) -> None:
+        shutil.rmtree(self.warehouse_dir, ignore_errors=True)
+
+    # -- introspection -----------------------------------------------------
+
+    def lineage(self) -> dict[str, set[str]]:
+        """model → direct dependencies (models and source:* pseudo-nodes)."""
+        return {n: set(m.deps) for n, m in self._models.items()}
+
+    def relation(self, name: str) -> DataFrame:
+        """A built model by name (builds on demand) — for test queries."""
+        return self.build(name)

@@ -1,0 +1,86 @@
+"""Typed file readers/writers — the reference's CSV transport layer.
+
+Reference surface (SURVEY.md §2.1): S1 comma-CSV seed read, S2/S3
+tab-separated read/write (mock_data.py:27,36,111-114), S4 stage PUT
+(stage_files.sql — files land gzip-compressed in a stage directory), S5
+``COPY INTO`` (copy_data.sql:1-2 — tab-delim, skip_header=1, append).
+
+Spark mapping: explicit-schema ``spark.read.csv`` (never inference for raw
+data, SURVEY §1.3); gzip is transparent to Spark's CSV reader, matching
+Snowflake's auto-gzip stage behavior. Timestamps parse RFC-3339-ish with
+``timestampNTZFormat`` so `timestamp_ntz` columns round-trip exactly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_TS_NTZ_FMT = "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, sep: str = ",", header: bool = True
+) -> DataFrame:
+    """S1/S2: schema-enforced CSV read (mock_data.py:27,36)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .option("timestampNTZFormat", _TS_NTZ_FMT)
+        .csv(path)
+    )
+
+
+def read_tsv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S2/S5: tab-separated read, the staged-file format (copy_data.sql:2)."""
+    return read_csv(spark, path, schema, sep="\t")
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """S3: write a frame as tab-separated CSV (mock_data.py:111-114).
+
+    One directory of part files per table — Spark-native parallel write
+    (the reference writes one file because it is single-process; partfiles
+    are the distributed equivalent and the readers accept directories).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "\t")
+        .option("timestampNTZFormat", _TS_NTZ_FMT)
+        .csv(path)
+    )
+
+
+def stage_files(generated_dir: str, stage_dir: str, gzip_files: bool = True) -> list[str]:
+    """S4: PUT generated files into the stage (stage_files.sql:1).
+
+    Snowflake's PUT auto-gzips on upload; we mirror that so the ingest
+    reader exercises the compressed path. Returns staged table dirs.
+    """
+    staged = []
+    stage = Path(stage_dir)
+    stage.mkdir(parents=True, exist_ok=True)
+    for table_dir in sorted(Path(generated_dir).iterdir()):
+        if not table_dir.is_dir():
+            continue
+        dest = stage / table_dir.name
+        dest.mkdir(parents=True, exist_ok=True)
+        for part in table_dir.glob("*.csv"):
+            if gzip_files:
+                with open(part, "rb") as fin, gzip.open(dest / (part.name + ".gz"), "wb") as fout:
+                    shutil.copyfileobj(fin, fout)
+            else:
+                shutil.copy2(part, dest / part.name)
+        staged.append(str(dest))
+    return staged
+
+
+def clean_dir(path: str) -> None:
+    """S9/S10: stage/local cleanup (refresh_source_data.py:177-186)."""
+    shutil.rmtree(path, ignore_errors=True)
