@@ -1,0 +1,171 @@
+"""Structured Streaming jobs — the engine's incremental/streaming layer.
+
+Two reference-derived duties plus the events extension surface:
+
+1. **Micro-batch append ingestion** (the reference's every-N-minutes
+   Airflow DAG, SURVEY.md §2.9 O5/X3): ``landing_append_stream`` watches a
+   landing directory of staged TSVs and appends schema-enforced rows to the
+   raw parquet table with exactly-once file tracking — the Spark-native
+   replacement for PUT + COPY INTO on a schedule. ``Trigger.AvailableNow``
+   processes the backlog and stops (the DAG-run analog); a processing-time
+   trigger gives the continuous form.
+
+2. **Event analytics** (BASELINE.json events mandate): windowed rollups,
+   session windows, and watermarked dedup — the streaming twins of the
+   batch queries in ``streaming/events_batch.py`` (same semantics, verified
+   against them in tests/test_streaming.py).
+
+State & scale notes: every stateful op here carries a watermark so state is
+bounded (late data beyond it is dropped — the contract that makes 100 TB of
+history irrelevant to executor memory). Sinks are parquet-file sinks with
+checkpointed WALs: restart-safe, exactly-once per file commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str, fmt: str = "parquet") -> DataFrame:
+    """File-source stream over an events directory (schema enforced —
+    streaming sources never infer)."""
+    reader = spark.readStream.format(fmt).schema(EVENTS_SCHEMA)
+    if fmt == "csv":
+        reader = reader.option("header", True).option("sep", "\t")
+    return reader.load(src_dir)
+
+
+# -- transformations (stream-safe: watermark + windows, no full sorts) -------
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour rollup — streaming twin of ``events_hourly_rollup``.
+
+    ``approx_count_distinct`` instead of exact countDistinct: exact
+    per-group distinct users is unbounded state in a stream; HLL keeps
+    state O(1) per group (documented drift <2%).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation — streaming twin of ``events_sessionize``.
+
+    ``session_window`` merges events within ``gap`` of each other into one
+    growing window per user; the watermark closes sessions and evicts
+    their state.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream by id — ``dropDuplicatesWithinWatermark``.
+
+    State holds ids only within the watermark horizon (bounded), unlike
+    plain ``dropDuplicates`` whose state grows forever. The batch shape of
+    this operator is ``events_dedup_latest`` in events_batch.py.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# -- sinks / runners ---------------------------------------------------------
+
+
+def run_available_now(
+    result: DataFrame, sink_dir: str, checkpoint_dir: str, output_mode: str = "append"
+) -> None:
+    """Drain the available backlog into a parquet sink, then stop.
+
+    The DAG-run analog (O5): each invocation is one serialized run;
+    the checkpoint WAL carries source offsets + operator state across
+    invocations, so successive calls process only new files.
+    """
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def landing_append_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    raw_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+) -> None:
+    """Staged-file ingestion as a stream: the PUT + COPY INTO + schedule
+    trio collapsed into one restart-safe micro-batch pipeline (SURVEY §3.2).
+
+    File-source semantics give exactly-once per input file (the reference
+    relies on Snowflake COPY's load-history for the same guarantee); gzip
+    TSVs are read transparently. Append-only sink = X3.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("sep", "\t")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .csv(landing_dir)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", raw_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,133 @@
+"""Structured Streaming tests: AvailableNow drains vs batch ground truth.
+
+Each streaming job runs over a temp directory of event files and its sink
+output is compared to the equivalent batch computation on the same rows —
+the semantics contract between streaming/jobs.py and streaming/
+events_batch.py. The landing-stream test mirrors the reference DAG's
+incremental append (two drops → two micro-batch runs → exactly-once).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_data_spark.streaming import jobs
+
+T0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(minutes=m), uid, et, float(v), "{}")
+            for i, (m, uid, et, v) in enumerate(rows)
+        ],
+        schema=jobs.EVENTS_SCHEMA,
+    )
+
+
+SENTINEL_MIN = 3000  # one far-future event per user advances the watermark
+                     # past every real window so append mode emits them all
+                     # before the AvailableNow drain terminates
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """~200 events over ~7 hours, 5 users, duplicate ids + sentinels."""
+    rows = []
+    for i in range(200):
+        rows.append((i * 2, i % 5, ["click", "view", "buy"][i % 3], (i % 7) + 0.5))
+    df = _mk_events(spark, rows)
+    dup = df.limit(10)  # duplicate ids for the dedup test
+    sentinels = spark.createDataFrame(
+        [
+            (100000 + uid, T0 + dt.timedelta(minutes=SENTINEL_MIN), uid, "sentinel", 0.0, "{}")
+            for uid in range(5)
+        ],
+        schema=jobs.EVENTS_SCHEMA,
+    )
+    out = tmp_path_factory.mktemp("events_src")
+    df.unionByName(dup).unionByName(sentinels).write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def _drain(spark, result, tmp_path, name):
+    sink = tmp_path / f"{name}_sink"
+    ckpt = tmp_path / f"{name}_ckpt"
+    jobs.run_available_now(result, str(sink), str(ckpt))
+    return spark.read.parquet(str(sink))
+
+
+def test_hourly_rollup_matches_batch(spark, events_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, events_dir)
+    got = _drain(spark, jobs.hourly_rollup(stream), tmp_path, "hourly").collect()
+
+    # sentinel windows are the (intentionally) unflushed ones -- exclude
+    batch = spark.read.parquet(events_dir).where(F.col("event_type") != "sentinel")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_sessionize_stream(spark, events_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, events_dir)
+    got = _drain(spark, jobs.sessionize(stream), tmp_path, "sess")
+    # regular events are ≤10min apart per user (< the 30min gap) → one
+    # closed session per user (sentinel sessions stay open in state);
+    # emitted sessions conserve the 210 regular rows
+    assert got.count() == 5
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 210
+    assert got.where(F.col("session_value").isNull()).count() == 0
+
+
+def test_dedup_stream_drops_duplicate_ids(spark, events_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, events_dir)
+    got = _drain(spark, jobs.dedup_events(stream), tmp_path, "dedup")
+    assert got.count() == 205  # 215 rows in, 10 dup ids dropped
+    assert got.select("event_id").distinct().count() == 205
+
+
+def test_landing_append_stream_exactly_once(spark, tmp_path):
+    """Two file drops → two AvailableNow runs → appended exactly once,
+    and a re-run with no new files is a no-op (checkpoint offsets)."""
+    from live_data_spark.bikeshop.generator import MockDataSpark
+    from live_data_spark.bikeshop.schema import CUSTOMERS
+    from live_data_spark.sources.files import write_tsv
+
+    landing = tmp_path / "landing"
+    raw = tmp_path / "raw"
+    ckpt = tmp_path / "ckpt"
+    gen = MockDataSpark(spark, seed=1)
+
+    write_tsv(gen.customers(100, batch=0), str(landing / "b0"))
+    jobs.landing_append_stream(spark, f"{landing}/*", str(raw), str(ckpt), CUSTOMERS)
+    assert spark.read.parquet(str(raw)).count() == 100
+
+    write_tsv(gen.customers(50, batch=1), str(landing / "b1"))
+    jobs.landing_append_stream(spark, f"{landing}/*", str(raw), str(ckpt), CUSTOMERS)
+    assert spark.read.parquet(str(raw)).count() == 150
+
+    # no new files → no new rows (exactly-once file tracking)
+    jobs.landing_append_stream(spark, f"{landing}/*", str(raw), str(ckpt), CUSTOMERS)
+    df = spark.read.parquet(str(raw))
+    assert df.count() == 150
+    # schema survived the TSV round trip, incl. timestamp_ntz
+    assert dict(df.dtypes)["loaded_at"] == "timestamp_ntz"
