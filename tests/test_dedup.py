@@ -1,0 +1,82 @@
+"""Dedup ground-truth tests: LSH recall, SimHash sanity, planted dups.
+
+The oracle harness proves Spark↔DuckDB agreement; these tests prove the
+*algorithms* find what they should on constructed corpora where the true
+answer is known exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import catalog
+
+def _corpus(spark, tmp_path):
+    """30 docs: 10 unique bases (disjoint vocabularies, so cross-base
+    jaccard is exactly 0), each with an exact copy and a light edit
+    (one word changed → jaccard ≈ 0.86 on 3-gram shingles)."""
+    rows = []
+    for b in range(10):
+        base = " ".join(f"w{b}x{j}" for j in range(40))
+        edited = base.split()
+        edited[20] = "EDITED"
+        rows.append((b * 3, base, "en"))
+        rows.append((b * 3 + 1, base, "en"))  # exact dup
+        rows.append((b * 3 + 2, " ".join(edited), "en"))  # near dup
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = tmp_path / "documents.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(out))
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    return _corpus(spark, tmp_path_factory.mktemp("corpus"))
+
+
+def test_exact_dedup_finds_planted_copies(spark, corpus_dir):
+    out = catalog()["dedup_exact"].spark(spark, corpus_dir)
+    dup_groups = out.where(F.col("n_copies") > 1)
+    assert dup_groups.count() == 10  # one group per base
+    assert dup_groups.agg(F.sum("n_copies")).collect()[0][0] == 20
+
+
+def test_minhash_equals_exact_jaccard(spark, corpus_dir):
+    """LSH+verify must reproduce the exact inverted-index pairs."""
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in catalog()["dedup_ngram_jaccard"].spark(spark, corpus_dir).collect()
+    }
+    lsh = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in catalog()["dedup_minhash"].spark(spark, corpus_dir).collect()
+    }
+    assert lsh == exact
+    # the planted structure: exact copies (jac=1.0) always pair
+    assert all((b * 3, b * 3 + 1) in exact for b in range(10))
+
+
+def test_minhash_jaccard_values(spark, corpus_dir):
+    rows = catalog()["dedup_minhash"].spark(spark, corpus_dir).collect()
+    by_pair = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"] for r in rows}
+    for b in range(10):
+        assert by_pair[(b * 3, b * 3 + 1)] == 1.0  # exact copies
+
+
+def test_simhash_catches_near_dups(spark, corpus_dir):
+    out = catalog()["dedup_simhash"].spark(spark, corpus_dir).collect()
+    pairs = {(r["doc_id_1"], r["doc_id_2"]): r["hamming"] for r in out}
+    # exact copies → identical sketches (hamming 0)
+    for b in range(10):
+        assert pairs.get((b * 3, b * 3 + 1)) == 0
+    # one-word edits stay within the hamming ball
+    found_near = sum((b * 3, b * 3 + 2) in pairs for b in range(10))
+    assert found_near >= 8  # sketch is approximate; overwhelming majority
+
+
+def test_no_false_pairs_across_bases(spark, corpus_dir):
+    """Different bases share ≤ a few shingles — nothing should pair."""
+    out = catalog()["dedup_minhash"].spark(spark, corpus_dir).collect()
+    for r in out:
+        assert r["doc_id_1"] // 3 == r["doc_id_2"] // 3, r

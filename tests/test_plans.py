@@ -1,0 +1,104 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, partial agg.
+
+Correct results with a wrong plan don't survive a 100× scale-up. These
+tests pin the plan properties the engine's scale posture depends on
+(SURVEY.md §4): filters reach the parquet scan, projections prune the
+read schema, small dims broadcast, aggregates partial-combine before the
+shuffle, and top-k never plans a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import catalog, load
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = catalog()["q1_pricing_summary"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: only |groups| rows cross the shuffle."""
+    plan = _plan(catalog()["q1_pricing_summary"].spark(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_staging_projection_prunes_scan(spark, sf_dir):
+    """stg_customer reads 5 of 8 customer columns — ReadSchema must shrink."""
+    plan = _plan(catalog()["stg_customer"].spark(spark, sf_dir))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read and "c_acctbal" in read
+    assert "c_phone" not in read and "c_comment" not in read and "c_address" not in read
+
+
+def test_dim_exclusion_prunes_scan(spark, sf_dir):
+    plan = _plan(catalog()["dim_part"].spark(spark, sf_dir))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_retailprice" not in read and "p_size" not in read
+
+
+def test_fact_broadcasts_part_dim(spark, sf_dir):
+    plan = _plan(catalog()["fct_order_lineitems"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the broadcast side is part (the explicit F.broadcast hint)
+    assert "BroadcastExchange" in plan
+
+
+def test_top50_plans_takeordered_not_full_sort(spark, sf_dir):
+    """LIMIT+ORDER BY must be per-partition top-k, not a global sort."""
+    plan = _plan(catalog()["top50_orders"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_for_relationships(spark, sf_dir):
+    plan = _plan(catalog()["test_relationships_orphans"].spark(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_events_scan_prunes_props(spark, sf_dir):
+    """events_hourly_rollup never touches the (wide) props JSON column."""
+    df = catalog()["events_hourly_rollup"].spark(spark, sf_dir)
+    assert "props" not in _optimized(df).split("Relation")[-1] or "props" not in (
+        _plan(df).split("ReadSchema:")[1].splitlines()[0]
+    )
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """The hot reference path runs inside WholeStageCodegen spans.
+
+    AQE hides the final plan until execution — run the query first, then
+    read the (now final) adaptive plan.
+    """
+    import contextlib
+    import io
+
+    df = catalog()["fct_order_lineitems"].spark(spark, sf_dir)
+    df.collect()  # executes THIS QueryExecution so AQE finalizes
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    txt = buf.getvalue()
+    assert "== Final Plan ==" in txt
+    final = txt.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    # '*' prefix marks a WholeStageCodegen-compiled operator
+    assert "* Project" in final and "* BroadcastHashJoin" in final
+
+
+def test_exact_dedup_shuffles_fingerprints_not_documents(spark, sf_dir):
+    """The dedup shuffle carries (fp, doc_id) only — text never moves."""
+    df = catalog()["dedup_exact"].spark(spark, sf_dir)
+    plan = _plan(df)
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all("text" not in ln for ln in ex)

@@ -1,0 +1,59 @@
+"""Similarity-search ground truth: SRP-LSH recall vs exact brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import catalog
+from live_data_spark.operators.similarity import TOP_K
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, sf_dir):
+    return catalog()["ann_cosine_topk"].spark(spark, sf_dir).collect()
+
+
+def test_exact_topk_shape(exact_topk):
+    by_query = {}
+    for r in exact_topk:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert len(by_query) == 10
+    for q, rows in by_query.items():
+        assert len(rows) == TOP_K
+        ranks = sorted(r["rnk"] for r in rows)
+        assert ranks == list(range(1, TOP_K + 1))
+        # cosine decreasing with rank
+        ordered = sorted(rows, key=lambda r: r["rnk"])
+        sims = [r["cosine_sim"] for r in ordered]
+        assert sims == sorted(sims, reverse=True)
+        # no self-matches
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_srp_lsh_recall_vs_exact(spark, sf_dir, exact_topk):
+    """Bucketed ANN must recover most of the true top-k (recall ≥ 0.6 on
+    uniform-random 64-dim embeddings — a hostile distribution for LSH;
+    trained/clustered embeddings recall far higher)."""
+    approx = catalog()["ann_srp_lsh"].spark(spark, sf_dir).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact_topk}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"recall {recall:.2f}"
+    # approx scores are true cosines (verified candidates) — any overlap
+    # pair carries the identical similarity value
+    exact_by_pair = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact_topk}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_by_pair:
+            assert r["cosine_sim"] == pytest.approx(exact_by_pair[key], abs=1e-4)
+
+
+def test_neardup_pairs_symmetric_threshold(spark, sf_dir):
+    out = catalog()["embedding_neardup_pairs"].spark(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["vec_id_1"] < r["vec_id_2"] for r in rows)
+    assert all(r["cosine_sim"] >= 0.4 for r in rows)
+    # sanity: uniform-random 64-dim vectors rarely exceed 0.4 — the band
+    # is small but nonzero at sf0.001
+    assert 0 < len(rows) < 2000
