@@ -7,6 +7,7 @@ generic data tests compiled to DataFrames expected empty.
 """
 
 from live_data_spark.plans.registry import Project, SourceDef
+from live_data_spark.plans.snapshot import read_snapshot, snapshot
 from live_data_spark.plans.testing import (
     TestResult,
     accepted_values,
@@ -21,6 +22,8 @@ __all__ = [
     "TestResult",
     "accepted_values",
     "not_null",
+    "read_snapshot",
     "relationships",
+    "snapshot",
     "unique",
 ]
