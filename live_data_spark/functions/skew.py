@@ -1,0 +1,55 @@
+"""Skew-mitigation utilities: salted joins for pathological hot keys.
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime
+by splitting oversized shuffle partitions. Salting is the complementary
+*plan-level* tool for the case AQE can't fix: a single join key so hot
+that even a split partition's build side is one giant hash bucket —
+classic in LLM-corpus joins (the empty-string fingerprint, the null user,
+the "en" language bucket).
+
+``salted_join``: fact rows get a uniform salt in [0, n_salts); the (small)
+dim side is replicated n_salts× with every salt value; the join key
+becomes (key, salt) so one hot key spreads over n_salts reducers. Cost:
+dim side inflates n_salts× — use only when the dim is broadcast-small or
+the skew is measured, and keep n_salts ≈ the skew factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salt_fact(fact: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Uniform deterministic salt per fact row (hash of all columns —
+    stable, no rand() so retried tasks salt identically)."""
+    return fact.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int")
+    )
+
+
+def explode_dim(dim: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Replicate every dim row once per salt value."""
+    return dim.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join with the key salted n_salts ways; result equals the plain
+    join (verified in tests/test_skew.py), with the hot key's rows spread
+    across n_salts shuffle partitions instead of one.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    out = salt_fact(fact, n_salts).join(
+        explode_dim(dim, n_salts), [*keys, SALT_COL], how
+    )
+    return out.drop(SALT_COL)

@@ -54,9 +54,10 @@ class SourceDef:
 class ModelDef:
     name: str
     fn: Callable[["BuildContext"], DataFrame]
-    materialized: str = "view"  # "view" | "table"
+    materialized: str = "view"  # "view" | "table" | "incremental"
     schema: str = "main"  # output namespace (dbt generate_schema_name, D4)
     description: str = ""
+    incremental_key: str | None = None  # high-watermark column
     deps: set[str] = field(default_factory=set)  # discovered at build time
 
 
@@ -122,19 +123,31 @@ class Project:
         name: str | None = None,
         materialized: str = "view",
         schema: str = "main",
+        incremental_key: str | None = None,
     ):
-        """Decorator registering a model function (dbt model .sql analog)."""
+        """Decorator registering a model function (dbt model .sql analog).
+
+        ``materialized="incremental"`` requires ``incremental_key``: on
+        rebuild, only rows with key strictly above the stored high
+        watermark append (dbt's incremental materialization with an
+        ``is_incremental()`` timestamp filter — here applied by the
+        engine, so the predicate pushes down to the model's source scans
+        through the lazy plan).
+        """
 
         def deco(f: Callable[[BuildContext], DataFrame]):
             model_name = name or f.__name__
-            if materialized not in ("view", "table"):
+            if materialized not in ("view", "table", "incremental"):
                 raise ValueError(f"unknown materialization {materialized!r}")
+            if materialized == "incremental" and not incremental_key:
+                raise ValueError("incremental materialization needs incremental_key")
             self._models[model_name] = ModelDef(
                 name=model_name,
                 fn=f,
                 materialized=materialized,
                 schema=schema,
                 description=(f.__doc__ or "").strip(),
+                incremental_key=incremental_key,
             )
             return f
 
@@ -182,6 +195,21 @@ class Project:
         if mdef.materialized == "table":
             out = self._table_path(mdef)
             df.write.mode("overwrite").parquet(str(out))
+            df = self.spark.read.parquet(str(out))
+        elif mdef.materialized == "incremental":
+            from pyspark.sql import functions as F
+
+            out = self._table_path(mdef)
+            if (out / "_SUCCESS").exists():
+                existing = self.spark.read.parquet(str(out))
+                hwm = existing.agg(F.max(mdef.incremental_key)).collect()[0][0]
+                if hwm is not None:
+                    # the filter lands on the lazy plan → pushed through
+                    # to the model's source scans (row-group pruning)
+                    df = df.where(F.col(mdef.incremental_key) > F.lit(hwm))
+                df.write.mode("append").parquet(str(out))
+            else:
+                df.write.mode("overwrite").parquet(str(out))
             df = self.spark.read.parquet(str(out))
         # both materializations are queryable by name, like dbt relations
         df.createOrReplaceTempView(name)

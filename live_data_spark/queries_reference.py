@@ -587,6 +587,47 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "events"),
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase hash agg in Spark).
+
+    The exact form is the oracle-checkable baseline; at 100 TB swap to
+    ``agg_approx_distinct_users`` below — HLL keeps the shuffle O(groups)
+    instead of O(distinct pairs).
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("agg_approx_distinct_users", oracle=None, tags=("agg", "events", "approx"))
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (SURVEY §2.12 approx-distinct mandate).
+
+    Rows-only driver check: HLL sketches are engine-specific (Spark's
+    relativeSD=0.05 default vs DuckDB's own sketch), so exact value
+    equality across engines isn't defined; the exact twin above is the
+    oracle-checked anchor, and tests assert the approximation lands
+    within its documented error band of it.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions — extension surface (reference has none, SURVEY §2.11);
 # required for sessionization/running aggregates in the events pipeline.
