@@ -121,13 +121,15 @@ def register_models(project: Project) -> None:
             ctx.ref("stg_bike_shop__products"), "product_cost", "product_price", "loaded_at"
         )
 
-    @project.model(materialized="table", schema="mart")
+    @project.model(materialized="table", schema="mart", partition_by=["order_date"])
     def fct_order_products(ctx) -> DataFrame:
         """fct_order_products.sql:1-33 — two left equi-joins + fact projection.
 
         Products is the tiny static dim (97 rows) → explicit broadcast
         (J1); orders is bounded per batch — AQE picks broadcast vs
-        shuffle (J2).
+        shuffle (J2). The fact hive-partitions by order_date (SURVEY §4
+        scale posture): date-ranged reads prune partitions at the file
+        listing, and date-keyed joins get dynamic partition pruning.
         """
         op = ctx.ref("stg_bike_shop__order_products")
         products = ctx.ref("stg_bike_shop__products")

@@ -39,6 +39,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-batched numpy cosine — the ≥1k-dims swap-in for ``cosine``.
+
+    At 64 dims the JVM higher-order form wins (no Arrow round-trip); past
+    ~1k dims numpy's SIMD dot products overtake it by an order of
+    magnitude. Both paths return identical values (pinned to 1e-9 in
+    tests/test_similarity.py), so swapping is a one-line change at any
+    call site. Defined lazily so importing the module never requires an
+    active session.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # hint-free form: this module's `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf can't resolve for locals
+    def _cos(sa, sb):
+        va = np.stack(sa.to_numpy())
+        vb = np.stack(sb.to_numpy())
+        num = (va * vb).sum(axis=1)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        return pd.Series(num / den)
+
+    return pandas_udf(_cos, "double")(a, b)
+
+
 _TOPK_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qe

@@ -58,6 +58,7 @@ class ModelDef:
     schema: str = "main"  # output namespace (dbt generate_schema_name, D4)
     description: str = ""
     incremental_key: str | None = None  # high-watermark column
+    partition_by: tuple[str, ...] = ()  # hive-partition columns for table writes
     deps: set[str] = field(default_factory=set)  # discovered at build time
 
 
@@ -124,8 +125,13 @@ class Project:
         materialized: str = "view",
         schema: str = "main",
         incremental_key: str | None = None,
+        partition_by: tuple[str, ...] | list[str] = (),
     ):
         """Decorator registering a model function (dbt model .sql analog).
+
+        ``partition_by`` hive-partitions table/incremental writes — the
+        scale posture for fact tables (date partitions → partition
+        pruning + dynamic partition pruning on date-keyed joins).
 
         ``materialized="incremental"`` requires ``incremental_key``: on
         rebuild, only rows with key strictly above the stored high
@@ -148,6 +154,7 @@ class Project:
                 schema=schema,
                 description=(f.__doc__ or "").strip(),
                 incremental_key=incremental_key,
+                partition_by=tuple(partition_by),
             )
             return f
 
@@ -194,12 +201,19 @@ class Project:
 
         if mdef.materialized == "table":
             out = self._table_path(mdef)
-            df.write.mode("overwrite").parquet(str(out))
-            df = self.spark.read.parquet(str(out))
+            cols = df.columns
+            writer = df.write.mode("overwrite")
+            if mdef.partition_by:
+                writer = writer.partitionBy(*mdef.partition_by)
+            writer.parquet(str(out))
+            # hive layout moves partition columns last on read-back;
+            # re-select so the model's declared column order is the contract
+            df = self.spark.read.parquet(str(out)).select(*cols)
         elif mdef.materialized == "incremental":
             from pyspark.sql import functions as F
 
             out = self._table_path(mdef)
+            cols = df.columns
             if (out / "_SUCCESS").exists():
                 existing = self.spark.read.parquet(str(out))
                 hwm = existing.agg(F.max(mdef.incremental_key)).collect()[0][0]
@@ -207,10 +221,16 @@ class Project:
                     # the filter lands on the lazy plan → pushed through
                     # to the model's source scans (row-group pruning)
                     df = df.where(F.col(mdef.incremental_key) > F.lit(hwm))
-                df.write.mode("append").parquet(str(out))
+                writer = df.write.mode("append")
+                if mdef.partition_by:
+                    writer = writer.partitionBy(*mdef.partition_by)
+                writer.parquet(str(out))
             else:
-                df.write.mode("overwrite").parquet(str(out))
-            df = self.spark.read.parquet(str(out))
+                writer = df.write.mode("overwrite")
+                if mdef.partition_by:
+                    writer = writer.partitionBy(*mdef.partition_by)
+                writer.parquet(str(out))
+            df = self.spark.read.parquet(str(out)).select(*cols)
         # both materializations are queryable by name, like dbt relations
         df.createOrReplaceTempView(name)
         self._built[name] = df

@@ -116,6 +116,72 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across batches.
+
+    ``applyInPandasWithState`` — the escape hatch for stateful logic the
+    built-in windows can't express (custom accumulators, ML feature
+    state, cross-batch counters). State is a typed tuple per key, stored
+    in the checkpoint, restored on restart; each micro-batch's groups
+    arrive as Arrow-backed pandas frames. Emits one updated row per user
+    per batch (outputMode update).
+
+    Scale: state is O(distinct users) — bound it in production with a
+    timeout (``GroupStateTimeout.ProcessingTimeTimeout`` + a TTL) or an
+    eviction rule; this demo uses NoTimeout since users are finite.
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now_update(result: DataFrame, sink_dir: str, checkpoint_dir: str) -> None:
+    """Drain an update-mode stream via ``foreachBatch`` → parquet append.
+
+    Update-mode results can't hit the (append-only) file sink directly
+    and the memory sink can't recover from checkpoints; ``foreachBatch``
+    is the production pattern — each micro-batch's updated rows arrive
+    as a batch DataFrame for an arbitrary write (here append; real
+    deployments MERGE INTO an ACID table). Checkpoint recovery works, so
+    operator state survives across invocations. The sink holds every
+    emission; the latest row per key is the current state.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(sink_dir)
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # -- sinks / runners ---------------------------------------------------------
 
 

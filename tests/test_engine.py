@@ -143,6 +143,20 @@ def test_table_materialization_persists(project, spark, pipeline_root):
     assert on_disk.count() == project.build("fct_order_products").count()
 
 
+def test_fact_partitioned_by_date_and_pruned(project, spark, pipeline_root):
+    """The fact writes hive-partitioned by order_date; a date predicate
+    must prune at the file listing (PartitionFilters), not post-scan."""
+    root, _, _ = pipeline_root
+    path = root / "warehouse" / "dev_mart" / "fct_order_products"
+    parts = [p.name for p in path.glob("order_date=*")]
+    assert len(parts) >= 25  # ~30 distinct order dates per batch
+    some_date = parts[0].split("=", 1)[1]
+    df = spark.read.parquet(str(path)).where(F.col("order_date") == some_date)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_date" in plan
+    assert df.count() > 0
+
+
 def test_lineage_and_topo_order(project):
     lineage = project.lineage()
     assert lineage["fct_order_products"] >= {

@@ -49,6 +49,24 @@ def test_srp_lsh_recall_vs_exact(spark, sf_dir, exact_topk):
             assert r["cosine_sim"] == pytest.approx(exact_by_pair[key], abs=1e-4)
 
 
+def test_cosine_pandas_equals_jvm(spark, sf_dir):
+    """The numpy/Arrow cosine (high-dims path) matches the JVM HOF path."""
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.similarity import as_double, cosine, cosine_pandas
+
+    e = load(spark, sf_dir, "embeddings").limit(200)
+    a = e.select(F.col("vec_id").alias("ia"), as_double("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("ib"), as_double("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") == F.col("ib") - 1)
+    both = pairs.select(
+        cosine(F.col("ea"), F.col("eb")).alias("jvm"),
+        cosine_pandas(F.col("ea"), F.col("eb")).alias("np"),
+    ).collect()
+    assert len(both) > 100
+    for r in both:
+        assert r["jvm"] == pytest.approx(r["np"], abs=1e-9)
+
+
 def test_neardup_pairs_symmetric_threshold(spark, sf_dir):
     out = catalog()["embedding_neardup_pairs"].spark(spark, sf_dir)
     rows = out.collect()

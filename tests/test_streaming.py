@@ -105,6 +105,41 @@ def test_dedup_stream_drops_duplicate_ids(spark, events_dir, tmp_path):
     assert got.select("event_id").distinct().count() == 205
 
 
+def test_user_running_totals_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: state accumulates ACROSS AvailableNow runs
+    (restored from the checkpoint, the contract that makes custom
+    stateful operators restart-safe)."""
+    src = tmp_path / "ev"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    sink = str(tmp_path / "totals")
+    batch1 = _mk_events(spark, [(m, m % 2, "click", 10.0) for m in range(10)])
+    batch1.write.parquet(str(src / "b1"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    jobs.run_available_now_update(jobs.user_running_totals(stream), sink, ckpt)
+    t1 = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert t1 == {0: (5, 50.0), 1: (5, 50.0)}
+
+    batch2 = _mk_events(spark, [(m + 100, 1, "click", 1.0) for m in range(4)])
+    batch2.write.parquet(str(src / "b2"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    jobs.run_available_now_update(jobs.user_running_totals(stream), sink, ckpt)
+    latest = (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("v"))
+    )
+    t2 = {r["user_id"]: (r["n"], r["v"]) for r in latest.collect()}
+    # user 1 continued from checkpoint-restored state (5+4 events,
+    # 50+4 value); user 0 saw no new events → no new emission, latest
+    # stays at the run-1 totals
+    assert t2 == {0: (5, 50.0), 1: (9, 54.0)}
+
+
 def test_landing_append_stream_exactly_once(spark, tmp_path):
     """Two file drops → two AvailableNow runs → appended exactly once,
     and a re-run with no new files is a no-op (checkpoint offsets)."""
