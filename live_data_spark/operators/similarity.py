@@ -182,6 +182,93 @@ def srp_bucket(emb: Column, table: int, n_dims: int, n_planes: int) -> Column:
     return out.cast("int")
 
 
+def _ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int, id_col: str) -> DataFrame:
+    """Rank centroids per vector by cosine; keep the top ``nprobe``.
+
+    Centroids broadcast (K ≈ √n rows), so assignment is a map-only
+    n×K scoring pass — the standard IVF cost — with one window shuffle
+    on the vector id to rank.
+    """
+    from pyspark.sql import Window
+
+    scored = vectors.join(F.broadcast(centroids)).select(
+        id_col, "emb", "cid", cosine(F.col("emb"), F.col("cemb")).alias("ccos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") <= nprobe)
+        .drop("ccos", "crnk")
+    )
+
+
+@register("ann_ivf_flat", oracle=None, tags=("similarity",))
+def ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via IVF-flat (inverted-file) partitioning.
+
+    The other classic ANN scale path (complement of ``ann_srp_lsh``):
+
+    1. K ≈ √n centroids picked by deterministic hash-order sampling
+       (k-means refinement is an optional quality upgrade; sampling
+       keeps the build one pass and fully reproducible).
+    2. every vector joins its nearest centroid's inverted list
+       (broadcast n×K scoring — the IVF build cost);
+    3. a query scans only its ``nprobe`` nearest centroids' lists, so
+       the per-query work is ~(nprobe/K)·n instead of n; at 100 TB the
+       lists are hive-partitioned by centroid id and a query reads only
+       its nprobe partitions.
+
+    Candidates re-score exactly → precision 1; recall floor pinned in
+    tests/test_similarity.py on uniform-random embeddings (worst case —
+    clustered real embeddings place true neighbors in the same list far
+    more often). Rows-only driver check (centroid choice is hash-based).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    n = e.count()
+    k_lists = max(4, int(math.isqrt(n)))
+    nprobe = max(2, k_lists // 4)
+
+    # Centroid pick = hash-order top-k: orderBy+limit compiles to
+    # TakeOrderedAndProject (distributed partial top-k per partition, then a
+    # k-row merge on the driver) — no global-window single-partition shuffle.
+    # The hash doubles as the centroid id: deterministic, join-key-distinct
+    # w.h.p., and a rare collision only merges two inverted lists (still a
+    # valid approximate index).
+    centroids = (
+        e.select(F.xxhash64("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+        .orderBy("cid")
+        .limit(k_lists)
+    )
+
+    lists = _ivf_assign(e, centroids, nprobe=1, id_col="vec_id").select(
+        "cid", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+    )
+    queries = _ivf_assign(
+        e.where(F.col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "query_id"),
+        centroids,
+        nprobe=nprobe,
+        id_col="query_id",
+    ).select("cid", "query_id", F.col("emb").alias("qe"))
+
+    cand = (
+        F.broadcast(queries)
+        .join(lists, "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("cos"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cosine_sim"))
+    )
+
+
 @register("ann_srp_lsh", oracle=None, tags=("similarity",))
 def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k: multi-probe sign-random-projection LSH.
