@@ -1,0 +1,400 @@
+"""Multi-way join / analytic queries beyond the reference's 2-join surface.
+
+The reference's widest plan is fct_order_products (2 left joins,
+dbt_sao/models/mart/fct_order_products.sql:26-30). A 100 TB engine needs the
+join/agg shapes the reference *implies* but never exercises — deep star
+joins, having-semijoins, grouping-set subtotals, ordered (as-of) joins, exact
+quantiles, set ops. Each lands here as a (Spark, DuckDB-oracle) catalog pair
+over the driver testdata.
+
+Scale posture shared by all queries (see each docstring for specifics):
+filters reach the parquet scan, dims broadcast, facts shuffle only on their
+join/group keys, monetary aggregation in decimal so results are
+order-independent and engine-identical (functions/dialect.py::dec2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+from live_data_spark.functions.dialect import dec2
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape: dim-filtered 3-way star join → group → deterministic top-10.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+WITH r AS (
+  SELECT
+    l.l_orderkey,
+    sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+        * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS rev,
+    o.o_orderdate,
+    o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT
+  l_orderkey AS order_id,
+  cast(rev AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  o_orderpriority AS order_priority
+FROM r
+ORDER BY rev DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE, headline=True, tags=("join", "headline"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment-filtered customer ⋈ orders ⋈ lineitem → top-10.
+
+    Scale shape: both date predicates and the segment filter push to the
+    parquet scans (the lineitem scan reads only post-cutoff row groups);
+    customer⋈orders shuffles on custkey, the result joins lineitem on
+    orderkey; the final top-10 is TakeOrderedAndProject (per-partition
+    partial top-k, no global sort). Revenue in decimal → deterministic
+    LIMIT boundary (ties broken by order key).
+    """
+    cutoff = F.lit("1998-06-15 00:00:00").cast("timestamp_ntz")
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    grouped = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    return (
+        grouped.orderBy(F.col("rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: 6-way snowflake join with a cross-dimension equality predicate.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  n.n_name AS nation_name,
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("join",))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-way snowflake join, revenue by nation.
+
+    The deepest join tree in the catalog. region/nation broadcast
+    explicitly (≤25 rows); supplier is small → AQE broadcasts it; the
+    only shuffles left are customer⋈orders (custkey) and ⋈lineitem
+    (orderkey). The s_nationkey = c_nationkey cross-dimension predicate
+    rides on the supplier join condition — no extra shuffle. Year filter
+    prunes the orders scan before any join.
+    """
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(F.col("n_name").alias("nation_name"), "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: HAVING-filtered aggregate used as a semi-join back to the fact.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, sum(cast(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(cast(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT
+  c.c_custkey AS customer_id,
+  c.c_name AS customer_name,
+  o.o_orderkey AS order_id,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+  o.o_totalprice AS total_price,
+  cast(big.total_qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q18_large_orders", oracle=_Q18_ORACLE, tags=("join", "agg"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose line quantities sum past a threshold.
+
+    The HAVING aggregate runs first (map-side partial sum, shuffle only
+    orderkey+sum), producing a tiny key set that then drives broadcast
+    joins to orders and customer — the fact is never re-scanned and the
+    big tables are filtered by the broadcast hash join, the distributed
+    form of a semi-join-after-aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — the classic "Spark lacks it" ordered join, built from a
+# single partitioned window instead of a range-join explosion.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT
+  p.event_id AS purchase_id,
+  p.user_id AS user_id,
+  strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+  strftime(v.ts, '{_TS_FMT_DUCK}') AS last_view_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@register("asof_last_view_before_purchase", oracle=_ASOF_ORACLE, tags=("join", "events", "asof"))
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest view at-or-before it.
+
+    Spark has no ASOF JOIN (DuckDB does — the oracle uses it). The naive
+    translation is an inequality range join (quadratic per user) + a
+    groupBy-max; instead we union both event streams and take a running
+    max over one window partitioned by user — one shuffle on user_id,
+    linear work, and the same trick extends to any merge-ordered join.
+    Equal-timestamp views sort before purchases (secondary key) to get
+    the inclusive `view.ts <= purchase.ts` semantics deterministically
+    under a ROWS frame.
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_purchase").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view = F.max(F.when(F.col("is_purchase") == 0, F.col("ts"))).over(w)
+    return (
+        e.withColumn("last_view", last_view)
+        .where(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+            F.date_format("last_view", _TS_FMT_SPARK).alias("last_view_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP subtotals in one pass.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  coalesce(r.r_name, 'ALL') AS region_name,
+  coalesce(n.n_name, 'ALL') AS nation_name,
+  cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+  count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@register("rollup_revenue_by_region_nation", oracle=_ROLLUP_ORACLE, tags=("agg", "grouping"))
+def rollup_revenue_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue: leaf + subtotal + grand total in one agg.
+
+    `df.rollup` compiles to a single Expand + hash aggregate — one pass
+    over the fact, one shuffle, instead of three union-ed GROUP BYs.
+    Dimension names are never NULL here, so COALESCE('ALL') is an
+    unambiguous subtotal marker on both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "total_revenue",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles per group (interpolated, engine-identical semantics).
+# ---------------------------------------------------------------------------
+
+_QUANTILES_ORACLE = """
+SELECT
+  event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99,
+  round(min(value), 4) AS min_value,
+  round(max(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("quantiles_event_value", oracle=_QUANTILES_ORACLE, tags=("agg", "events", "quantile"))
+def quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of event value per type.
+
+    `F.percentile` = SQL percentile_cont: exact linear interpolation,
+    identical to DuckDB's quantile_cont. Exact quantiles sort each
+    group's values — fine at per-group cardinalities, but at 100 TB
+    switch callers to `percentile_approx` (t-digest sketch, map-side
+    mergeable, no sort) — the same exact/approx pairing as
+    agg_distinct_users vs agg_approx_distinct_users.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT cohort split.
+# ---------------------------------------------------------------------------
+
+_SETOP_ORACLE = """
+WITH y95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+), y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_custkey AS customer_id, 'retained' AS cohort
+FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey AS customer_id, 'churned' AS cohort
+FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+"""
+
+
+@register("setop_retention_cohorts", oracle=_SETOP_ORACLE, tags=("setop",))
+def setop_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: customers ordering in both 1995 and 1996 vs only '95.
+
+    Spark plans INTERSECT as a left-semi and EXCEPT as a left-anti hash
+    join over the distinct key sets; both halves reuse the same two
+    year-filtered scans (predicate pushed down). The cohort literal makes
+    the union disjoint, so UNION ALL (no dedup shuffle) is safe.
+    """
+
+    def year(y: int) -> DataFrame:
+        lo = F.lit(f"{y}-01-01 00:00:00").cast("timestamp_ntz")
+        hi = F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp_ntz")
+        return (
+            load(spark, sf_dir, "orders")
+            .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year(1995), year(1996)
+    retained = y95.intersect(y96).select(
+        F.col("o_custkey").alias("customer_id"), F.lit("retained").alias("cohort")
+    )
+    churned = y95.exceptAll(y96).select(
+        F.col("o_custkey").alias("customer_id"), F.lit("churned").alias("cohort")
+    )
+    return retained.unionByName(churned)

@@ -1,0 +1,86 @@
+"""Analytics-query tests beyond the auto-generated oracle parity:
+
+- as-of join edge semantics (inclusive equality, no-match → NULL) on a
+  hand-built frame where the answer is computable by eye;
+- physical-plan shape pins for the scale claims the docstrings make
+  (top-k without a global sort, ROLLUP as one Expand pass).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import catalog
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_inclusive_and_null_semantics(spark, sf_dir, monkeypatch):
+    """A view at exactly the purchase ts matches (<=); a user with no prior
+    view yields NULL; a later view never matches."""
+    rows = [
+        # user 1: view strictly before, view at equal ts, view after
+        (10, 1, _ts("2024-01-01T00:00:01"), "view"),
+        (11, 1, _ts("2024-01-01T00:00:05"), "view"),
+        (12, 1, _ts("2024-01-01T00:00:05"), "purchase"),  # equal-ts view counts
+        (13, 1, _ts("2024-01-01T00:00:09"), "view"),
+        # user 2: purchase with no view at all
+        (20, 2, _ts("2024-01-01T00:00:03"), "purchase"),
+        # user 3: only later views
+        (30, 3, _ts("2024-01-01T00:00:07"), "purchase"),
+        (31, 3, _ts("2024-01-01T00:00:08"), "view"),
+    ]
+    fake = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz, event_type string")
+
+    import live_data_spark.queries_analytics as qa
+
+    monkeypatch.setattr(qa, "load", lambda _s, _d, _t: fake)
+    got = {
+        r["purchase_id"]: r["last_view_ts"]
+        for r in qa.asof_last_view_before_purchase(spark, sf_dir).collect()
+    }
+    assert got[12] == "2024-01-01 00:00:05.000000"  # inclusive <=
+    assert got[20] is None  # no views for user
+    assert got[30] is None  # only a later view
+
+
+def test_q3_plans_takeordered_not_global_sort(spark, sf_dir):
+    plan = (
+        catalog()["q3_shipping_priority"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # no global-sort exchange
+
+
+def test_rollup_is_single_expand_pass_and_totals_consistent(spark, sf_dir):
+    df = catalog()["rollup_revenue_by_region_nation"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1  # one pass, not 3 unioned GROUP BYs
+
+    rows = df.collect()
+    leaf = [r for r in rows if r["region_name"] != "ALL" and r["nation_name"] != "ALL"]
+    grand = [r for r in rows if r["region_name"] == "ALL" and r["nation_name"] == "ALL"]
+    assert len(grand) == 1
+    assert sum(r["n_orders"] for r in leaf) == grand[0]["n_orders"]
+    assert abs(sum(r["total_revenue"] for r in leaf) - grand[0]["total_revenue"]) < 1e-6
+
+
+def test_q18_aggregates_fact_once(spark, sf_dir):
+    """The HAVING subquery must be the only lineitem scan (no re-join of the
+    fact after the key-set is computed)."""
+    plan = (
+        catalog()["q18_large_orders"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("lineitem.parquet") == 1
