@@ -335,3 +335,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2", hamming.cast("int").alias("hamming"))
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Duplicate clustering — connected components over near-dup pairs.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = (
+    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+), p0 AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         count(*) AS n_common, any_value(a.n) AS n1, any_value(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dup AS (
+  SELECT d1, d2 FROM p0 WHERE n_common / (n1 + n2 - n_common) >= 0.8
+), edges AS (
+  SELECT d1 AS a, d2 AS b FROM dup UNION ALL SELECT d2, d1 FROM dup
+), reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+)
+
+
+@register("dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("dedup", "iterative"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact-Jaccard dup pairs → cluster per doc.
+
+    Pairwise dedup is not enough to pick survivors: A~B and B~C must
+    collapse to ONE cluster even when A~C misses the threshold. This is
+    the canonical *iterative* dataflow the engine must support (the
+    oracle needs WITH RECURSIVE for it).
+
+    Algorithm: min-label propagation. Every doc starts labeled with its
+    own id; each round every node takes the min of its label and its
+    neighbors' labels; converged when no label changes. Each round is
+    one shuffle (edges ⋈ labels on doc_id + groupBy min) — no driver
+    collect of node data, only the scalar convergence count. Rounds =
+    graph diameter; near-dup components are tiny chains, and the cap
+    would only bind on adversarial path graphs. ``localCheckpoint``
+    truncates lineage so the plan doesn't grow exponentially with
+    rounds (the classic iterative-Spark trap).
+
+    Survivor policy downstream: keep ``doc_id == cluster_id`` (min id).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dup = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    edges = dup.unionByName(
+        dup.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+
+    labels = docs.withColumn("lbl", F.col("doc_id")).localCheckpoint()
+    for _ in range(15):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - adversarial graphs only
+        raise RuntimeError("dedup_clusters: label propagation did not converge")
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))

@@ -398,3 +398,167 @@ def setop_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("customer_id"), F.lit("churned").alias("cohort")
     )
     return retained.unionByName(churned)
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries: EXISTS → left-semi, NOT EXISTS → left-anti,
+# scalar subquery → broadcast cross join of a 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority AS order_priority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_priority_with_late_ship", oracle=_Q4_ORACLE, tags=("join", "subquery"))
+def q4_priority_with_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: correlated EXISTS as a left-semi join.
+
+    The correlated predicate (l_shipdate > o_orderdate) rides on the
+    semi-join condition — one shuffle on orderkey, each order emitted at
+    most once regardless of matching line count (no post-join distinct).
+    The quarter filter prunes the orders scan first.
+    """
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT
+  c.c_nationkey AS nation_id,
+  count(*) AS n_customers,
+  cast(sum(cast(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY c.c_nationkey
+"""
+
+
+@register("q22_rich_inactive_customers", oracle=_Q22_ORACLE, tags=("join", "subquery"))
+def q22_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: scalar subquery + NOT EXISTS anti-join.
+
+    Above-average-balance customers with no orders since 1999 ("rich but
+    gone dormant"). The global average is a 1-row aggregate broadcast
+    into a cross join (no driver collect — the scalar stays in the
+    plan); NOT EXISTS is a left-anti hash join on custkey against an
+    orders scan pruned to the key column with the date filter pushed to
+    the parquet scan.
+    """
+    c = load(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    o_keys = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join — bucketed to stay linear (the naive inequality join is
+# quadratic per key and falls back to broadcast-nested-loop in Spark).
+# ---------------------------------------------------------------------------
+
+_RANGE_WINDOW_SEC = 300
+
+_RANGE_ORACLE = f"""
+SELECT
+  er.event_id AS error_id,
+  er.user_id AS user_id,
+  strftime(er.ts, '{_TS_FMT_DUCK}') AS error_ts,
+  count(e.event_id) AS n_preceding
+FROM (SELECT * FROM events WHERE event_type = 'error') er
+LEFT JOIN events e
+  ON e.user_id = er.user_id
+  AND e.ts >= er.ts - INTERVAL {_RANGE_WINDOW_SEC} SECOND
+  AND e.ts < er.ts
+GROUP BY er.event_id, er.user_id, er.ts
+"""
+
+
+@register("range_join_events_before_error", oracle=_RANGE_ORACLE, tags=("join", "events", "range"))
+def range_join_events_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events in the 5 minutes before each error, same user.
+
+    The oracle writes it as a plain inequality join — in Spark that plan
+    is a broadcast-nested-loop (quadratic per user). Instead both sides
+    bucket time into window-sized bins; an error can only match events in
+    its own or the previous bin, so each error explodes into exactly 2
+    (user, bin) probe keys and the join is a hash equi-join + residual
+    range filter — linear, shuffle keyed on (user_id, bin), the standard
+    bucketed-interval-join rewrite that survives any scale-up.
+    """
+    win = F.lit(_RANGE_WINDOW_SEC)
+    ev = load(spark, sf_dir, "events")
+    # NTZ → epoch seconds: NTZ has no direct long cast; session TZ is pinned
+    # UTC (session.py) so the intermediate timestamp cast is lossless.
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        F.explode(
+            F.array(F.floor(sec("ts") / win) - 1, F.floor(sec("ts") / win))
+        ).alias("bin"),
+    )
+    probe = ev.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(sec("ts") / win).alias("bin"),
+    )
+    in_range = (F.col("p_ts") >= F.col("error_ts") - F.make_interval(secs=win)) & (
+        F.col("p_ts") < F.col("error_ts")
+    )
+    return (
+        errors.join(
+            probe,
+            (errors.user_id == probe.p_user) & (errors.bin == probe.bin),
+            "left",
+        )
+        .groupBy("error_id", "user_id", "error_ts")
+        .agg(F.count(F.when(in_range, 1)).alias("n_preceding"))
+        .select(
+            "error_id",
+            "user_id",
+            F.date_format("error_ts", _TS_FMT_SPARK).alias("error_ts"),
+            "n_preceding",
+        )
+    )

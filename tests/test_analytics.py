@@ -84,3 +84,33 @@ def test_q18_aggregates_fact_once(spark, sf_dir):
         .toString()
     )
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bucketed rewrite must plan as an equi hash/sort-merge join; a
+    BroadcastNestedLoopJoin means the inequality leaked into the join."""
+    plan = (
+        catalog()["range_join_events_before_error"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dedup_clusters_transitive_closure(spark, sf_dir, monkeypatch):
+    """A~B and B~C must land in one cluster even though A and C share no
+    pair; isolated docs stay singleton clusters of themselves."""
+    import live_data_spark.operators.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (7, 8, 0.9)],
+        "doc_id_1 long, doc_id_2 long, jaccard double",
+    )
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 8)], "doc_id long")
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda _s, _d: pairs)
+    monkeypatch.setattr(dd, "load", lambda _s, _d, _t: docs)
+    got = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(spark, sf_dir).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
