@@ -340,3 +340,55 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped vector aggregation — per-label centroid.
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH ex AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, dim,
+       cast(sum(cast(cast(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         / count(*) AS centroid_v
+FROM ex GROUP BY label, dim
+"""
+
+
+@register("embedding_centroid_by_label", oracle=_CENTROID_ORACLE, tags=("similarity", "agg", "vector"))
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the training-pipeline "class centroid" agg).
+
+    Long-format output (label, dim, centroid_v): vectors explode with
+    posexplode and aggregate per (label, dim) — a plain hash aggregate
+    with map-side partials, so the shuffle carries one partial sum per
+    (label, dim) per task, NOT the exploded rows. That is the scalable
+    shape for vector means (reduce-side arrays would concentrate whole
+    labels on single reducers; driver-side numpy wouldn't distribute).
+
+    Element sums run in decimal(18,9) so the mean is order-independent
+    and bit-stable; the mean divides as double at the output boundary.
+    The cast goes float→double→decimal on BOTH sides: a float widens to
+    double exactly, and every engine rounds that same double to scale 9
+    identically — whereas engines disagree on DIRECT float→decimal
+    (Spark rounds the float's shortest decimal repr, DuckDB the binary
+    value; measured: 75% of elements differ at scale 9). IVF assignment
+    (ann_ivf_flat) reuses this shape for its centroid refresh.
+    """
+    ex = load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_v")
+        )
+    )

@@ -562,3 +562,274 @@ def range_join_events_before_error(spark: SparkSession, sf_dir: str) -> DataFram
             "n_preceding",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: outer-join fact count INCLUDING zeros, then a histogram over
+# the counts — the double-aggregation pattern.
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+WITH per AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, count(*) AS n_customers FROM per GROUP BY n_orders
+"""
+
+
+@register("q13_order_count_distribution", oracle=_Q13_ORACLE, tags=("join", "agg"))
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: how many customers placed 0, 1, 2, ... orders.
+
+    The left outer join is what keeps zero-order customers in the
+    distribution (an inner join would silently drop them — the classic
+    Q13 trap). count(o_orderkey) counts only matched rows, so unmatched
+    customers land in the 0 bucket. Scale shape: one shuffle on custkey
+    for join+count (partial map-side count per customer), then a tiny
+    second agg over at most a few hundred distinct counts.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: NOT IN exclusion + count(DISTINCT) per group.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand AS brand, p.p_type AS part_type,
+       count(DISTINCT l.l_suppkey) AS n_suppliers
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+"""
+
+
+@register("q16_supplier_variety", oracle=_Q16_ORACLE, tags=("join", "agg", "distinct"))
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct suppliers per (brand, type), minus a deny-list.
+
+    NOT IN over a never-NULL key column is a left-anti join (with NULLs
+    it would need the three-valued-logic rewrite — not the case here:
+    s_suppkey is a PK). The deny-list aggregates to a handful of keys →
+    broadcast anti. count(DISTINCT) runs as Spark's two-phase expand
+    (partial distinct on (brand, type, suppkey), then final count) — no
+    single-reducer bottleneck at scale.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("part_type"))
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: argmin per group — cheapest supplier per part.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS up
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, min(up) AS mn FROM unit GROUP BY l_partkey
+)
+SELECT u.l_partkey AS part_id,
+       min(u.l_suppkey) AS best_supplier_id,
+       cast(min(b.mn) AS DOUBLE) AS unit_price
+FROM unit u JOIN best b ON b.l_partkey = u.l_partkey AND u.up = b.mn
+GROUP BY u.l_partkey
+"""
+
+
+@register("q2_cheapest_supplier_per_part", oracle=_Q2_ORACLE, tags=("agg", "argmin"))
+def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped argmin: per part, the supplier with the lowest unit price.
+
+    The oracle spells it the portable way (min per group + join back on
+    the min). Spark-first it is ONE aggregation: ``min(struct(price,
+    suppkey))`` — struct ordering is lexicographic, so the min struct is
+    exactly (lowest price, lowest suppkey among its achievers), the same
+    deterministic tie-break as the oracle, in a single shuffle with
+    map-side partial min and no self-join. ``min_by`` would be shorter
+    but leaves ties nondeterministic.
+
+    Division is IEEE-identical across engines, so joining/grouping on
+    the double is exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        li.select("l_partkey", unit.alias("up"), "l_suppkey")
+        .groupBy(F.col("l_partkey").alias("part_id"))
+        .agg(F.min(F.struct("up", "l_suppkey")).alias("m"))
+        .select(
+            "part_id",
+            F.col("m.l_suppkey").alias("best_supplier_id"),
+            F.col("m.up").cast("double").alias("unit_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: conditional aggregation — one nation's share of yearly revenue.
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+WITH rev AS (
+  SELECT extract(year FROM o.o_orderdate) AS order_year,
+         n.n_name AS cust_nation,
+         cast(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - cast(l.l_discount AS DECIMAL(18,2))) AS r
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT cast(order_year AS INT) AS order_year,
+       cast(sum(CASE WHEN cust_nation = 'NATION_3' THEN r ELSE 0 END) AS DOUBLE)
+         / cast(sum(r) AS DOUBLE) AS market_share,
+       cast(sum(r) AS DOUBLE) AS total_revenue
+FROM rev GROUP BY order_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg", "conditional"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: NATION_3's share of total revenue per order year.
+
+    Conditional aggregation — the share numerator is a CASE inside the
+    sum, so one pass computes both numerator and denominator (no
+    self-join, no second scan). Nation broadcasts (25 rows); customer ⋈
+    orders shuffles on custkey, the fact joins on orderkey; both sums
+    are exact decimal with map-side partials, divided as double only at
+    the output boundary.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_3", r).otherwise(zero)).alias("num"),
+            F.sum(r).alias("den"),
+        )
+        .select(
+            "order_year",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias("market_share"),
+            F.col("den").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all four grouping sets of (returnflag, linestatus) in one pass.
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+       coalesce(l_linestatus, 'ALL') AS line_status,
+       cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_revenue_by_flag_status", oracle=_CUBE_ORACLE, tags=("agg", "grouping"))
+def cube_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): detail + both 1-D subtotals + total.
+
+    Complements rollup_revenue_by_region_nation (hierarchical subtotals)
+    with the full power set. One Expand (4× row multiplication on tiny
+    grouping keys) feeding a single hash aggregate — NOT four scans.
+    'ALL' substitution is safe because both flag columns are non-NULL in
+    the data; with NULLable keys this would need grouping_id() instead.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_extendedprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval window frame: trailing 1-hour moving average per user.
+# ---------------------------------------------------------------------------
+
+_MOVAVG_ORACLE = f"""
+SELECT event_id, user_id,
+       strftime(ts, '{_TS_FMT_DUCK}') AS event_ts,
+       cast(sum(cast(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         / (count(*) OVER w) AS avg_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("window_moving_avg_event_value", oracle=_MOVAVG_ORACLE, tags=("window", "events", "range"))
+def window_moving_avg_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average of event value per user.
+
+    A RANGE (time-interval) window frame — vs the ROWS frames elsewhere
+    in the catalog. Spark's rangeBetween needs a numeric ordering key,
+    so the frame orders on unix_micros(ts): microsecond precision means
+    frame-peer groups match DuckDB's timestamp ordering exactly. One
+    shuffle on user_id, one sort per partition, single pass — the frame
+    is bounded so state is O(events-per-hour), not O(partition).
+
+    The mean is sum(decimal)/count, divided as double at the boundary —
+    frame sums in float would be order-sensitive and engine-divergent.
+    """
+    ev = load(spark, sf_dir, "events")
+    # ts is NTZ; session TZ is pinned UTC (session.py) so the cast to
+    # TIMESTAMP is lossless and unix_micros is the same instant DuckDB sees.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    dec6 = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("event_ts"),
+        (F.sum(dec6).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_1h"),
+    )

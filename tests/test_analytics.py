@@ -114,3 +114,39 @@ def test_dedup_clusters_transitive_closure(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dd, "load", lambda _s, _d, _t: docs)
     got = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(spark, sf_dir).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        catalog()[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_cube_is_one_expand_one_scan(spark, sf_dir):
+    """CUBE must compile to a single Expand feeding one aggregate over one
+    lineitem scan — four separate scans would read the fact 4×."""
+    plan = _plan(spark, sf_dir, "cube_revenue_by_flag_status")
+    assert plan.count("Expand") == 1
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q2_argmin_is_single_agg_no_join(spark, sf_dir):
+    """min(struct(price, suppkey)) makes the argmin ONE aggregation; a Join
+    in the plan means it regressed to the min-plus-join-back shape."""
+    plan = _plan(spark, sf_dir, "q2_cheapest_supplier_per_part")
+    assert "Join" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_moving_avg_single_user_shuffle(spark, sf_dir):
+    """The interval-frame window needs exactly one exchange (hash by
+    user_id); a second exchange means the frame re-partitioned."""
+    plan = _plan(spark, sf_dir, "window_moving_avg_event_value")
+    assert plan.count("Exchange") == 1
+
+
+def test_q16_denylist_broadcasts(spark, sf_dir):
+    """The NOT IN deny-list must land as a broadcast anti-join — shuffling
+    the fact against a handful of supplier keys would be a wasted stage."""
+    plan = _plan(spark, sf_dir, "q16_supplier_variety")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
