@@ -226,3 +226,84 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fp"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — top-3 terms per document.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM tf t JOIN df d USING (term), n
+)
+SELECT doc_id, term, tf, tfidf, rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tf DESC, term
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
+@register("text_tfidf_topterms", oracle=_TFIDF_ORACLE, tags=("text", "window"))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction).
+
+    The corpus-statistics pattern: term frequency per (doc, term), then
+    document frequency per term — the df side is an aggregate OF the tf
+    aggregate, so the term-keyed shuffle is reused and df rows are one
+    per distinct term. n_docs rides along as a broadcast 1-row aggregate
+    (no driver collect). Smoothed idf = ln((N+1)/(df+1)), so corpus-wide
+    terms get ~0 and never beat content words. Per-doc top-3 is a
+    row_number window over the doc key with a full deterministic
+    tie-break (score, tf, term).
+
+    Scale note: the tf⋈df join key is the term — Zipf-skewed, but both
+    sides are post-aggregation (one row per term on the build side), so
+    the hot keys carry few rows; salt only if df itself must come from
+    raw token rows.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )

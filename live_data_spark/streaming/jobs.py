@@ -157,6 +157,46 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def error_context_join(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each error paired with the same user's
+    events in the preceding ``window`` — streaming twin of the batch
+    ``range_join_events_before_error``.
+
+    Both sides are the same watermarked stream split by predicate. The
+    join condition is equality on user plus a two-sided event-time range;
+    that range bound is what lets Spark compute a state eviction horizon
+    (watermark + window) for BOTH sides — an unbounded-condition
+    stream-stream join would keep every row forever. Inner join emits a
+    pair as soon as both rows have arrived; the watermark only governs
+    state cleanup and late-data cutoff.
+    """
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    ctx = events.where(F.col("event_type") != "error").withWatermark("ts", watermark)
+    return errors.join(
+        ctx,
+        F.expr(
+            f"user_id = err_user AND ts >= err_ts - interval {window} AND ts < err_ts"
+        ),
+    ).select(
+        "error_id",
+        F.col("err_user").alias("user_id"),
+        "err_ts",
+        F.col("event_id").alias("context_event_id"),
+        F.col("ts").alias("context_ts"),
+        F.col("event_type").alias("context_type"),
+    )
+
+
 def run_available_now_update(result: DataFrame, sink_dir: str, checkpoint_dir: str) -> None:
     """Drain an update-mode stream via ``foreachBatch`` → parquet append.
 

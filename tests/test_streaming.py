@@ -166,3 +166,42 @@ def test_landing_append_stream_exactly_once(spark, tmp_path):
     assert df.count() == 150
     # schema survived the TSV round trip, incl. timestamp_ntz
     assert dict(df.dtypes)["loaded_at"] == "timestamp_ntz"
+
+
+def test_stream_stream_error_context_join(spark, tmp_path):
+    """Stream-stream interval join matches the batch join on the same rows:
+    only same-user events strictly before the error and within 5 minutes."""
+    rows = [  # (minute, user, type, value)
+        (0, 0, "click", 1.0),
+        (3, 0, "view", 1.0),
+        (6, 0, "click", 1.0),   # < err(7) and >= 7-5=2 → in
+        (7, 0, "error", 0.0),
+        (7, 1, "click", 1.0),   # other user, same minute → out
+        (9, 0, "click", 1.0),   # after the error → out
+        (20, 1, "error", 0.0),  # no user-1 events in [15,20) → no pairs
+    ]
+    src = tmp_path / "ss_src"
+    _mk_events(spark, rows).write.parquet(str(src))
+
+    stream = jobs.read_events_stream(spark, str(src))
+    got = _drain(spark, jobs.error_context_join(stream), tmp_path, "ss_join")
+
+    batch = spark.read.parquet(str(src))
+    err = batch.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    ctx = batch.where(F.col("event_type") != "error")
+    want = err.join(
+        ctx,
+        (F.col("user_id") == F.col("err_user"))
+        & (F.col("ts") >= F.col("err_ts") - F.expr("interval 5 minutes"))
+        & (F.col("ts") < F.col("err_ts")),
+    ).select("error_id", F.col("event_id").alias("context_event_id"))
+
+    got_pairs = sorted((r["error_id"], r["context_event_id"]) for r in got.collect())
+    want_pairs = sorted(map(tuple, want.collect()))
+    assert got_pairs == want_pairs
+    # the in-window events for the user-0 error, nothing for user-1's
+    assert got_pairs == [(3, 1), (3, 2)]
