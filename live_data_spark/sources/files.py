@@ -57,6 +57,27 @@ def write_tsv(df: DataFrame, path: str) -> None:
     )
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-enforced JSON-lines read (extension: the lingua franca of
+    LLM-corpus interchange; not in the reference, which is CSV-only).
+
+    Same discipline as CSV: never infer (inference is a full extra pass
+    over 100 TB and type-unstable across batches). Gzip is transparent.
+    Malformed lines land in ``_corrupt_record`` when the schema declares
+    it (PERMISSIVE) instead of failing the job.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("timestampNTZFormat", _TS_NTZ_FMT)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines write — partfile-parallel like ``write_tsv``."""
+    df.write.mode("overwrite").option("timestampNTZFormat", _TS_NTZ_FMT).json(path)
+
+
 def stage_files(generated_dir: str, stage_dir: str, gzip_files: bool = True) -> list[str]:
     """S4: PUT generated files into the stage (stage_files.sql:1).
 

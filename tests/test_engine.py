@@ -243,3 +243,20 @@ def test_relationships_catches_orphans(spark, tmp_path):
     proj.add_test(relationships("child", "pid", "parent", "id"))
     [res] = proj.run_tests()
     assert not res.passed and res.n_violations == 1 and res.sample == ((3,),)
+
+
+def test_jsonl_round_trip_documents(spark, sf_dir, tmp_path):
+    """JSONL write → schema-enforced read preserves rows and types for the
+    documents table (the LLM-corpus interchange format)."""
+    from live_data_spark.catalog import load
+    from live_data_spark.sources.files import read_jsonl, write_jsonl
+
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b

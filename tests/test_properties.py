@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) for the dialect layer.
+
+Pattern: hypothesis generates a batch of values, ONE Spark job evaluates
+the expression over all of them, and each result is checked against an
+independent Python-side model (Decimal arithmetic, dict lookup). Batched
+because a Spark job per example would be ~1s each; `max_examples` is kept
+small since every example already covers dozens of generated values.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from live_data_spark.functions.dialect import decode
+from live_data_spark.operators.text import normalized_text
+
+_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_floats, min_size=1, max_size=50))
+def test_round_half_up_matches_decimal_model(spark, xs):
+    """F.round(x, 2) must round the double's shortest decimal repr
+    HALF_UP — the same thing Decimal(repr(x)).quantize does. This is the
+    contract the money-path (dec2) docstring claims."""
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r["y"] for r in df.select(F.round("x", 2).alias("y")).collect()]
+    want = [
+        float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        for x in xs
+    ]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.sampled_from(["F", "M", "X", "zz", ""])), min_size=1, max_size=50)
+)
+def test_decode_matches_dict_model(spark, vals):
+    """decode == exhaustive value map with NULL-safe matching: None maps
+    through a None search key, unmatched → default (None here)."""
+    mapping = {"F": "Female", "M": "Male", "X": "Non-binary", None: "Unknown"}
+    df = spark.createDataFrame([(v,) for v in vals], "g string")
+    got = [
+        r["d"]
+        for r in df.select(
+            decode("g", "F", "Female", "M", "Male", "X", "Non-binary", None, "Unknown").alias("d")
+        ).collect()
+    ]
+    want = [mapping.get(v) for v in vals]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_normalized_text_idempotent_and_ws_insensitive(spark, texts):
+    """normalize(normalize(t)) == normalize(t), and padding/duplicating
+    whitespace never changes the result — the invariant every dedup
+    operator relies on (same input space for exact/MinHash/SimHash)."""
+    rows = [(t, "  " + t.replace(" ", " \t ") + " \n") for t in texts]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select(
+        normalized_text("a").alias("na"),
+        normalized_text(normalized_text("a")).alias("naa"),
+        normalized_text("b").alias("nb"),
+    ).collect()
+    for r in out:
+        assert r["naa"] == r["na"]
+        assert r["nb"] == r["na"]
