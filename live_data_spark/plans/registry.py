@@ -54,11 +54,13 @@ class SourceDef:
 class ModelDef:
     name: str
     fn: Callable[["BuildContext"], DataFrame]
-    materialized: str = "view"  # "view" | "table" | "incremental"
+    materialized: str = "view"  # "view" | "table" | "incremental" | "table_bucketed"
     schema: str = "main"  # output namespace (dbt generate_schema_name, D4)
     description: str = ""
     incremental_key: str | None = None  # high-watermark column
     partition_by: tuple[str, ...] = ()  # hive-partition columns for table writes
+    bucket_by: tuple[str, ...] = ()  # bucket keys for table_bucketed
+    n_buckets: int = 0
     deps: set[str] = field(default_factory=set)  # discovered at build time
 
 
@@ -126,6 +128,8 @@ class Project:
         schema: str = "main",
         incremental_key: str | None = None,
         partition_by: tuple[str, ...] | list[str] = (),
+        bucket_by: tuple[str, ...] | list[str] = (),
+        n_buckets: int = 0,
     ):
         """Decorator registering a model function (dbt model .sql analog).
 
@@ -139,14 +143,24 @@ class Project:
         ``is_incremental()`` timestamp filter — here applied by the
         engine, so the predicate pushes down to the model's source scans
         through the lazy plan).
+
+        ``materialized="table_bucketed"`` (requires ``bucket_by`` +
+        ``n_buckets``) hash-clusters files by the join key at WRITE time:
+        two tables bucketed the same way join with NO exchange on either
+        side — the pre-shuffle is paid once per build instead of once
+        per query, the standard trick for a fact repeatedly joined on
+        one hub key at 100 TB. Needs a catalog table (bucket metadata
+        lives in the catalog, not parquet), hence ``saveAsTable``.
         """
 
         def deco(f: Callable[[BuildContext], DataFrame]):
             model_name = name or f.__name__
-            if materialized not in ("view", "table", "incremental"):
+            if materialized not in ("view", "table", "incremental", "table_bucketed"):
                 raise ValueError(f"unknown materialization {materialized!r}")
             if materialized == "incremental" and not incremental_key:
                 raise ValueError("incremental materialization needs incremental_key")
+            if materialized == "table_bucketed" and not (bucket_by and n_buckets > 0):
+                raise ValueError("table_bucketed needs bucket_by and n_buckets")
             self._models[model_name] = ModelDef(
                 name=model_name,
                 fn=f,
@@ -155,6 +169,8 @@ class Project:
                 description=(f.__doc__ or "").strip(),
                 incremental_key=incremental_key,
                 partition_by=tuple(partition_by),
+                bucket_by=tuple(bucket_by),
+                n_buckets=n_buckets,
             )
             return f
 
@@ -209,6 +225,22 @@ class Project:
             # hive layout moves partition columns last on read-back;
             # re-select so the model's declared column order is the contract
             df = self.spark.read.parquet(str(out)).select(*cols)
+        elif mdef.materialized == "table_bucketed":
+            out = self._table_path(mdef)
+            cols = df.columns
+            cat_name = f"{self.env}_{mdef.schema}_{mdef.name}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {cat_name}")
+            shutil.rmtree(out, ignore_errors=True)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(mdef.n_buckets, *mdef.bucket_by)
+                .sortBy(*mdef.bucket_by)
+                .option("path", str(out))
+                .saveAsTable(cat_name)
+            )
+            # read via the catalog — spark.read.parquet(path) would lose the
+            # bucket spec and re-shuffle on join
+            df = self.spark.table(cat_name).select(*cols)
         elif mdef.materialized == "incremental":
             from pyspark.sql import functions as F
 

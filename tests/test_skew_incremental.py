@@ -72,3 +72,38 @@ def test_incremental_requires_key(spark, tmp_path):
         @proj.model(materialized="incremental")
         def bad(ctx):
             raise AssertionError("unreachable")
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path, sf_dir):
+    """Two models bucketed on the same key/count must sort-merge join with
+    ZERO Exchange — the build-time pre-shuffle is the whole point."""
+    from live_data_spark.plans.registry import Project
+
+    proj = Project(spark, warehouse_dir=str(tmp_path))
+
+    @proj.model(materialized="table_bucketed", bucket_by=("o_orderkey",), n_buckets=8)
+    def orders_bucketed(ctx):
+        return ctx.spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    @proj.model(materialized="table_bucketed", bucket_by=("l_orderkey",), n_buckets=8)
+    def lineitem_bucketed(ctx):
+        return ctx.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    @proj.model(materialized="view")
+    def order_lines(ctx):
+        o = ctx.ref("orders_bucketed")
+        li = ctx.ref("lineitem_bucketed")
+        # merge hint: at test SF AQE would (rightly) broadcast the tiny
+        # side; force the SMJ path to expose what bucketing buys at scale
+        return li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_orderdate"
+        )
+
+    joined = proj.build("order_lines")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
