@@ -421,3 +421,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # pragma: no cover - adversarial graphs only
         raise RuntimeError("dedup_clusters: label propagation did not converge")
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# 7. Survivor selection — the deduplicated corpus.
+# ---------------------------------------------------------------------------
+
+# extend the cluster oracle's CTE chain: its final SELECT becomes a
+# `clusters` CTE, and the survivor query selects from it
+_SURVIVOR_ORACLE = _CLUSTER_ORACLE.replace(
+    "SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node",
+    """, clusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT c.cluster_id,
+       c.doc_id AS survivor_id,
+       agg.n_members,
+       d.n_chars AS survivor_chars
+FROM clusters c
+JOIN (SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY 1) agg
+  USING (cluster_id)
+JOIN documents d ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.cluster_id""",
+)
+
+
+@register("dedup_survivors", oracle=_SURVIVOR_ORACLE, tags=("dedup", "iterative"))
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per duplicate cluster: the kept document + member count.
+
+    The last stage of the dedup pipeline (pairs → clusters → corpus):
+    policy is keep-min-id — ``dedup_clusters`` labels every member with
+    the cluster's min doc_id, so the survivor is the row whose id equals
+    its label (no extra ranking pass). Joined back to ``documents`` for
+    survivor metadata; the members count is a tiny agg over the cluster
+    map, broadcast back. Downstream, the deduplicated corpus is
+    ``documents ⋉ survivors`` (left-semi on survivor_id).
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        clusters.where(F.col("doc_id") == F.col("cluster_id"))
+        .join(F.broadcast(sizes), "cluster_id")
+        .join(docs, "doc_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            "n_members",
+            F.col("n_chars").alias("survivor_chars"),
+        )
+    )
