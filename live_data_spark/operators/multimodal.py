@@ -206,3 +206,25 @@ def sample_video_frames(df: DataFrame, every: int = 16) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(((n_frames - 1) / every).cast("int"), F.lit(0)))
         ).alias("frame_bucket"),
     ).select("media_id", (F.col("frame_bucket") * every).alias("frame_idx"))
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("multimodal",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained media stages: synth corpus → resize → frame-sample → rollup.
+
+    Exercises multi-stage binary processing as ONE lazy plan: the resize
+    mapInPandas feeds the JVM-side frame explode with no materialization
+    between stages (Catalyst pipelines the Arrow stage into the scan).
+    Rows-only driver check; per-stage invariants are pytest-verified.
+    ``sf_dir`` unused (media is synthesized).
+    """
+    media = resize_images(media_table(spark, n=300))
+    frames = sample_video_frames(media, every=16)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_idx").alias("max_frame_idx"),
+        )
+        .orderBy("media_id")
+    )

@@ -161,3 +161,46 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT e.*, unnest(generate_series(
+      time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL 45 MINUTE,
+      time_bucket(INTERVAL 15 MINUTE, ts),
+      INTERVAL 15 MINUTE)) AS ws
+  FROM events e
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM w GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_rollup", oracle=_SLIDING_ORACLE, tags=("events", "window"))
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 15-minute slide (batch form).
+
+    ``F.window(ts, '1 hour', '15 minutes')`` assigns each event to its 4
+    overlapping windows — an Expand (4× fan-out of the tiny grouping
+    key), NOT 4 scans; the oracle spells the same assignment with
+    generate_series over the 15-min grid. Streaming twin: identical
+    expression + watermark. The fan-out factor (window/slide) is the
+    state- and shuffle-cost knob at scale.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

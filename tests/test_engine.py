@@ -260,3 +260,44 @@ def test_jsonl_round_trip_documents(spark, sf_dir, tmp_path):
     a = {r["doc_id"]: r["text"] for r in docs.collect()}
     b = {r["doc_id"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_ingest_malformed_rows_are_isolated(spark, tmp_path):
+    """PERMISSIVE CSV ingest: a malformed line lands in _corrupt_record
+    (quarantine-able), clean rows load typed — a 100 TB append can't be
+    failed by one bad file."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    (p / "b.tsv").write_text(
+        "id\tprice\n"
+        "a1\t9.99\n"
+        "bad-row-with-unparseable\tprice\n"
+        "a2\t1.50\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("price", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", "\t")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    ).cache()
+    clean = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert {r["id"] for r in clean.collect()} == {"a1", "a2"}
