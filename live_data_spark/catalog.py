@@ -57,6 +57,7 @@ def catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports operator modules for side effects)."""
     # Imported lazily so `import live_data_spark` stays cheap.
     from live_data_spark import queries_analytics, queries_reference  # noqa: F401
+    from live_data_spark.corpus import pipeline  # noqa: F401
     from live_data_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
     from live_data_spark.streaming import events_batch  # noqa: F401
 

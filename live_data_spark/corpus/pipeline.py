@@ -1,0 +1,166 @@
+"""The LLM-training-data pipeline as a registry project.
+
+This is the integration piece: the extension operators (quality scoring,
+fingerprinting, dedup — BASELINE.json's north star) running INSIDE the
+dbt-style engine layer the reference workload uses (plans/registry.py) —
+layered models, declarative data tests, materialization dispatch. A
+corpus refresh is `project.run()` + `project.run_tests()`, exactly like
+the bike-shop mart.
+
+Lineage (mirrors the reference's raw → staging → mart shape,
+SURVEY.md §1.1):
+
+    source: documents ──► stg_documents (view: normalize + fingerprint)
+                            ├─► corpus_clean   (table, lang-partitioned:
+                            │                   quality gate)
+                            ├─► corpus_deduped (table: exact dedup,
+                            │                   keep-min-id per fingerprint)
+                            └─► corpus_stats   (table: per lang×source
+                                                rollup over the deduped set)
+
+Scale posture: the quality gate is a narrow projection over one scan;
+dedup shuffles (fingerprint, doc_id) pairs — 16-byte keys, never text;
+corpus_clean partitions by lang so per-language training runs prune whole
+partitions; stats aggregate map-side.
+
+The stage logic lives in pure DataFrame→DataFrame transforms so the same
+chain runs two ways: materialized through the registry (models below) and
+lazily as the oracle-checked catalog query ``corpus_pipeline_stats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+from live_data_spark.operators.text import _STOPWORDS, fingerprint, normalized_text
+from live_data_spark.plans.registry import BuildContext, Project, SourceDef
+from live_data_spark.plans.testing import accepted_values, not_null, relationships, unique
+
+LANGS = ("en", "de", "es", "fr", "zh")
+
+
+# -- stage transforms (pure; shared by the registry models and the query) ----
+
+
+def stage_documents(d: DataFrame) -> DataFrame:
+    """Normalize + fingerprint + quality signals, one narrow pass."""
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    n_stop = F.regexp_count("text", F.lit(rf"\b({_STOPWORDS})\b")).cast("double")
+    n_punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        normalized_text("text").alias("text"),
+        fingerprint("text").alias("fp"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.when(
+            (n_tokens >= 20)
+            & ((n_stop / n_tokens).between(0.01, 0.5) | (F.col("lang") != "en"))
+            & (n_punct / n_chars < 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+def quality_gate(stg: DataFrame) -> DataFrame:
+    return stg.where(F.col("quality_pass") == 1).drop("quality_pass")
+
+
+def exact_dedup(clean: DataFrame) -> DataFrame:
+    """Keep the min doc_id per content fingerprint.
+
+    Two-step on purpose: the survivor map aggregates (fp → min id) — a
+    16-byte-key shuffle — and the corpus joins back LEFT SEMI on
+    (fp, doc_id), so full documents never shuffle.
+    """
+    survivors = clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return clean.join(survivors, ["fp", "doc_id"], "left_semi")
+
+
+def corpus_rollup(deduped: DataFrame) -> DataFrame:
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+
+
+# -- the registry project ----------------------------------------------------
+
+
+def build_corpus_project(spark: SparkSession, warehouse_dir: str, sf_dir: str) -> Project:
+    """Assemble the corpus project over a testdata documents table."""
+    proj = Project(spark, warehouse_dir=warehouse_dir)
+    proj.add_source(SourceDef("testdata", "documents", f"{sf_dir}/documents.parquet"))
+
+    @proj.model(materialized="view")
+    def stg_documents(ctx: BuildContext) -> DataFrame:
+        return stage_documents(ctx.source("testdata", "documents"))
+
+    @proj.model(materialized="table", partition_by=("lang",))
+    def corpus_clean(ctx: BuildContext) -> DataFrame:
+        """Quality gate; lang partitions → per-language training prunes."""
+        return quality_gate(ctx.ref("stg_documents"))
+
+    @proj.model(materialized="table")
+    def corpus_deduped(ctx: BuildContext) -> DataFrame:
+        return exact_dedup(ctx.ref("corpus_clean"))
+
+    @proj.model(materialized="table")
+    def corpus_stats(ctx: BuildContext) -> DataFrame:
+        return corpus_rollup(ctx.ref("corpus_deduped"))
+
+    for t in (
+        not_null("stg_documents", "doc_id"),
+        unique("source:testdata.documents", "doc_id"),
+        accepted_values("stg_documents", "lang", LANGS),
+        not_null("corpus_deduped", "doc_id"),
+        unique("corpus_deduped", "fp"),
+        relationships("corpus_deduped", "doc_id", "corpus_clean", "doc_id"),
+        relationships("corpus_stats", "source", "corpus_deduped", "source"),
+    ):
+        proj.add_test(t)
+    return proj
+
+
+# -- oracle-checked catalog twin --------------------------------------------
+
+_CORPUS_ORACLE = r"""
+WITH stg AS (
+  SELECT doc_id, lang, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is|in|to|for|on|with)\b')) AS n_stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, source, fp, n_tokens
+  FROM stg
+  WHERE n_tokens >= 20
+    AND ((n_stop / n_tokens BETWEEN 0.01 AND 0.5) OR lang <> 'en')
+    AND n_punct / n_chars < 0.2
+), surv AS (
+  SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp
+), ded AS (
+  SELECT q.* FROM q JOIN surv USING (fp, doc_id)
+)
+SELECT lang, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 2) AS avg_tokens
+FROM ded GROUP BY lang, source
+"""
+
+
+@register("corpus_pipeline_stats", oracle=_CORPUS_ORACLE, tags=("text", "dedup", "pipeline"))
+def corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus pipeline (stage → gate → dedup → rollup) as ONE
+    lazy plan — what the registry materializes stepwise, Catalyst here
+    collapses into a single optimized query (view-chain inlining, the
+    same property dbt view models get from the warehouse)."""
+    return corpus_rollup(exact_dedup(quality_gate(stage_documents(load(spark, sf_dir, "documents")))))

@@ -1,0 +1,51 @@
+"""End-to-end corpus pipeline: the LLM-data ops inside the registry layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from live_data_spark.corpus.pipeline import build_corpus_project
+
+
+def test_corpus_project_builds_and_tests_pass(spark, sf_dir, tmp_path):
+    proj = build_corpus_project(spark, str(tmp_path / "wh"), sf_dir)
+    built = proj.run()
+    assert set(built) == {"stg_documents", "corpus_clean", "corpus_deduped", "corpus_stats"}
+
+    results = proj.run_tests()
+    assert all(r.passed for r in results), [str(r) for r in results if not r.passed]
+
+    # the quality gate actually gates (some docs fail), dedup preserves the
+    # rest (testdata has no exact dups at this SF)
+    n_src = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_clean = built["corpus_clean"].count()
+    assert 0 < n_clean < n_src
+    assert built["corpus_deduped"].count() == n_clean
+
+    # lang partitioning materialized → per-language reads prune partitions
+    part_dirs = {p.name for p in (tmp_path / "wh" / "dev_main" / "corpus_clean").iterdir()}
+    assert any(d.startswith("lang=") for d in part_dirs)
+
+
+def test_corpus_dedup_drops_planted_duplicates(spark, sf_dir, tmp_path):
+    """Re-ingesting identical text under new doc_ids must keep only the
+    original (min-id survivor policy) — the incremental-crawl scenario."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    proj0 = build_corpus_project(spark, str(tmp_path / "wh0"), sf_dir)
+    kept = proj0.run()["corpus_deduped"]
+    victims = kept.orderBy("doc_id").limit(3).select("doc_id").collect()
+    victim_ids = [r["doc_id"] for r in victims]
+
+    dups = docs.where(F.col("doc_id").isin(victim_ids)).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    src2 = tmp_path / "src2"
+    docs.unionByName(dups).write.parquet(str(src2 / "documents.parquet"))
+
+    proj = build_corpus_project(spark, str(tmp_path / "wh"), str(src2))
+    deduped = proj.run()["corpus_deduped"]
+    out_ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert set(victim_ids) <= out_ids
+    assert not {v + 1_000_000 for v in victim_ids} & out_ids
+    assert deduped.count() == kept.count()
