@@ -833,3 +833,138 @@ def window_moving_avg_event_value(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_format("ts", _TS_FMT_SPARK).alias("event_ts"),
         (F.sum(dec6).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: pure selective scan-aggregate (the pushdown benchmark).
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT
+  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+           * cast(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("agg", "scan"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: highly selective single-table scan-aggregate.
+
+    The plan IS the test: every predicate (date range, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter over
+    min/max row-group stats, the projection reads 4 columns, and the
+    aggregate is a map-side partial + 1-row merge — zero shuffle of data
+    rows. At 100 TB with date-partitioned lineitem the date range prunes
+    partitions before any I/O.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec2("l_extendedprice") * dec2("l_discount")).cast("double").alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive (OR-of-ANDs) join predicate.
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@register("q19_brand_promo_revenue", oracle=_Q19_ORACLE, tags=("join", "scan"))
+def q19_brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: OR-of-ANDs predicate across both join sides.
+
+    The disjunction mixes columns from both tables, so it can't all push
+    below the join — but its single-side conjuncts CAN be factored out:
+    Catalyst derives p_brand IN (…) + p_size range for the part scan and
+    a l_quantity range for the lineitem scan (constraint propagation
+    from the OR), leaving only the cross-table residual on the
+    (broadcast) hash join. The win at scale is the derived scan filters,
+    not the join itself.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: CASE-bucketed counts over a join (late-shipment audit).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT
+  l.l_returnflag AS return_flag,
+  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+"""
+
+
+@register("q12_late_shipment_priority", oracle=_Q12_ORACLE, tags=("join", "conditional"))
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: priority-class counts of late shipments.
+
+    The lateness predicate compares columns across the join
+    (ship > order + 60d) so it rides the join as a residual; both
+    priority-class counts come from CASE inside one aggregation — one
+    orderkey shuffle, one pass, like q8's conditional-sum pattern but
+    counting disjoint classes that partition the rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

@@ -150,3 +150,24 @@ def test_q16_denylist_broadcasts(spark, sf_dir):
     the fact against a handful of supplier keys would be a wasted stage."""
     plan = _plan(spark, sf_dir, "q16_supplier_variety")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q6_all_predicates_reach_scan(spark, sf_dir):
+    """Q6's date/discount/quantity filters must all appear at the lineitem
+    FileScan (pushed), reading only the 4 referenced columns."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in scan.split("DataFilters")[1], scan
+    assert "Exchange hashpartitioning" not in plan  # 1-row agg: no data shuffle
+
+
+def test_q19_or_predicate_factors_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs must yield DERIVED single-side filters on each scan
+    (constraint propagation) — not a bare unfiltered join."""
+    plan = _plan(spark, sf_dir, "q19_brand_promo_revenue")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    li_scan = next(s for s in scans if "l_partkey" in s)
+    p_scan = next(s for s in scans if "p_partkey" in s)
+    assert "l_quantity" in li_scan.split("DataFilters")[1], li_scan
+    assert "p_brand" in p_scan.split("DataFilters")[1], p_scan
