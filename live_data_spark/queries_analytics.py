@@ -968,3 +968,60 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: aggregate, then keep the groups that hit the global max.
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(cast(l_extendedprice AS DECIMAL(18,2))
+             * (1 - cast(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name,
+       cast(r.rev AS DOUBLE) AS total_revenue
+FROM r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev = (SELECT max(rev) FROM r)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, tags=("agg", "subquery"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum quarterly revenue.
+
+    The "equals the max of an aggregate" pattern: revenue per supplier
+    (one shuffle), a 1-row max re-aggregated FROM that result and
+    broadcast back as a cross join — the per-supplier aggregate is
+    computed once and feeds both branches (vs a window max, which would
+    re-sort; vs collect, which would leave the plan). Revenue compares
+    in decimal, so the max-equality is exact on any engine. Returns all
+    tied suppliers, like the reference query's view formulation.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("rev"))
+        .localCheckpoint()  # computed once, read by both branches
+    )
+    mx = rev.agg(F.max("rev").alias("mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+    )

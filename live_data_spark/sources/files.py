@@ -105,3 +105,38 @@ def stage_files(generated_dir: str, stage_dir: str, gzip_files: bool = True) -> 
 def clean_dir(path: str) -> None:
     """S9/S10: stage/local cleanup (refresh_source_data.py:177-186)."""
     shutil.rmtree(path, ignore_errors=True)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact a parquet directory's small files; returns the new file count.
+
+    Streaming-sink hygiene: micro-batch appends (landing_append_stream,
+    foreachBatch sinks) produce one file per trigger per partition, and at
+    100 TB a table read pays per-file open/footer costs — periodic
+    compaction to ~``target_file_bytes`` files keeps scans fast. Rewrite
+    is write-to-temp + directory swap so readers never see a half-written
+    table; the swap is atomic on POSIX renames (object stores: swap via
+    table-format commit instead — this utility is the file-layout core).
+
+    Local-filesystem sizing (pathlib); an HDFS/S3 deploy swaps the size
+    probe for the Hadoop FileSystem API without changing the rewrite.
+    """
+    import math
+
+    root = Path(path)
+    parts = list(root.rglob("*.parquet"))
+    total = sum(p.stat().st_size for p in parts)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    if len(parts) <= n_files:
+        return len(parts)
+
+    df = spark.read.parquet(str(root))
+    tmp = root.with_name(root.name + "__compact_tmp")
+    bak = root.with_name(root.name + "__compact_bak")
+    df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
+    root.rename(bak)
+    tmp.rename(root)
+    shutil.rmtree(bak)
+    return len(list(root.rglob("*.parquet")))

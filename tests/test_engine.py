@@ -301,3 +301,19 @@ def test_ingest_malformed_rows_are_isolated(spark, tmp_path):
     assert clean.count() == 2
     assert bad.count() == 1
     assert {r["id"] for r in clean.collect()} == {"a1", "a2"}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from live_data_spark.sources.files import compact_parquet
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "frag")
+    src.repartition(40).write.parquet(path)  # simulate micro-batch fragmentation
+    before = len(list((tmp_path / "frag").rglob("*.parquet")))
+    assert before >= 40
+
+    n_after = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n_after < before
+    back = spark.read.parquet(path)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
