@@ -204,3 +204,71 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', count(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM s3
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: view → click (after it) → purchase
+    (after that), counted per stage.
+
+    The ORDERED-sequence shape (strictly-after semantics), not mere
+    membership: each stage is "first qualifying event after the previous
+    stage's first event" — min-aggregate per stage with the previous
+    stage's timestamp riding the join condition. Three user-keyed
+    shuffles, each over already-aggregated 1-row-per-user frames; the
+    event scans prune to one event_type each. The stage unions are
+    row-count-only aggregates (3 rows out).
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame, prev_t: str, out_t: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == step_type).select("user_id", "ts")
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(s1, 1, "view")
+        .unionByName(stage(s2, 2, "click"))
+        .unionByName(stage(s3, 3, "purchase"))
+    )
