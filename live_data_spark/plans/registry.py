@@ -327,6 +327,37 @@ class Project:
         """model → direct dependencies (models and source:* pseudo-nodes)."""
         return {n: set(m.deps) for n, m in self._models.items()}
 
+    def manifest(self) -> dict:
+        """dbt-manifest analog: the project graph as one JSON-able dict.
+
+        What `dbt docs generate` emits (nodes + sources + tests + edges),
+        for lineage tooling and CI diffing. Deps are complete only after
+        the models have been built once (the call graph IS the manifest —
+        BuildContext records refs/sources as they happen).
+        """
+        return {
+            "sources": [
+                {"source": s.source_name, "table": s.table, "path": s.path, "format": s.fmt}
+                for s in self._sources.values()
+            ],
+            "models": [
+                {
+                    "name": m.name,
+                    "materialized": m.materialized,
+                    "schema": f"{self.env}_{m.schema}",
+                    "description": m.description,
+                    "partition_by": list(m.partition_by),
+                    "bucket_by": list(m.bucket_by),
+                    "depends_on": sorted(m.deps),
+                }
+                for m in self._models.values()
+            ],
+            "tests": [
+                {"name": t.test_name, "model": t.model, "column": t.column}
+                for t in self._tests
+            ],
+        }
+
     def relation(self, name: str) -> DataFrame:
         """A built model by name (builds on demand) — for test queries."""
         return self.build(name)

@@ -1025,3 +1025,40 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS — arbitrary subtotal combinations (vs ROLLUP's
+# hierarchy and CUBE's power set).
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+       coalesce(o_orderpriority, 'ALL') AS order_priority,
+       cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
+"""
+
+
+@register("groupingsets_flag_priority", oracle=_GSETS_ORACLE, tags=("agg", "grouping"))
+def groupingsets_flag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent 1-D subtotals in one pass via explicit GROUPING SETS.
+
+    Neither ROLLUP (hierarchical) nor CUBE (power set — would add the
+    detail and grand-total sets we don't want) expresses "just these two
+    marginals"; GROUPING SETS does, still as a single Expand (2×) over
+    one join, not two queries. Spark-side it's the SQL form over temp
+    views — grouping-set choice is query shape, not API shape.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+               coalesce(o_orderpriority, 'ALL') AS order_priority,
+               cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM __gs_lineitem l JOIN __gs_orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
+        """
+    )

@@ -49,3 +49,21 @@ def test_corpus_dedup_drops_planted_duplicates(spark, sf_dir, tmp_path):
     assert set(victim_ids) <= out_ids
     assert not {v + 1_000_000 for v in victim_ids} & out_ids
     assert deduped.count() == kept.count()
+
+
+def test_manifest_exports_full_graph(spark, sf_dir, tmp_path):
+    """The manifest (dbt docs analog) carries every node, its
+    materialization, and post-build dependency edges — JSON-able."""
+    import json
+
+    proj = build_corpus_project(spark, str(tmp_path / "wh"), sf_dir)
+    proj.run()
+    m = proj.manifest()
+    json.dumps(m)  # must serialize
+    models = {x["name"]: x for x in m["models"]}
+    assert models["corpus_clean"]["materialized"] == "table"
+    assert models["corpus_clean"]["partition_by"] == ["lang"]
+    assert "stg_documents" in models["corpus_clean"]["depends_on"]
+    assert "source:testdata.documents" in models["stg_documents"]["depends_on"]
+    assert len(m["tests"]) == 7
+    assert any(s["table"] == "documents" for s in m["sources"])
