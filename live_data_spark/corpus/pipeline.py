@@ -151,7 +151,7 @@ WITH stg AS (
 ), ded AS (
   SELECT q.* FROM q JOIN surv USING (fp, doc_id)
 )
-SELECT lang, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT lang, source, count(*) AS n_docs, cast(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 2) AS avg_tokens
 FROM ded GROUP BY lang, source
 """

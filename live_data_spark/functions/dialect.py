@@ -81,8 +81,11 @@ def deterministic_sample(df: DataFrame, key: Column | str, pct: int, buckets: in
     hash). For true Bernoulli semantics use ``df.sample(pct/100)``.
     """
     c = F.col(key) if isinstance(key, str) else key
-    # Knuth multiplicative hash on the 64-bit key, folded into [0, buckets).
-    h = F.pmod(c.cast("bigint") * F.lit(2654435761), F.lit(buckets))
+    # Knuth multiplicative hash, folded into [0, buckets). The % 100003
+    # (prime) pre-reduction keeps the product inside 64 bits for ANY key
+    # magnitude — without it, keys ≥ ~3.5e9 would overflow bigint and the
+    # bucket would silently diverge from the oracle's arithmetic at scale.
+    h = F.pmod(F.pmod(c.cast("bigint"), F.lit(100003)) * F.lit(2654435761), F.lit(buckets))
     return df.where(h < F.lit(pct))
 
 

@@ -48,6 +48,11 @@ class SourceDef:
     path: str
     schema: StructType | None = None
     fmt: str = "parquet"
+    # csv-format options (ignored for parquet). Default tab matches the
+    # engine's stage convention; a plain comma-separated seed (reference
+    # S1) registers with sep=",".
+    sep: str = "\t"
+    header: bool = True
 
 
 @dataclass
@@ -190,7 +195,7 @@ class Project:
         if src.schema is not None:
             reader = reader.schema(src.schema)
         if src.fmt == "csv":
-            reader = reader.option("header", True).option("sep", "\t")
+            reader = reader.option("header", src.header).option("sep", src.sep)
         return reader.load(src.path)
 
     def build(self, name: str) -> DataFrame:

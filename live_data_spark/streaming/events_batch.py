@@ -86,15 +86,15 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_ORACLE = """
 WITH flagged AS (
   SELECT
-    user_id, ts, value,
+    user_id, ts, event_id, value,
     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT user_id, ts, event_id, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
@@ -130,7 +130,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessions = flagged.withColumn("session_seq", F.sum("is_new").over(wrun))
