@@ -213,6 +213,94 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_id_1", "vec_id_2", F.round("cos", 4).alias("cosine_sim"))
 
 
+_NEARDUP_LSH_TABLES = 8  # more tables than ann_srp_lsh: pair recall must hit 1.0 on testdata
+_NEARDUP_LSH_RADIUS = 2  # probe all buckets within 2 sign-bit flips
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=_NEARDUP_ORACLE,
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via SRP-LSH candidates + exact re-score — the
+    100 TB composition of ``ann_srp_lsh``'s bucketing and
+    ``embedding_neardup_pairs``'s semantics (same output schema, same
+    oracle).
+
+    Shuffle cost is O(n · tables · probes) rows — LINEAR in n — versus
+    the exact twin's O(n²/block) replication; candidates re-score with
+    true cosine so precision is exactly 1, and any hash-mismatch risk is
+    confined to recall. Parameters here (8 tables, radius-2 multi-probe)
+    are sized for FULL recall of the 0.4-cosine band on uniform-random
+    embeddings — the adversarial worst case for angular LSH (θ ≈ 66°,
+    per-plane agreement ~0.63). A production corpus near-dups at ≥0.9
+    (θ ≈ 26°, agreement ~0.86), where 4 tables and radius 1 give the
+    same recall at a fraction of the probes: tune DOWN for real data.
+    Verified recall = 1.0 vs the exact twin at sf0.01 and sf0.1 with the
+    seeded planes (tests/test_similarity.py pins it).
+
+    Candidate pairs join bucket-to-bucket (one shuffle on
+    (table, bucket)), dedup on the unordered pair key, then one exact
+    cosine per surviving candidate.
+    """
+    import math
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    n = e.count()
+    n_dims = 64
+    n_planes = max(4, int(math.ceil(math.log2(max(n / TARGET_BUCKET_SIZE, 2.0)))))
+
+    banded = e.select(
+        "vec_id",
+        "emb",
+        F.posexplode(
+            srp_buckets_udf(n_dims, n_planes, n_tables=_NEARDUP_LSH_TABLES)(F.col("emb"))
+        ).alias("table_id", "bucket"),
+    )
+
+    # probe side: every bucket within Hamming distance ≤ 2 of the row's own.
+    # Candidates travel as BARE ID PAIRS (16 bytes) through the bucket join
+    # and the dedup — embeddings re-attach only to the ~|output|-sized
+    # surviving pair set. Attaching both vectors inside the bucket join
+    # would multiply the shuffle by the vector width (measured 6× slower
+    # end-to-end at sf0.1).
+    flips = [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    flips2 = [
+        F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+        for i in range(n_planes)
+        for j in range(i + 1, n_planes)
+    ]
+    probes = F.array(F.col("bucket"), *flips, *flips2)
+    probing = banded.select(
+        F.col("vec_id").alias("vec_id_1"),
+        "table_id",
+        F.explode(probes).alias("bucket"),
+    )
+
+    cand = (
+        probing.join(
+            banded.select(F.col("vec_id").alias("vec_id_2"), "table_id", "bucket"),
+            ["table_id", "bucket"],
+        )
+        .where(F.col("vec_id_1") < F.col("vec_id_2"))
+        # partial-aggregating dedup: map-side combine shrinks the candidate
+        # stream before the pair-key shuffle
+        .dropDuplicates(["vec_id_1", "vec_id_2"])
+    )
+    e1 = e.select(F.col("vec_id").alias("vec_id_1"), F.col("emb").alias("emb_1"))
+    e2 = e.select(F.col("vec_id").alias("vec_id_2"), F.col("emb").alias("emb_2"))
+    scored = cand.join(e1, "vec_id_1").join(e2, "vec_id_2").select(
+        "vec_id_1",
+        "vec_id_2",
+        cosine_pandas(F.col("emb_1"), F.col("emb_2")).alias("cos"),
+    )
+    return (
+        scored.where(F.col("cos") >= 0.4)
+        .select("vec_id_1", "vec_id_2", F.round("cos", 4).alias("cosine_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH: sign-random-projection buckets — the approximate scale path.
 # ---------------------------------------------------------------------------
@@ -221,8 +309,8 @@ N_TABLES = 4  # independent hash tables (union of candidates)
 TARGET_BUCKET_SIZE = 64  # planes auto-scale: n_planes ≈ log2(n / target)
 
 
-def srp_buckets_udf(n_dims: int, n_planes: int):
-    """Vectorized SRP bucketing: emb → array of N_TABLES bucket ids.
+def srp_buckets_udf(n_dims: int, n_planes: int, n_tables: int = N_TABLES):
+    """Vectorized SRP bucketing: emb → array of ``n_tables`` bucket ids.
 
     One Arrow-batched einsum projects the whole batch against all
     tables' hyperplanes at once; sign bits pack into an int per table.
@@ -241,7 +329,7 @@ def srp_buckets_udf(n_dims: int, n_planes: int):
     planes = np.stack(
         [
             np.random.RandomState(0xC0FFEE + t).choice([-1.0, 1.0], size=(n_dims, n_planes))
-            for t in range(N_TABLES)
+            for t in range(n_tables)
         ]
     )  # (T, d, p)
     powers = (1 << np.arange(n_planes)).astype("int64")

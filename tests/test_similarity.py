@@ -84,6 +84,19 @@ def test_cosine_pandas_equals_jvm(spark, sf_dir):
         assert r["jvm"] == pytest.approx(r["np"], abs=1e-9)
 
 
+def test_neardup_lsh_matches_exact_twin(spark, sf_dir):
+    """The LSH-pruned near-dup operator must reproduce the exact
+    all-pairs output EXACTLY on testdata (recall 1.0 by parameter
+    sizing — 8 tables × radius-2 probes; precision 1.0 by construction
+    since candidates re-score with true cosine). Same schema, same
+    values — it shares the exact twin's DuckDB oracle."""
+    exact = catalog()["embedding_neardup_pairs"].spark(spark, sf_dir).collect()
+    lsh = catalog()["embedding_neardup_lsh"].spark(spark, sf_dir).collect()
+    as_set = lambda rows: {(r["vec_id_1"], r["vec_id_2"], r["cosine_sim"]) for r in rows}
+    assert as_set(lsh) == as_set(exact)
+    assert len(exact) > 0  # the 0.4 band is non-empty on this testdata
+
+
 def test_neardup_pairs_symmetric_threshold(spark, sf_dir):
     out = catalog()["embedding_neardup_pairs"].spark(spark, sf_dir)
     rows = out.collect()
