@@ -365,6 +365,23 @@ SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 )
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut an iterative plan's lineage (the classic iterative-Spark trap:
+    without truncation the logical plan doubles per round).
+
+    Deployment-aware: when a reliable checkpoint dir is configured
+    (``sc.setCheckpointDir('hdfs://…')`` — the cluster path), use a
+    reliable ``checkpoint()``: blocks land in fault-tolerant storage, so
+    losing an executor mid-iteration replays nothing. Without one (tests,
+    local mode) fall back to ``localCheckpoint()`` — faster, but blocks
+    live on executors and a lost executor kills the job; never ship that
+    to a 1000-executor cluster without a checkpoint dir."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 @register("dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("dedup", "iterative"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact-Jaccard dup pairs → cluster per doc.
@@ -380,9 +397,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle (edges ⋈ labels on doc_id + groupBy min) — no driver
     collect of node data, only the scalar convergence count. Rounds =
     graph diameter; near-dup components are tiny chains, and the cap
-    would only bind on adversarial path graphs. ``localCheckpoint``
-    truncates lineage so the plan doesn't grow exponentially with
-    rounds (the classic iterative-Spark trap).
+    would only bind on adversarial path graphs. ``_truncate_lineage``
+    cuts the plan per round — reliable ``checkpoint()`` when a
+    checkpoint dir is set (cluster deployments), ``localCheckpoint``
+    otherwise.
 
     Survivor policy downstream: keep ``doc_id == cluster_id`` (min id).
     """
@@ -390,11 +408,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
     )
-    edges = dup.unionByName(
-        dup.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    edges = _truncate_lineage(
+        dup.unionByName(dup.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
 
-    labels = docs.withColumn("lbl", F.col("doc_id")).localCheckpoint()
+    labels = _truncate_lineage(docs.withColumn("lbl", F.col("doc_id")))
     for _ in range(15):
         nbr_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -407,8 +425,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()
         )
+        new_labels = _truncate_lineage(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -116,6 +116,31 @@ def test_dedup_clusters_transitive_closure(spark, sf_dir, monkeypatch):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
 
 
+def test_dedup_clusters_reliable_checkpoint_mode(spark, sf_dir, monkeypatch, tmp_path):
+    """With a checkpoint dir configured (the cluster deployment path),
+    label propagation upgrades localCheckpoint → reliable checkpoint()
+    and produces identical clusters."""
+    import live_data_spark.operators.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (7, 8, 0.9)],
+        "doc_id_1 long, doc_id_2 long, jaccard double",
+    )
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 8)], "doc_id long")
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda _s, _d: pairs)
+    monkeypatch.setattr(dd, "load", lambda _s, _d, _t: docs)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(spark, sf_dir).collect()}
+    finally:
+        # reset for other tests (no public unset API; Scala setter is checkpointDir_=)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
+    assert sc.getCheckpointDir() is None
+
+
 def _plan(spark, sf_dir, name):
     return (
         catalog()[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
