@@ -79,10 +79,13 @@ def spread(df: DataFrame) -> DataFrame:
     core; at real scale the file count keeps the stage wide, but the
     operator shouldn't degrade on small inputs. The round-robin shuffle
     costs one pass over the (tiny) input and is skipped when the scan
-    already splits.
+    already splits. Width is probed from the scan's file list — metadata
+    only, no ``df.rdd`` plan conversion (files < cores ⇒ the scan cannot
+    fill the machine unless files split, and files big enough to split
+    don't need spreading).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    return df.repartition(target) if len(df.inputFiles()) < target else df
 
 
 def shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3, distinct: bool = True) -> DataFrame:
