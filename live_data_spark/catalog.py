@@ -53,23 +53,68 @@ def register(
     return deco
 
 
+# The driver's correctness sweep verifies a PREFIX of the catalog (50
+# entries in round 1). Entries listed here lead the catalog: everything
+# that lacks a green driver row from the previous round — the previously
+# unchecked extension surface, the two fixed hash artifacts, and all
+# operators new this round. Previously-green entries follow in
+# registration order and can rotate out of the checked prefix for a
+# round. tests/test_engine.py pins that every name listed exists.
+_CHECK_FIRST: tuple[str, ...] = (
+    # dedup ladder (unchecked in r01 except dedup_exact)
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_survivors",
+    # similarity / ANN (unchecked in r01; neardup_lsh new in r02)
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "ann_ivf_flat",
+    "ann_srp_lsh",
+    "embedding_centroid_by_label",
+    # multimodal (rows-only, unchecked in r01)
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    # events surface (unchecked in r01)
+    "events_hourly_rollup",
+    "events_json_props",
+    "events_sessionize",
+    "events_dedup_latest",
+    "events_sliding_rollup",
+    "events_funnel",
+    # hash-artifact fixes from r01 (values were verified equal; oracle
+    # typing fixed in r02)
+    "corpus_pipeline_stats",
+    "q12_late_shipment_priority",
+    # new in r02: remaining TPC-H shapes
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q20_outsized_suppliers",
+    "q21_waiting_suppliers",
+)
+
+
 def catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports operator modules for side effects).
 
-    Import order IS registration order, and the driver's correctness
-    sweep checks a prefix of it — so the LLM-pipeline extension surface
-    (dedup / similarity / multimodal / events / corpus) registers FIRST,
-    then the analytics queries, then the reference-model surface (whose
-    entries were all driver-verified green in round 1 and can rotate out
-    of the checked prefix).
+    Ordering: ``_CHECK_FIRST`` names lead (the driver verifies a prefix),
+    then everything else in registration order.
     """
     # Imported lazily so `import live_data_spark` stays cheap.
     from live_data_spark.operators import dedup, similarity, multimodal, text  # noqa: F401
     from live_data_spark.streaming import events_batch  # noqa: F401
     from live_data_spark.corpus import pipeline  # noqa: F401
-    from live_data_spark import queries_analytics, queries_reference  # noqa: F401
+    from live_data_spark import queries_analytics, queries_reference, queries_tpch_extra  # noqa: F401
 
-    return dict(_REGISTRY)
+    ordered = {n: _REGISTRY[n] for n in _CHECK_FIRST if n in _REGISTRY}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 # events.parquet stores ts as INT64 TIMESTAMP(NANOS) — Spark has no nanosecond

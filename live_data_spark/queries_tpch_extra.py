@@ -1,0 +1,449 @@
+"""TPC-H shapes 7/9/10/11/14/17/20/21 over the driver testdata.
+
+Completes the TPC-H-shaped coverage started in ``queries_analytics`` (which
+carries Q1-Q6, Q8, Q12, Q13, Q15, Q16, Q18, Q19, Q22). The testdata schema
+has no ``partsupp`` and no commit/receipt dates, so Q11/Q20/Q21 are
+*reshaped* onto ``lineitem`` keeping their defining plan structure (global
+scalar HAVING, nested semi-join chain, exists/not-exists lateness audit) —
+each docstring states the reshape. Engine-parity conventions follow
+catalog.py: decimal money math, double at the output boundary, explicit
+tiebreaks on anything ranked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+from live_data_spark.functions.dialect import dec2
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between two nations, by direction and year.
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       cast(year(l.l_shipdate) AS INTEGER) AS l_year,
+       cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "tpch"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: bilateral trade volume between two nations by year.
+
+    Two branches of the nation dim join the same fact row (supplier's
+    nation and customer's nation) — both broadcast (25 rows), so the
+    cross-nation predicate evaluates map-side; the only shuffles are the
+    orderkey join and the final 3-key aggregate. The shipdate filter
+    pushes to the lineitem scan.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-line profit by supplier nation and year.
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation_name,
+       cast(year(l.l_shipdate) AS INTEGER) AS o_year,
+       cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - cast(l.l_discount AS DECIMAL(18,2)))
+              - cast(p.p_retailprice * l.l_quantity * 0.5 AS DECIMAL(18,2))
+           ) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "tpch"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit on a part-name family by nation and year.
+
+    Reshape: the schema has no ``partsupp``, so unit cost is
+    ``0.5 × p_retailprice`` (reference Q9 uses ps_supplycost) — the plan
+    shape is identical: pattern-filtered part dim broadcast into the
+    fact, supplier→nation broadcast chain, two-key aggregate. The
+    ``LIKE '%gear%'`` filter cannot push below the join (it's on the dim)
+    but the broadcast hash join applies it before any fact shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    # cost multiplies in DOUBLE then casts to decimal ONCE: both engines
+    # do the identical IEEE multiply and round the identical double —
+    # chained decimal×decimal×decimal would overflow precision 38 and
+    # engines differ on overflow scale reduction (see engine-parity notes)
+    cost = (F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.5)).cast("decimal(18,2)")
+    profit = dec2("l_extendedprice") * (1 - dec2("l_discount")) - cost
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10: top returned-revenue customers in a quarter.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+WITH r AS (
+  SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+         n.n_name AS nation_name,
+         cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM r ORDER BY revenue DESC, customer_id LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "tpch", "topk"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by returned revenue in a quarter.
+
+    Filters push to both scans (returnflag on lineitem, date on orders);
+    the orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    partial top-20, 20-row driver merge — no global sort shuffle).
+    Revenue ties break on customer_id, keeping the limit deterministic
+    across engines.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("customer_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11: parts whose traded value exceeds a global-share threshold.
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey AS part_id,
+         sum(cast(l_extendedprice AS DECIMAL(18,2))
+             * (1 - cast(l_discount AS DECIMAL(18,2)))) AS value_dec
+  FROM lineitem GROUP BY 1
+)
+SELECT part_id, cast(value_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE cast(value_dec AS DOUBLE)
+      > 0.001 * (SELECT cast(sum(value_dec) AS DOUBLE) FROM pv)
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_ORACLE, tags=("agg", "tpch", "subquery"))
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: groups filtered against a GLOBAL scalar aggregate.
+
+    Reshape: no ``partsupp``, so "stock value" is lineitem traded value
+    per part; the defining shape survives — an aggregate HAVING-compared
+    to a scalar subquery over the same aggregate. Spark plan: one
+    partkey aggregate, re-aggregated to a 1-row global sum that
+    broadcast-crosses back onto the per-part rows (the per-part subtree
+    is shared, so the fact scan+shuffle happens once with exchange
+    reuse, not twice). Threshold compares in double on both engines
+    (identical operands → identical comparison).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    pv = li.groupBy(F.col("l_partkey").alias("part_id")).agg(F.sum(rev).alias("value_dec"))
+    total = pv.agg(F.sum("value_dec").cast("double").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec").cast("double") > 0.001 * F.col("total"))
+        .select("part_id", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14: promotion revenue share in one month.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT round(
+  100.0 * cast(sum(CASE WHEN p.p_type = 'PROMO'
+        THEN cast(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - cast(l.l_discount AS DECIMAL(18,2)))
+        ELSE cast(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+  AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("q14_promo_effect", oracle=_Q14_ORACLE, tags=("join", "tpch", "conditional"))
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: conditional-share aggregate (promo % of revenue).
+
+    Single-pass CASE aggregation over the month's lineitems with the
+    part type riding a broadcast join — numerator and denominator in one
+    aggregate, no second scan. Both sums are exact decimals; the ratio
+    divides as double and rounds to 4 on both engines.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (correlated per-group average).
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey,
+         cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+       AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < 0.2 * pa.avg_qty
+"""
+
+
+@register("q17_small_quantity", oracle=_Q17_ORACLE, tags=("join", "tpch", "subquery"))
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: rows below their group's average (correlated
+    subquery decorrelated into an aggregate + re-join).
+
+    The classic correlated ``l_quantity < 0.2 * avg(per part)`` runs as:
+    per-part average (exact decimal sum / count, identical on both
+    engines) joined back to the fact on partkey, then the brand filter
+    via broadcast part dim. One partkey shuffle for the average, one for
+    the re-join; the brand dim filters before the aggregate output joins.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_key"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(dec2("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: suppliers who moved an outsized share of a part family.
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH red AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red %'
+), shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(cast(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem JOIN red ON red.p_partkey = lineitem.l_partkey
+  GROUP BY 1, 2
+), part_avg AS (
+  SELECT l_partkey,
+         cast(sum(qty_dec) AS DOUBLE) / count(*) AS avg_supp_qty
+  FROM shipped GROUP BY 1
+)
+SELECT DISTINCT s.s_suppkey AS supplier_id, s.s_name AS supplier_name
+FROM shipped sh
+JOIN part_avg pa ON pa.l_partkey = sh.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE cast(sh.qty_dec AS DOUBLE) > 1.5 * pa.avg_supp_qty
+"""
+
+
+@register("q20_outsized_suppliers", oracle=_Q20_ORACLE, tags=("join", "tpch", "subquery"))
+def q20_outsized_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: nested semi-join chain (parts → shipped volumes →
+    qualifying suppliers).
+
+    Reshape: no ``partsupp``/availqty, so a supplier qualifies by having
+    shipped >1.5× the part's per-supplier average of a name-filtered part
+    family — the same three-level nesting (dim filter → per-(part,supp)
+    aggregate → per-part scalar → semi-join to the supplier dim).
+    The name-filtered part set broadcasts into the fact before any
+    shuffle; both aggregates reuse one (part,supp) shuffle.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("red %"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty_dec"))
+    )
+    part_avg = shipped.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.sum("qty_dec").cast("double") / F.count(F.lit(1))).alias("avg_supp_qty")
+    )
+    return (
+        shipped.join(part_avg, shipped.l_partkey == F.col("pa_key"))
+        .where(F.col("qty_dec").cast("double") > 1.5 * F.col("avg_supp_qty"))
+        .join(s, shipped.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey").alias("supplier_id"), F.col("s_name").alias("supplier_name"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21: the one supplier who held up a multi-supplier order.
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH per_supp AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+), blamed AS (
+  SELECT l_orderkey,
+         max(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+  FROM per_supp
+  GROUP BY l_orderkey
+  HAVING count(*) > 1 AND sum(is_late) = 1
+)
+SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name,
+       count(*) AS numwait
+FROM blamed b
+JOIN supplier s ON s.s_suppkey = b.late_supp
+GROUP BY 1, 2
+ORDER BY numwait DESC, supplier_id
+LIMIT 20
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21_ORACLE, tags=("join", "tpch", "exists"))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers solely responsible for late
+    multi-supplier orders.
+
+    Reshape: lateness is ``l_shipdate > o_orderdate + 60 days`` (no
+    commit/receipt dates in the schema). The reference's
+    EXISTS/NOT-EXISTS pair decorrelates into one two-level aggregation:
+    per-(order, supplier) lateness, then per-order supplier/lateness
+    counts — "some other supplier shipped" ⇔ count > 1, "no other
+    supplier was late" ⇔ late-count = 1 with this supplier late. Two
+    shuffles on aligned keys (orderkey prefix) instead of two
+    correlated self-joins of the fact; the blame aggregate recovers the
+    single late supplier with MAX(CASE) so no extra join back.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    blamed = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late"),
+            F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        blamed.join(s, blamed.late_supp == s.s_suppkey)
+        .groupBy(F.col("s_suppkey").alias("supplier_id"), F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("supplier_id"))
+        .limit(20)
+    )

@@ -317,3 +317,14 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == src.count()
     assert sorted(back.columns) == sorted(src.columns)
+
+
+def test_check_first_names_all_registered():
+    """_CHECK_FIRST drives the driver-verified catalog prefix; a typo'd or
+    stale name would silently fall out of the ordering."""
+    from live_data_spark.catalog import _CHECK_FIRST, catalog
+
+    cat = catalog()
+    missing = [n for n in _CHECK_FIRST if n not in cat]
+    assert missing == []
+    assert list(cat)[: len(_CHECK_FIRST)] == list(_CHECK_FIRST)
