@@ -97,6 +97,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q17_small_quantity",
     "q20_outsized_suppliers",
     "q21_waiting_suppliers",
+    # new in r02: training-pipeline text operators
+    "text_repetition_ratio",
+    "text_pii_scrub_stats",
+    "stratified_sample_by_lang",
+    "contamination_ngram_overlap",
 )
 
 

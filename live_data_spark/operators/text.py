@@ -307,3 +307,212 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio — boilerplate/spam signal from n-gram redundancy.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+  FROM toks
+)
+SELECT doc_id,
+       cast(len(grams) AS BIGINT) AS n_grams,
+       cast(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(1.0 - len(list_distinct(grams)) / len(grams), 4) AS rep_ratio
+FROM g WHERE len(grams) > 0
+"""
+
+
+@register("text_repetition_ratio", oracle=_REPETITION_ORACLE, tags=("text", "quality"))
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram repetition ratio (1 − distinct/total grams) — the
+    standard boilerplate/spam quality gate (high ratio ⇒ the document
+    repeats itself; MassiveText/Gopher-style rule).
+
+    Rides the SAME exploded-shingle subtree as the dedup ladder
+    (operators/dedup.py shingle_rows, distinct=False) so at 100 TB the
+    quality gate and the dedup signatures share one corpus scan +
+    explode; the aggregate is count + count-distinct per doc — map-side
+    partials on the doc key, no arrays materialized.
+    """
+    from live_data_spark.operators.dedup import shingle_rows  # no cycle at call time
+
+    ex = shingle_rows(spark, sf_dir, k=3, distinct=False)
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("s").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"), 4
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — regex redaction counts (email / phone / SSN-like ids).
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+_PII_ORACLE = rf"""
+WITH hits AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+         len(regexp_extract_all(text, '{_PII_SSN}')) AS n_ssn
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(n_email) AS BIGINT) AS email_hits,
+       cast(sum(n_phone) AS BIGINT) AS phone_hits,
+       cast(sum(n_ssn) AS BIGINT) AS ssn_hits,
+       cast(count(*) FILTER (WHERE n_email + n_phone + n_ssn > 0) AS BIGINT) AS docs_with_pii
+FROM hits GROUP BY source
+"""
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Redact email/phone/SSN-like spans with typed placeholders.
+
+    Pure JVM ``regexp_replace`` chain — the transformation the stats
+    query audits; applied to a 100 TB corpus it is a map-only pass.
+    Most-specific pattern first: the digits-and-dashes of an SSN also
+    satisfy the looser phone pattern, so [ID] must claim them before
+    [PHONE] can.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _PII_SSN, "[ID]")
+    c = F.regexp_replace(c, _PII_EMAIL, "[EMAIL]")
+    return F.regexp_replace(c, _PII_PHONE, "[PHONE]")
+
+
+@register("text_pii_scrub_stats", oracle=_PII_ORACLE, tags=("text", "pii"))
+def text_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII hit counts for the redaction pass (``pii_redact``).
+
+    The synthetic corpus contains no PII, so every count is legitimately
+    zero here — the patterns themselves are proven on planted PII in
+    tests/test_text_pipeline.py. Counts aggregate map-side; the integer
+    sums cast to BIGINT on the oracle side (DuckDB types sum(int) as
+    HUGEINT — the r01 hash-artifact class).
+    """
+    d = load(spark, sf_dir, "documents")
+    hits = d.select(
+        "source",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count("text", F.lit(_PII_SSN)).alias("n_ssn"),
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("email_hits"),
+        F.sum("n_phone").cast("bigint").alias("phone_hits"),
+        F.sum("n_ssn").cast("bigint").alias("ssn_hits"),
+        F.count(F.when(F.col("n_email") + F.col("n_phone") + F.col("n_ssn") > 0, 1))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — per-language rates, deterministic buckets.
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE (doc_id % 100003) * 2654435761 % 100
+      < CASE lang WHEN 'en' THEN 10 ELSE 40 END
+"""
+
+
+@register("stratified_sample_by_lang", oracle=_STRAT_ORACLE, tags=("text", "sampling"))
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10% of English, 40% of every other
+    language — the training-mix downsampling step (rebalance a corpus
+    dominated by one language) as a reproducible, engine-portable filter.
+
+    Same Knuth-hash bucket arithmetic as ``deterministic_sample``
+    (functions/dialect.py): a map-only predicate, no shuffle, no RNG
+    state — re-running over a grown corpus keeps previously selected
+    docs selected (stable ids ⇒ stable sample), which is what makes the
+    mix reproducible across pipeline runs at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(100003)) * F.lit(2654435761), F.lit(100))
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(40))
+    return d.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination — n-gram overlap against a held-out split.
+# ---------------------------------------------------------------------------
+
+_CONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS s FROM g
+)
+SELECT t.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+       count(*) AS n_shared_5grams
+FROM ex t JOIN ex tr ON t.s = tr.s
+WHERE t.doc_id % 97 = 0 AND tr.doc_id % 97 <> 0
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+@register("contamination_ngram_overlap", oracle=_CONTAM_ORACLE, tags=("text", "dedup", "eval"))
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: 5-gram overlap between a held-out
+    split (doc_id % 97 == 0 — stands in for the real benchmark set) and
+    the training split; pairs sharing ≥3 distinct 5-grams are flagged.
+
+    The decontamination step every training pipeline needs before
+    shipping an eval: an inverted-index semi-join — explode distinct
+    5-grams, join eval-side against train-side on the gram, count per
+    pair. The eval side is tiny (1/97 of the corpus) so at scale it
+    BROADCASTS and the train side never shuffles; flagged pairs then
+    drive either eval-row removal or train-doc exclusion.
+    """
+    from live_data_spark.operators.dedup import shingle_rows  # no cycle at call time
+
+    ex = shingle_rows(spark, sf_dir, k=5)
+    ev = ex.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    tr = ex.where(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    return (
+        F.broadcast(ev)
+        .join(tr, "s")
+        .groupBy("eval_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_5grams"))
+        .where(F.col("n_shared_5grams") >= 3)
+    )

@@ -1,0 +1,113 @@
+"""Training-pipeline text operators: PII redaction, stratified sampling,
+repetition ratio, train/eval contamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import catalog
+
+
+def test_pii_redact_plants(spark):
+    """The synthetic corpus has no PII, so the patterns are proven on
+    planted examples: every span redacts, clean text is untouched."""
+    from live_data_spark.operators.text import pii_redact
+
+    rows = [
+        ("contact me at jane.doe+spam@example.co.uk please", "[EMAIL]"),
+        ("call +1 (415) 555-0100 now", "[PHONE]"),
+        ("ssn 123-45-6789 on file", "[ID]"),
+        ("no pii here at all", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    out = [r["red"] for r in df.select(pii_redact("text").alias("red")).collect()]
+    for (orig, marker), red in zip(rows, out):
+        if marker is None:
+            assert red == orig
+        else:
+            assert marker in red
+            # the raw span is gone
+            assert "@" not in red and "6789" not in red
+
+
+def test_pii_scrub_stats_counts_planted(spark, tmp_path):
+    """Stats aggregate counts hits per source over a planted mini-corpus."""
+    from live_data_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c@d.org", "en", "s1", 23),
+            (2, "клиент 123-45-6789", "de", "s1", 18),
+            (3, "clean", "en", "s2", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    out = {
+        r["source"]: r
+        for r in t.text_pii_scrub_stats(spark, str(tmp_path)).collect()
+    }
+    assert out["s1"]["email_hits"] == 2
+    assert out["s1"]["ssn_hits"] == 1
+    assert out["s1"]["docs_with_pii"] == 2
+    assert out["s2"]["email_hits"] == 0
+    assert out["s2"]["docs_with_pii"] == 0
+
+
+def test_repetition_ratio_flags_loops(spark, sf_dir):
+    out = catalog()["text_repetition_ratio"].spark(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["rep_ratio"] <= 1.0
+        assert r["n_distinct"] <= r["n_grams"]
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    q = catalog()["stratified_sample_by_lang"].spark
+    a = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    assert a == b  # no RNG state — identical across runs
+    langs = (
+        q(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(langs) >= 2  # both strata represented
+
+
+def test_contamination_finds_planted_copy(spark, tmp_path):
+    """A train doc that copies an eval doc's text must be flagged; unrelated
+    docs must not."""
+    from live_data_spark.operators import text as t
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text, "en", "s", 10),  # 0 % 97 == 0 → eval split
+            (1, eval_text + " tail words here", "en", "s", 10),  # contaminated train doc
+            (2, "one two three four five six seven eight nine ten", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = t.contamination_ngram_overlap(spark, str(tmp_path)).collect()
+    pairs = {(r["eval_doc_id"], r["train_doc_id"]): r["n_shared_5grams"] for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3
+    assert (0, 2) not in pairs
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """The eval split is 1/97 of the corpus — the plan must broadcast it,
+    never shuffle the train side."""
+    plan = (
+        catalog()["contamination_ngram_overlap"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
