@@ -157,6 +157,63 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel_tracker(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Custom stateful streaming funnel — the streaming twin of the batch
+    ``events_funnel`` (strictly-after stage semantics, SURVEY extension
+    surface).
+
+    Per-user state is a monotone (stage, stage_ts) pair: a user advances
+    to stage k+1 on the first ``steps[k]`` event strictly AFTER the event
+    that completed stage k. Built-in windows can't express a cross-batch
+    ordered state machine, so this is ``applyInPandasWithState``: rows
+    arrive per user as Arrow frames, sorted by (ts, event_id) within the
+    batch; state persists in the checkpoint and restores on restart, so
+    a user can view in one micro-batch and convert days later.
+
+    Ordering contract: exact when each user's events arrive in event-time
+    order across batches (a user-keyed log guarantees this); under
+    cross-batch disorder an already-taken transition is never revoked —
+    the standard at-least-once funnel posture. Stage counts =
+    ``count(stage >= k)`` over the latest row per user, which the test
+    pins against the batch funnel.
+
+    Scale: state is two longs per user seen — add a TTL timeout to evict
+    finished/stale users in production.
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("stage", LongType()),
+            StructField("stage_ts_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("stage", LongType()), StructField("stage_ts_us", LongType())]
+    )
+    n_steps = len(steps)
+
+    def fn(key, pdfs, state: GroupState):
+        stage, stage_ts_us = state.get if state.exists else (0, -1)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64") // 1000  # pandas ns → µs
+        for t, etype in zip(ts_us.to_numpy(), rows["event_type"].to_numpy()):
+            if stage < n_steps and etype == steps[stage] and (stage == 0 or t > stage_ts_us):
+                stage += 1
+                stage_ts_us = int(t)
+        state.update((stage, stage_ts_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "stage": [stage], "stage_ts_us": [stage_ts_us]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def error_context_join(
     events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

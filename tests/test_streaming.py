@@ -205,3 +205,47 @@ def test_stream_stream_error_context_join(spark, tmp_path):
     assert got_pairs == want_pairs
     # the in-window events for the user-0 error, nothing for user-1's
     assert got_pairs == [(3, 1), (3, 2)]
+
+
+def test_funnel_tracker_matches_batch_and_survives_restart(spark, tmp_path):
+    """Stage counts from the stateful streaming funnel must equal the batch
+    events_funnel semantics; a conversion split across micro-batches must
+    still count (state restored from checkpoint)."""
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    sink = tmp_path / "funnel_sink"
+    ckpt = tmp_path / "funnel_ckpt"
+
+    # batch 1: u0 view->click; u1 view only; u2 click only (no view: stays 0)
+    b1 = _mk_events(
+        spark,
+        [(0, 0, "view", 1.0), (5, 0, "click", 1.0), (1, 1, "view", 1.0), (2, 2, "click", 1.0)],
+    )
+    b1.write.parquet(str(src / "b1"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    jobs.run_available_now_update(jobs.funnel_tracker(stream), str(sink), str(ckpt))
+
+    # batch 2: u0 purchases (needs the click state from batch 1); u1 clicks
+    # at the SAME minute as the view — strictly-after forbids the advance
+    b2 = _mk_events(
+        spark,
+        [(10, 0, "purchase", 1.0), (1, 1, "click", 1.0)],
+    )
+    # distinct event ids per batch: _mk_events enumerates from 0, so shift
+    b2 = b2.withColumn("event_id", F.col("event_id") + 100)
+    b2.write.parquet(str(src / "b2"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    jobs.run_available_now_update(jobs.funnel_tracker(stream), str(sink), str(ckpt))
+
+    latest = (
+        spark.read.parquet(str(sink))
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .collect()
+    )
+    stages = {r["user_id"]: r["stage"] for r in latest}
+    assert stages == {0: 3, 1: 1, 2: 0}
+
+    # funnel counts = users with stage >= k — the batch events_funnel contract
+    n_at = lambda k: sum(1 for s in stages.values() if s >= k)
+    assert (n_at(1), n_at(2), n_at(3)) == (2, 1, 1)
