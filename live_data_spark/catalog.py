@@ -102,6 +102,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "text_pii_scrub_stats",
     "stratified_sample_by_lang",
     "contamination_ngram_overlap",
+    "dedup_boilerplate_spans",
+    "training_mix_plan",
 )
 
 

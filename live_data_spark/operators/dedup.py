@@ -493,3 +493,50 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("survivor_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. Boilerplate spans — n-grams shared across many documents.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS s FROM g
+), spans AS (
+  SELECT s AS span, count(*) AS n_docs
+  FROM ex GROUP BY s HAVING count(*) >= 5
+)
+SELECT span, n_docs FROM spans ORDER BY n_docs DESC, span LIMIT 50
+"""
+
+
+@register("dedup_boilerplate_spans", oracle=_BOILERPLATE_ORACLE, tags=("dedup", "text", "quality"))
+def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top boilerplate 5-gram spans: word sequences appearing in ≥5 distinct
+    documents — the span-level complement of document-level dedup
+    (headers, footers, license blurbs, navigation chrome that survive
+    doc-level dedup because the surrounding text differs).
+
+    Downstream use: the flagged spans drive a span-removal pass before
+    training. Plan: the SAME exploded-shingle subtree as the dedup
+    ladder (distinct (doc_id, s) rows, so ``count(*)`` per span IS the
+    distinct-doc count — no countDistinct state), one span-keyed hash
+    aggregate with map-side partials, and a TakeOrderedAndProject top-50
+    (no global sort). Ties break on the span text for a total order.
+    """
+    ex = shingle_rows(spark, sf_dir, k=5)
+    return (
+        ex.groupBy(F.col("s").alias("span"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 5)
+        .orderBy(F.col("n_docs").desc(), F.col("span"))
+        .limit(50)
+    )

@@ -516,3 +516,66 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_5grams"))
         .where(F.col("n_shared_5grams") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix planner — per-language token budgets → sampling rates.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = r"""
+WITH per_doc AS (
+  SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         cast(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM per_doc GROUP BY lang
+), budget AS (
+  SELECT cast(floor(0.5 * sum(total_tokens)) AS BIGINT) AS budget_tokens FROM per_lang
+)
+SELECT lang, n_docs, total_tokens,
+       cast(floor(budget_tokens * CASE lang WHEN 'en' THEN 0.3 ELSE 0.175 END) AS BIGINT)
+         AS target_tokens,
+       round(least(1.0,
+         floor(budget_tokens * CASE lang WHEN 'en' THEN 0.3 ELSE 0.175 END)
+         / total_tokens), 4) AS sample_rate
+FROM per_lang CROSS JOIN budget
+"""
+
+
+@register("training_mix_plan", oracle=_MIX_ORACLE, tags=("text", "sampling", "pipeline"))
+def training_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix planning: given a target language mix (30% en,
+    17.5% each other language) and a training budget of half the corpus
+    tokens, derive each language's token target and document sampling
+    rate — the arithmetic that turns corpus stats into the
+    ``stratified_sample_by_lang`` rates.
+
+    Plan: one corpus scan → per-lang aggregate (map-side partials) → the
+    1-row global budget broadcast-crossed back (no driver collect). All
+    arithmetic is integer/double with floor/least applied identically on
+    both engines; integer sums cast to BIGINT (HUGEINT artifact class).
+    """
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select("lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    budget = per_lang.agg(
+        F.floor(0.5 * F.sum("total_tokens")).cast("bigint").alias("budget_tokens")
+    )
+    share = F.when(F.col("lang") == "en", F.lit(0.3)).otherwise(F.lit(0.175))
+    target = F.floor(F.col("budget_tokens") * share).cast("bigint")
+    return (
+        per_lang.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            target.alias("target_tokens"),
+            F.round(
+                F.least(F.lit(1.0), target.cast("double") / F.col("total_tokens")), 4
+            ).alias("sample_rate"),
+        )
+    )
