@@ -104,6 +104,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "contamination_ngram_overlap",
     "dedup_boilerplate_spans",
     "training_mix_plan",
+    "multimodal_header_stats",
 )
 
 

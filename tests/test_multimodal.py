@@ -74,3 +74,52 @@ def test_corrupt_payload_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="bad magic"):
         mm.decode_media(bad).collect()
+
+
+# -- real container-format header parsing ------------------------------------
+
+
+def test_parse_real_headers_byte_exact():
+    """Hand-built PNG/JPEG/GIF/WAV headers parse to exact dimensions; junk
+    quarantines as 'unknown' instead of raising."""
+    import struct
+
+    from live_data_spark.operators.multimodal import _PNG_SIG, parse_media_header
+
+    png = _PNG_SIG + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    assert parse_media_header(png) == ("png", 640, 480, None)
+
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03"
+    jpeg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+    assert parse_media_header(jpeg) == ("jpeg", 1920, 1080, 3)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert parse_media_header(gif) == ("gif", 320, 200, None)
+
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 2) + struct.pack("<I", 44100) + b"\x00" * 8
+    )
+    assert parse_media_header(wav) == ("wav", 2, None, 44100)
+
+    assert parse_media_header(b"\x00junkjunkjunk")[0] == "unknown"
+    assert parse_media_header(b"\xff\xd8\xff")[0] == "jpeg"  # truncated → no dims, no crash
+
+
+def test_header_stats_formats_and_quarantine(spark):
+    """The catalog entry parses the synthesized real-format corpus: every
+    format bucket present, the corrupt sliver isolated in 'unknown', and
+    parsed widths matching the generator's arithmetic."""
+    from live_data_spark.catalog import catalog
+    from live_data_spark.operators.multimodal import parse_headers, real_media_table
+
+    stats = {r["format"]: r for r in catalog()["multimodal_header_stats"].spark(spark, "").collect()}
+    assert set(stats) == {"png", "jpeg", "gif", "wav", "unknown"}
+    assert stats["unknown"]["n_media"] == 60  # 300 / 5
+    assert stats["unknown"]["avg_width"] is None
+    assert stats["wav"]["avg_extra"] is not None  # sample rates
+
+    parsed = {r["media_id"]: r for r in parse_headers(real_media_table(spark, n=10)).collect()}
+    assert parsed[0]["format"] == "png" and parsed[0]["width"] == 16  # (0*37)%500+16
+    assert parsed[1]["format"] == "jpeg" and parsed[1]["width"] == 16 + 37
+    assert parsed[2]["format"] == "gif" and parsed[2]["height"] == 16 + 2 * 53
