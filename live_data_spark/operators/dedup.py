@@ -512,7 +512,7 @@ WITH toks AS (
   SELECT doc_id, unnest(grams) AS s FROM g
 ), spans AS (
   SELECT s AS span, count(*) AS n_docs
-  FROM ex GROUP BY s HAVING count(*) >= 5
+  FROM ex GROUP BY s HAVING count(*) >= 3
 )
 SELECT span, n_docs FROM spans ORDER BY n_docs DESC, span LIMIT 50
 """
@@ -520,7 +520,7 @@ SELECT span, n_docs FROM spans ORDER BY n_docs DESC, span LIMIT 50
 
 @register("dedup_boilerplate_spans", oracle=_BOILERPLATE_ORACLE, tags=("dedup", "text", "quality"))
 def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top boilerplate 5-gram spans: word sequences appearing in ≥5 distinct
+    """Top boilerplate 5-gram spans: word sequences appearing in ≥3 distinct
     documents — the span-level complement of document-level dedup
     (headers, footers, license blurbs, navigation chrome that survive
     doc-level dedup because the surrounding text differs).
@@ -536,7 +536,7 @@ def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.groupBy(F.col("s").alias("span"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 5)
+        .where(F.col("n_docs") >= 3)
         .orderBy(F.col("n_docs").desc(), F.col("span"))
         .limit(50)
     )

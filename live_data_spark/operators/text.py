@@ -551,31 +551,34 @@ def training_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate — the arithmetic that turns corpus stats into the
     ``stratified_sample_by_lang`` rates.
 
-    Plan: one corpus scan → per-lang aggregate (map-side partials) → the
-    1-row global budget broadcast-crossed back (no driver collect). All
-    arithmetic is integer/double with floor/least applied identically on
-    both engines; integer sums cast to BIGINT (HUGEINT artifact class).
+    Plan: ONE corpus scan → per-lang aggregate (map-side partials) → the
+    global budget as an unpartitioned window over the per-lang frame.
+    The window runs on |languages| rows (tiny by construction — language
+    is a low-cardinality stratum), so the single-partition window stage
+    is free and the plan never scans documents twice (a separate
+    1-row budget aggregate loses exchange reuse: column pruning makes
+    the two branches' partial aggregates differ — measured, see
+    tests/test_plans.py). Arithmetic is integer/double with floor/least
+    applied identically on both engines; integer sums cast to BIGINT.
     """
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     per_doc = d.select("lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
     per_lang = per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
-    budget = per_lang.agg(
-        F.floor(0.5 * F.sum("total_tokens")).cast("bigint").alias("budget_tokens")
-    )
+    w = Window.partitionBy()  # all |languages| rows — tiny post-aggregate frame
+    budget = F.floor(0.5 * F.sum("total_tokens").over(w)).cast("bigint")
     share = F.when(F.col("lang") == "en", F.lit(0.3)).otherwise(F.lit(0.175))
-    target = F.floor(F.col("budget_tokens") * share).cast("bigint")
-    return (
-        per_lang.crossJoin(F.broadcast(budget))
-        .select(
-            "lang",
-            "n_docs",
-            "total_tokens",
-            target.alias("target_tokens"),
-            F.round(
-                F.least(F.lit(1.0), target.cast("double") / F.col("total_tokens")), 4
-            ).alias("sample_rate"),
-        )
+    target = F.floor(budget.cast("double") * share).cast("bigint")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        target.alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target.cast("double") / F.col("total_tokens")), 4
+        ).alias("sample_rate"),
     )

