@@ -59,10 +59,11 @@ class SourceDef:
 class ModelDef:
     name: str
     fn: Callable[["BuildContext"], DataFrame]
-    materialized: str = "view"  # "view" | "table" | "incremental" | "table_bucketed"
+    materialized: str = "view"  # view | table | incremental | incremental_merge | table_bucketed
     schema: str = "main"  # output namespace (dbt generate_schema_name, D4)
     description: str = ""
-    incremental_key: str | None = None  # high-watermark column
+    incremental_key: str | None = None  # high-watermark / recency column
+    unique_key: tuple[str, ...] = ()  # merge key for incremental_merge (dbt unique_key)
     partition_by: tuple[str, ...] = ()  # hive-partition columns for table writes
     bucket_by: tuple[str, ...] = ()  # bucket keys for table_bucketed
     n_buckets: int = 0
@@ -132,6 +133,7 @@ class Project:
         materialized: str = "view",
         schema: str = "main",
         incremental_key: str | None = None,
+        unique_key: tuple[str, ...] | list[str] = (),
         partition_by: tuple[str, ...] | list[str] = (),
         bucket_by: tuple[str, ...] | list[str] = (),
         n_buckets: int = 0,
@@ -149,6 +151,16 @@ class Project:
         engine, so the predicate pushes down to the model's source scans
         through the lazy plan).
 
+        ``materialized="incremental_merge"`` (dbt incremental with
+        ``unique_key`` — the merge strategy) additionally requires
+        ``unique_key``: rebuilds upsert — per key the most recent row by
+        ``incremental_key`` wins, incoming rows beating existing on
+        ties. Without an ACID table format this is the classic
+        union + row_number-over-key rewrite (one shuffle on the merge
+        key, write-to-temp + atomic swap); on Delta/Iceberg the same
+        model def compiles to MERGE INTO with file skipping, and
+        ``partition_by`` bounds the rewrite either way.
+
         ``materialized="table_bucketed"`` (requires ``bucket_by`` +
         ``n_buckets``) hash-clusters files by the join key at WRITE time:
         two tables bucketed the same way join with NO exchange on either
@@ -160,10 +172,18 @@ class Project:
 
         def deco(f: Callable[[BuildContext], DataFrame]):
             model_name = name or f.__name__
-            if materialized not in ("view", "table", "incremental", "table_bucketed"):
+            if materialized not in (
+                "view",
+                "table",
+                "incremental",
+                "incremental_merge",
+                "table_bucketed",
+            ):
                 raise ValueError(f"unknown materialization {materialized!r}")
-            if materialized == "incremental" and not incremental_key:
-                raise ValueError("incremental materialization needs incremental_key")
+            if materialized in ("incremental", "incremental_merge") and not incremental_key:
+                raise ValueError(f"{materialized} materialization needs incremental_key")
+            if materialized == "incremental_merge" and not unique_key:
+                raise ValueError("incremental_merge needs unique_key")
             if materialized == "table_bucketed" and not (bucket_by and n_buckets > 0):
                 raise ValueError("table_bucketed needs bucket_by and n_buckets")
             self._models[model_name] = ModelDef(
@@ -173,6 +193,7 @@ class Project:
                 schema=schema,
                 description=(f.__doc__ or "").strip(),
                 incremental_key=incremental_key,
+                unique_key=tuple(unique_key),
                 partition_by=tuple(partition_by),
                 bucket_by=tuple(bucket_by),
                 n_buckets=n_buckets,
@@ -262,6 +283,43 @@ class Project:
                 if mdef.partition_by:
                     writer = writer.partitionBy(*mdef.partition_by)
                 writer.parquet(str(out))
+            else:
+                writer = df.write.mode("overwrite")
+                if mdef.partition_by:
+                    writer = writer.partitionBy(*mdef.partition_by)
+                writer.parquet(str(out))
+            df = self.spark.read.parquet(str(out)).select(*cols)
+        elif mdef.materialized == "incremental_merge":
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            out = self._table_path(mdef)
+            cols = df.columns
+            if (out / "_SUCCESS").exists():
+                existing = self.spark.read.parquet(str(out)).select(*cols)
+                # upsert = union + keep-latest per key: ONE shuffle on the
+                # merge key; incoming (__src=1) beats existing on recency
+                # ties. Writes to a temp dir then swaps — the target can't
+                # be overwritten while its scan feeds the plan.
+                merged = existing.withColumn("__src", F.lit(0)).unionByName(
+                    df.withColumn("__src", F.lit(1))
+                )
+                w = Window.partitionBy(*mdef.unique_key).orderBy(
+                    F.col(mdef.incremental_key).desc(), F.col("__src").desc()
+                )
+                latest = (
+                    merged.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn", "__src")
+                )
+                tmp = out.parent / f"{out.name}.__merge_tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                writer = latest.write.mode("overwrite")
+                if mdef.partition_by:
+                    writer = writer.partitionBy(*mdef.partition_by)
+                writer.parquet(str(tmp))
+                shutil.rmtree(out)
+                tmp.rename(out)
             else:
                 writer = df.write.mode("overwrite")
                 if mdef.partition_by:

@@ -65,6 +65,57 @@ def test_incremental_model_appends_only_new_rows(spark, tmp_path):
     assert third.count() == 3
 
 
+def test_incremental_merge_upserts_latest_per_key(spark, tmp_path):
+    """dbt incremental with unique_key (merge strategy): rebuilds upsert —
+    per key the newest row by incremental_key wins, incoming rows beat
+    existing on recency ties."""
+    src = {
+        "rows": [
+            (1, "a-v1", dt.datetime(2026, 1, 1)),
+            (2, "b-v1", dt.datetime(2026, 1, 1)),
+        ]
+    }
+    proj = Project(spark, warehouse_dir=str(tmp_path))
+
+    @proj.model(
+        materialized="incremental_merge",
+        incremental_key="updated_at",
+        unique_key=("id",),
+    )
+    def dim_merge(ctx):
+        return ctx.spark.createDataFrame(src["rows"], ["id", "val", "updated_at"])
+
+    first = proj.build("dim_merge")
+    assert first.count() == 2
+
+    src["rows"] = [
+        (2, "b-v2", dt.datetime(2026, 1, 5)),  # newer → replaces b-v1
+        (3, "c-v1", dt.datetime(2026, 1, 2)),  # brand new key
+        (1, "a-stale", dt.datetime(2025, 12, 1)),  # OLDER than stored → loses
+    ]
+    proj.invalidate()
+    second = proj.build("dim_merge")
+    got = {r["id"]: r["val"] for r in second.collect()}
+    assert got == {1: "a-v1", 2: "b-v2", 3: "c-v1"}
+
+    # recency tie: incoming row must beat the stored one
+    src["rows"] = [(3, "c-v2", dt.datetime(2026, 1, 2))]
+    proj.invalidate()
+    third = proj.build("dim_merge")
+    got = {r["id"]: r["val"] for r in third.collect()}
+    assert got[3] == "c-v2"
+    assert third.count() == 3
+
+
+def test_incremental_merge_requires_unique_key(spark, tmp_path):
+    proj = Project(spark, warehouse_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="unique_key"):
+
+        @proj.model(materialized="incremental_merge", incremental_key="ts")
+        def bad_merge(ctx):
+            raise AssertionError("unreachable")
+
+
 def test_incremental_requires_key(spark, tmp_path):
     proj = Project(spark, warehouse_dir=str(tmp_path))
     with pytest.raises(ValueError, match="incremental_key"):
