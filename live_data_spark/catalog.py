@@ -105,6 +105,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_boilerplate_spans",
     "training_mix_plan",
     "multimodal_header_stats",
+    "window_spend_deciles",
 )
 
 

@@ -1062,3 +1062,52 @@ def groupingsets_flag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-family windows: ntile / percent_rank / cume_dist over customer spend.
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS customer_id,
+         cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY 1
+)
+SELECT customer_id, total_spend,
+       cast(ntile(10) OVER w AS INTEGER) AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM spend
+WINDOW w AS (ORDER BY total_spend DESC, customer_id)
+"""
+
+
+@register("window_spend_deciles", oracle=_DECILE_ORACLE, tags=("window", "rank"))
+def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend deciles with the rank family (ntile / percent_rank /
+    cume_dist) — the segmentation shapes (top-decile cohorts, percentile
+    cutoffs) the other window entries don't exercise.
+
+    The unpartitioned ORDER BY makes rank-family windows a single-
+    partition stage — correct but the known scale ceiling. Input here is
+    post-aggregate (one row per customer); at 100 TB-grade cardinality
+    swap exact global ranks for percentile_approx cutoffs or range
+    partitioning (df.repartitionByRange + per-partition offsets). Spend
+    is an exact decimal sum cast to double, and the window carries a
+    customer_id tiebreak so every rank value is engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.sum(dec2("o_totalprice")).cast("double").alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("customer_id"))
+    return spend.select(
+        "customer_id",
+        "total_spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

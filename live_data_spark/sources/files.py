@@ -140,3 +140,25 @@ def compact_parquet(
     tmp.rename(root)
     shutil.rmtree(bak)
     return len(list(root.rglob("*.parquet")))
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan — the other columnar format Spark reads natively.
+
+    Same engine posture as parquet: vectorized reader, predicate
+    pushdown, column pruning; an explicit schema skips footer inference
+    on wide directories. Interop surface for Hive-era warehouses whose
+    facts landed as ORC.
+    """
+    reader = spark.read.format("orc")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """ORC write (overwrite), optionally hive-partitioned."""
+    writer = df.write.mode("overwrite").format("orc")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

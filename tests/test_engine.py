@@ -328,3 +328,26 @@ def test_check_first_names_all_registered():
     missing = [n for n in _CHECK_FIRST if n not in cat]
     assert missing == []
     assert list(cat)[: len(_CHECK_FIRST)] == list(_CHECK_FIRST)
+
+
+def test_orc_round_trip_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trips exactly and pushes filters to the scan like parquet."""
+    from live_data_spark.catalog import load
+    from live_data_spark.sources.files import read_orc, write_orc
+
+    orders = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path, orders.schema)
+    assert back.count() == orders.count()
+    assert sorted(map(tuple, back.limit(0).collect())) == []
+    a = sorted(map(tuple, orders.orderBy("o_orderkey").limit(50).collect()))
+    b = sorted(map(tuple, back.orderBy("o_orderkey").limit(50).collect()))
+    assert a == b
+    plan = (
+        back.where(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
