@@ -106,6 +106,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "training_mix_plan",
     "multimodal_header_stats",
     "window_spend_deciles",
+    "events_pivot_by_type",
+    "events_value_histogram",
 )
 
 

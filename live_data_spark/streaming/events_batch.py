@@ -272,3 +272,76 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s2, 2, "click"))
         .unionByName(stage(s3, 3, "purchase"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — event types to columns (the wide-format export shape).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("events_pivot_by_type", oracle=_PIVOT_ORACLE, tags=("events", "pivot"))
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as wide columns — ``groupBy().pivot()``
+    with the value list DECLARED, which matters at scale: an unlisted
+    pivot first runs a blocking distinct over the pivot column to
+    discover values; the explicit list keeps this a single hash
+    aggregate (one user_id shuffle, map-side partials, nulls→0 so the
+    wide row is dense). The oracle spells the same thing as CASE-filtered
+    counts — pivot IS conditional aggregation.
+    """
+    e = load(spark, sf_dir, "events")
+    pv = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram — fixed-width value binning.
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT cast(least(floor(value / 25.0), 19) AS INTEGER) AS bin,
+       round(least(floor(value / 25.0), 19) * 25.0, 2) AS bin_low,
+       count(*) AS n,
+       cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_value_histogram", oracle=_HISTOGRAM_ORACLE, tags=("events", "histogram"))
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event value (20 bins of width 25, top bin
+    open) — the binning shape behind distribution dashboards and outlier
+    gates, as pure floor arithmetic so any engine reproduces the exact
+    bin edges (width_bucket isn't portable). One aggregate over ≤20
+    groups: the shuffle is the bin table, not the events.
+    """
+    e = load(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        e.groupBy(bin_.alias("bin"), F.round(bin_ * 25.0, 2).alias("bin_low"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value").alias("bin_value"),
+        )
+    )
