@@ -108,6 +108,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "window_spend_deciles",
     "events_pivot_by_type",
     "events_value_histogram",
+    "events_unpivot_type_counts",
 )
 
 

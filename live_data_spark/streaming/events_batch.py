@@ -345,3 +345,48 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("value").alias("bin_value"),
         )
     )
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (WHERE event_type = 'view') AS n_view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+  UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+  UNION ALL SELECT user_id, 'view', n_view FROM wide
+)
+WHERE n > 0
+"""
+
+
+@register("events_unpivot_type_counts", oracle=_UNPIVOT_ORACLE, tags=("events", "unpivot"))
+def events_unpivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-user type counts back to long form via
+    ``stack`` — the inverse of ``events_pivot_by_type`` and the standard
+    normalization step when a wide export feeds a long-format consumer.
+
+    ``stack(n, label, col, ...)`` is a Generate (row fan-out) over the
+    already-aggregated wide frame — 3 rows out per user, no re-scan of
+    events and no shuffle beyond the pivot's own; zero-count cells drop
+    like the oracle's WHERE. The wide frame comes from the same declared
+    pivot as events_pivot_by_type.
+    """
+    e = load(spark, sf_dir, "events")
+    kinds = ("click", "purchase", "view")
+    wide = (
+        e.where(F.col("event_type").isin(*kinds))
+        .groupBy("user_id")
+        .pivot("event_type", list(kinds))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+    )
+    stack_expr = "stack(3, " + ", ".join(f"'{k}', n_{k}" for k in kinds) + ") AS (event_type, n)"
+    return wide.selectExpr("user_id", stack_expr).where(F.col("n") > 0)
