@@ -109,6 +109,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_pivot_by_type",
     "events_value_histogram",
     "events_unpivot_type_counts",
+    "events_gapfill_hourly",
 )
 
 

@@ -147,8 +147,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-pair HOF recomputed both norms every time).
 
     The n²/2 *comparisons* still happen — inside SIMD matmuls, the only
-    place they're affordable. When even that is too much, ``ann_srp_lsh``
-    prunes candidates before comparing.
+    place they're affordable. When even that is too much,
+    ``embedding_neardup_lsh`` is the composed scale tier: SRP-LSH
+    candidate pruning + exact re-score, same schema and oracle as this
+    operator, equality pinned in tests.
 
     fp note: numpy's blocked summation order differs from the oracle's
     sequential loop by ≤ ~1e-14 — threshold/rounding boundaries are 1e-5

@@ -390,3 +390,63 @@ def events_unpivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stack_expr = "stack(3, " + ", ".join(f"'{k}', n_{k}" for k in kinds) + ") AS (event_type, n)"
     return wide.selectExpr("user_id", stack_expr).where(F.col("n") > 0)
+
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+), t AS (
+  SELECT DISTINCT event_type FROM events
+), g AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h, event_type
+  FROM b CROSS JOIN t
+), c AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+       g.event_type,
+       cast(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM g LEFT JOIN c ON c.h = g.h AND c.event_type = g.event_type
+"""
+
+
+@register("events_gapfill_hourly", oracle=_GAPFILL_ORACLE, tags=("events", "timeseries"))
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: every (hour, event_type) cell from the
+    corpus' min to max hour, zero-filled where no events landed — the
+    densification step time-series consumers (forecasting, anomaly
+    windows) need and Spark has no native operator for.
+
+    Built from relational pieces: a 1-row bounds aggregate explodes into
+    the hour grid via ``sequence`` (no driver collect — the grid is
+    generated inside the plan), cross-joined with the distinct types,
+    left-joined to the real counts. The grid side is |hours|·|types| —
+    tiny relative to events at any scale — so at 100 TB it broadcasts
+    into the counts; the expensive side remains one hash aggregate of
+    the events scan.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        bounds.crossJoin(types)
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+            "event_type",
+        )
+    )
+    counts = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(grid)
+        .join(counts, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+        )
+    )
