@@ -110,6 +110,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_value_histogram",
     "events_unpivot_type_counts",
     "events_gapfill_hourly",
+    "asof_next_event_after_error",
+    "events_value_outliers",
 )
 
 

@@ -1111,3 +1111,100 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join — first event strictly after an anchor.
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = f"""
+WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+     n AS (SELECT * FROM events WHERE event_type <> 'error')
+SELECT
+  e.event_id AS error_id,
+  e.user_id AS user_id,
+  strftime(e.ts, '{_TS_FMT_DUCK}') AS error_ts,
+  strftime(n.ts, '{_TS_FMT_DUCK}') AS next_event_ts
+FROM e ASOF LEFT JOIN n
+  ON e.user_id = n.user_id AND n.ts > e.ts
+"""
+
+
+@register("asof_next_event_after_error", oracle=_ASOF_FWD_ORACLE, tags=("join", "events", "asof"))
+def asof_next_event_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each error paired with the user's FIRST event
+    strictly after it ("what did they do next") — the mirror of
+    ``asof_last_view_before_purchase``, same single-window linear plan,
+    opposite direction.
+
+    Running min over the FOLLOWING frame (rows (1, ∞)) of the unioned,
+    user-partitioned stream. Strictly-after semantics from the sort:
+    same-timestamp non-errors order BEFORE the error row, so the frame
+    starting at the next row only ever sees ts strictly greater (or
+    later-sorted errors, which the CASE masks out).
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("event_type") == "error").cast("int").alias("is_error"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_error").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_ts = F.min(F.when(F.col("is_error") == 0, F.col("ts"))).over(w)
+    return (
+        e.withColumn("next_ts", next_ts)
+        .where(F.col("is_error") == 1)
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("error_ts"),
+            F.date_format("next_ts", _TS_FMT_SPARK).alias("next_event_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outliers — per-group standardization.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mu) / s.sd) > 2.5
+"""
+
+
+@register("events_value_outliers", oracle=_OUTLIER_ORACLE, tags=("events", "agg", "quality"))
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 2.5) — the standardize-and-flag
+    shape behind data-quality gates and anomaly reports.
+
+    Aggregate-then-broadcast-join rather than an unbounded window over
+    every event: the stats side is |event types| rows, so the big side
+    never shuffles — a window form would hash-partition the full stream
+    by a 5-value key (skew by construction). stddev is the sample form
+    on both engines; z rounds to 4 (float aggregates drift ~1e-12 across
+    partition orders, far inside the rounding).
+    """
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )

@@ -79,3 +79,43 @@ def test_normalized_text_idempotent_and_ws_insensitive(spark, texts):
     for r in out:
         assert r["naa"] == r["na"]
         assert r["nb"] == r["na"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), whitelist_characters="@.-+()"),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pii_redact_idempotent(spark, texts):
+    """redact(redact(x)) == redact(x): placeholders never re-match any
+    pattern, so a second pass is a no-op — the property that makes the
+    scrub safe to re-run over partially-processed corpora."""
+    from live_data_spark.functions.dialect import decode  # noqa: F401  (fixture warm)
+    from live_data_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.select(pii_redact("text").alias("r1"))
+    twice = once.select(pii_redact("r1").alias("r2"))
+    pairs = once.collect(), twice.collect()
+    assert [r["r1"] for r in pairs[0]] == [r["r2"] for r in pairs[1]]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+def test_deterministic_sample_bucket_model(spark, keys):
+    """The engine's hash-bucket sample equals the pure-Python model of the
+    same arithmetic at ANY key magnitude (the % 100003 pre-reduction is
+    what keeps the product inside int64 — see functions/dialect.py)."""
+    from live_data_spark.functions.dialect import deterministic_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(r["k"] for r in deterministic_sample(df, "k", pct=37).collect())
+    want = sorted(k for k in keys if (k % 100003) * 2654435761 % 100 < 37)
+    assert got == want
