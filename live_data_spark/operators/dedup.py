@@ -165,15 +165,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inverted-index algorithm: explode distinct shingles → self-join on
     shingle (pairs that share ≥1 shingle) → count common → Jaccard from
-    set sizes. Exact but the candidate set grows with shingle collision
-    rates — the MinHash variant below is the 100 TB path; this one is the
-    ground truth it is verified against.
+    set sizes. The join carries each side's distinct-shingle count so the
+    LOSSLESS size-ratio filter from the set-similarity-join literature
+    (SSJoin/PPJoin) prunes candidates before the pair aggregate:
+    J(A,B) ≥ t ⇒ |A∩B| ≥ t·(|A|+|B|)/(1+t) and |A∩B| ≤ min(|A|,|B|),
+    hence min ≥ t·max — a pair whose sizes differ by more than t× can
+    never pass, so dropping it changes nothing (the final threshold
+    re-checks exactly). Uniform-length corpora (this testdata) prune
+    little; real corpora with length spread prune most of the candidate
+    mass. Still exact, still the quadratic ground-truth tier — the
+    MinHash variant below is the 100 TB path verified against it.
     """
     ex = shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = ex.alias("a"), ex.alias("b")
+    exn = ex.join(F.broadcast(sizes), "doc_id")  # n rides the exploded rows
+    a, b = exn.alias("a"), exn.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio filter: min(n1,n2) >= 0.8 * max(n1,n2)
+            & (F.least("a.n", "b.n") >= 0.8 * F.greatest("a.n", "b.n")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
