@@ -112,6 +112,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_gapfill_hourly",
     "asof_next_event_after_error",
     "events_value_outliers",
+    "fuzzy_part_names",
 )
 
 

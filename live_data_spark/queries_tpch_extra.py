@@ -451,3 +451,47 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("supplier_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — edit-distance pairs over a dictionary.
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT DISTINCT p_name FROM part
+), t AS (
+  SELECT p_name, split_part(p_name, ' ', -1) AS blk FROM names
+)
+SELECT a.p_name AS name_1, b.p_name AS name_2,
+       cast(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register("fuzzy_part_names", oracle=_FUZZY_ORACLE, tags=("text", "fuzzy", "join"))
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the part-name dictionary
+    (levenshtein ≤ 3) — the typo/variant-merging rung of entity
+    resolution, blocked so it never goes quadratic in the corpus.
+
+    Two scale decisions: (1) match on the DISTINCT name dictionary, not
+    the rows — the dictionary is bounded by the vocabulary, so the pair
+    space is independent of row count; matched names join back to rows
+    by equality when needed. (2) block on the name's last token — only
+    same-noun names compare, the classic blocking-key trick; recall is
+    exact within the block and the block key is domain knowledge
+    (reference part names are 'adjective noun'). levenshtein is
+    JVM-side; both engines implement the same unit-cost edit distance.
+    """
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    t = names.select("p_name", F.element_at(F.split("p_name", " "), -1).alias("blk"))
+    a = t.select(F.col("p_name").alias("name_1"), F.col("blk").alias("blk_a"))
+    b = t.select(F.col("p_name").alias("name_2"), F.col("blk").alias("blk_b"))
+    dist = F.levenshtein("name_1", "name_2")
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_1") < F.col("name_2")))
+        .where(dist <= 3)
+        .select("name_1", "name_2", dist.cast("int").alias("edit_dist"))
+    )
