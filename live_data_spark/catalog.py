@@ -61,6 +61,13 @@ def register(
 # registration order and can rotate out of the checked prefix for a
 # round. tests/test_engine.py pins that every name listed exists.
 _CHECK_FIRST: tuple[str, ...] = (
+    # new in r03: curation + events analytics (never driver-checked)
+    "corpus_pack_sequences",
+    "corpus_source_cap",
+    "text_char_entropy",
+    "events_retention_cohorts",
+    "events_interarrival_stats",
+    "events_session_window_native",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",
@@ -123,7 +130,7 @@ def catalog() -> dict[str, QuerySpec]:
     then everything else in registration order.
     """
     # Imported lazily so `import live_data_spark` stays cheap.
-    from live_data_spark.operators import dedup, similarity, multimodal, text  # noqa: F401
+    from live_data_spark.operators import curation, dedup, similarity, multimodal, text  # noqa: F401
     from live_data_spark.streaming import events_batch  # noqa: F401
     from live_data_spark.corpus import pipeline  # noqa: F401
     from live_data_spark import queries_analytics, queries_reference, queries_tpch_extra  # noqa: F401

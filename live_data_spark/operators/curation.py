@@ -1,0 +1,196 @@
+"""Corpus-curation operators: sequence packing, per-source caps, entropy.
+
+The pre-training data-prep steps that sit between "filtered corpus" and
+"training batches": packing documents into fixed token budgets, capping
+over-represented sources, and cheap information-density scoring. All are
+BASELINE.json extension surface (the reference delegates everything to
+Snowflake and has no curation layer); semantics follow the public
+recipes (GPT-style concat-and-split packing, CCNet/RefinedWeb-style
+per-domain caps, entropy quality signals).
+
+Determinism: every operator orders by explicit keys (doc_id) and keeps
+arithmetic in integers or identically-rounded doubles so the DuckDB
+oracles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# Sequence packing — fixed token-budget bins (concat-and-split).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per packed sequence
+_PACK_SHARDS = 4  # parallel packing streams per language
+
+_PACK_ORACLE = rf"""
+WITH toks AS (
+  SELECT lang, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         cast(floor((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              / {_PACK_BUDGET}.0) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT lang, cast(shard AS BIGINT) AS shard, bin,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) / {_PACK_BUDGET}.0, 4) AS fill_ratio
+FROM placed
+GROUP BY lang, shard, bin
+"""
+
+
+@register("corpus_pack_sequences", oracle=_PACK_ORACLE, tags=("text", "packing", "pipeline"))
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences
+    (GPT-style concat-and-split): documents are concatenated in a
+    deterministic order and a document belongs to the bin where it
+    starts, ``bin = floor(tokens_before / budget)``.
+
+    The running token sum is a window per (lang, shard) — sharding by
+    ``doc_id % k`` is what makes this scale: packing semantics allow ANY
+    grouping into streams, so instead of one global (skew-prone,
+    single-partition) running sum per language, each language packs k
+    independent streams in parallel. At 100 TB, raise k to
+    executors×cores; the window never sees more than 1/k of a language.
+    Output is the per-bin manifest (doc count, token fill) a training
+    loader consumes.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(_PACK_BUDGET)),
+    )
+    return placed.groupBy("lang", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / float(_PACK_BUDGET), 4).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document caps — bounding over-represented domains.
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 80
+
+_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE rn <= {_SOURCE_CAP}) AS n_kept,
+       round(count(*) FILTER (WHERE rn <= {_SOURCE_CAP}) / cast(count(*) AS DOUBLE), 4)
+         AS keep_ratio,
+       CASE WHEN count(*) > {_SOURCE_CAP} THEN 1 ELSE 0 END AS cap_hit
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("corpus_source_cap", oracle=_CAP_ORACLE, tags=("text", "sampling", "pipeline"))
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per source (CCNet/RefinedWeb-style domain cap):
+    keep the first N per source by deterministic rank, report per-source
+    keep stats. The kept set is ``rn <= cap`` — reproducible because the
+    rank order is a total order (doc_id).
+
+    Scale note: ``row_number() PARTITION BY source`` hashes the corpus
+    by source, so one mega-domain becomes one hot partition. When the
+    cap is a rate rather than an exact first-N, the skew-free form is a
+    two-phase cap: per-source counts (map-side combine) broadcast back,
+    then a deterministic hash filter ``pmod(hash(doc_id), n) < cap``
+    keeps ≈cap docs per source with no per-source ordering at all. The
+    exact-rank form here is the oracle-checkable contract.
+    """
+    d = load(spark, sf_dir, "documents")
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    ranked = d.select("source", rn.alias("rn"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("rn") <= _SOURCE_CAP, 1)).alias("n_kept"),
+        F.round(
+            F.count(F.when(F.col("rn") <= _SOURCE_CAP, 1)) / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("keep_ratio"),
+        F.when(F.count(F.lit(1)) > _SOURCE_CAP, 1).otherwise(0).alias("cap_hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-class entropy — information-density quality signal.
+# ---------------------------------------------------------------------------
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _count_char_spark(c: str) -> Column:
+    low = F.lower(F.col("text"))
+    return (F.length(low) - F.length(F.replace(low, F.lit(c)))).cast("double")
+
+
+def _entropy_sql_terms() -> str:
+    # p*log2(p) per letter + the residual "other" bucket, identical
+    # arithmetic on both engines (0-count buckets contribute 0).
+    cnt = {c: f"(length(lower(text)) - length(replace(lower(text), '{c}', '')))" for c in _ALPHABET}
+    other = "(length(text) - (" + " + ".join(cnt.values()) + "))"
+    terms = [
+        f"CASE WHEN {e} > 0 THEN ({e} / cast(length(text) AS DOUBLE))"
+        f" * log2({e} / cast(length(text) AS DOUBLE)) ELSE 0 END"
+        for e in [*cnt.values(), other]
+    ]
+    return " + ".join(terms)
+
+
+_ENTROPY_ORACLE = f"""
+SELECT doc_id, lang,
+       round(-({_entropy_sql_terms()}), 4) AS char_entropy
+FROM documents
+"""
+
+
+@register("text_char_entropy", oracle=_ENTROPY_ORACLE, tags=("text", "quality"))
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document character distribution over
+    a fixed 27-bucket alphabet (a–z + other) — the cheap
+    information-density signal that catches mojibake, base64 blobs, and
+    keyboard-mash (low or pathological entropy) without tokenizing.
+
+    Deliberately NOT an explode(chars) aggregation: per-letter counts
+    come from 26 length/replace expressions, so the whole operator is
+    one map-only projection inside whole-stage codegen — zero shuffle,
+    zero fan-out, the ideal 100 TB shape. The explode form would
+    multiply the corpus by its character count before aggregating.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = [_count_char_spark(c) for c in _ALPHABET]
+    total = F.length("text").cast("double")
+    other = total - sum(counts[1:], counts[0])
+    terms = [
+        F.when(e > 0, (e / total) * F.log2(e / total)).otherwise(0.0)
+        for e in [*counts, other]
+    ]
+    entropy = -sum(terms[1:], terms[0])
+    return d.select("doc_id", "lang", F.round(entropy, 4).alias("char_entropy"))

@@ -450,3 +450,157 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts — the day-N product-analytics matrix.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(cast(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', f.cohort_day, cast(e.ts AS DATE)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_seen f ON f.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("events", "cohort"))
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention matrix: users grouped by first-seen day (cohort),
+    counted on each later day they return — the canonical
+    product-analytics triangle.
+
+    Two aggregates, both on keys the data already wants: first-seen is
+    one user_id hash agg (1 row/user out); the join back is user-keyed
+    and reuses that partitioning; the final (cohort, offset) cell agg
+    shuffles distinct (cohort, offset, user) triples — bounded by the
+    events themselves. At 100 TB the first-seen frame is the thing to
+    materialize incrementally (it's monotone: min is mergeable), not
+    recompute per query.
+    """
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    return (
+        e.select("user_id", F.to_date("ts").alias("event_day"))
+        .join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("event_day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gaps — per-type event cadence.
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(gap_us) AS n_gaps,
+       round(avg(gap_us) / 1000000.0, 4) AS avg_gap_s,
+       round(min(gap_us) / 1000000.0, 4) AS min_gap_s,
+       round(max(gap_us) / 1000000.0, 4) AS max_gap_s
+FROM gaps
+GROUP BY event_type
+"""
+
+
+@register("events_interarrival_stats", oracle=_INTERARRIVAL_ORACLE, tags=("events", "window"))
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time statistics per event type: the lag-to-previous
+    gap within each (user, type) stream, aggregated to cadence stats —
+    the signal behind rate limiting, bot detection, and session-gap
+    tuning.
+
+    One window pass partitioned by (user_id, event_type) with the
+    (ts, event_id) total order, then a 5-row hash agg. Gaps are exact
+    epoch-microsecond integers (sums stay < 2^53, so the double mean is
+    exact before rounding on both engines). The window partitioning and
+    the final agg are the only shuffles.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.withColumn("prev_ts", F.lag("ts").over(w)).select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 4).alias("avg_gap_s"),
+        F.round(F.min("gap_us") / 1e6, 4).alias("min_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 4).alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window — the built-in operator, checked against the
+# same SQL-islands semantics events_sessionize spells by hand.
+# ---------------------------------------------------------------------------
+
+_NATIVE_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "events_session_window_native",
+    oracle=_NATIVE_SESSION_ORACLE,
+    tags=("events", "session"),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` (30-minute
+    gap) — the native operator whose streaming form carries watermarked
+    state, verified against the lag/running-sum islands SQL that
+    ``events_sessionize`` hand-builds.
+
+    One semantic asymmetry worth pinning: ``session_window`` treats a
+    gap of EXACTLY the timeout as a new session (the window is
+    [start, start+gap)), so the oracle's island flag uses ``>=`` where
+    events_sessionize uses ``>``. Physically this is a single
+    user_id-partitioned sort + merging-window aggregation — one shuffle,
+    no self-join, and the same plan shape Structured Streaming uses for
+    its session state store.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,152 @@
+"""Semantic unit tests for the curation + round-3 events operators.
+
+Oracle parity is covered generically by test_oracle_parity; these pin the
+operator-level invariants the SQL comparison alone wouldn't explain.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from live_data_spark.operators.curation import (
+    _PACK_BUDGET,
+    _SOURCE_CAP,
+    corpus_pack_sequences,
+    corpus_source_cap,
+    text_char_entropy,
+)
+from live_data_spark.catalog import load
+from live_data_spark.streaming.events_batch import (
+    events_interarrival_stats,
+    events_retention_cohorts,
+    events_session_window_native,
+    events_sessionize,
+)
+
+
+def test_pack_sequences_partitions_all_docs(spark, sf_dir):
+    """Packing is a partition of the corpus: doc/token totals are conserved
+    and bins are contiguous from 0 within each (lang, shard) stream."""
+    out = corpus_pack_sequences(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")).alias("t")
+    ).first()["t"]
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert sum(r["n_tokens"] for r in out) == total_tokens
+    streams: dict[tuple, list[int]] = {}
+    for r in out:
+        streams.setdefault((r["lang"], r["shard"]), []).append(r["bin"])
+    for bins in streams.values():
+        assert sorted(bins) == list(range(len(bins)))
+
+
+def test_pack_sequences_bins_start_under_budget(spark, sf_dir):
+    """Concat-and-split semantics: a doc lands in the bin where it starts,
+    so every non-final bin in a stream must have accumulated >= budget
+    by the time the next bin opens (no empty bins mid-stream)."""
+    out = corpus_pack_sequences(spark, sf_dir).collect()
+    streams: dict[tuple, dict[int, int]] = {}
+    for r in out:
+        streams.setdefault((r["lang"], r["shard"]), {})[r["bin"]] = r["n_tokens"]
+    for per_bin in streams.values():
+        running = 0
+        for b in sorted(per_bin)[:-1]:
+            running += per_bin[b]
+            # the next bin opened, so the cumulative stream crossed its boundary
+            assert running >= (b + 1) * _PACK_BUDGET - _PACK_BUDGET  # doc may straddle
+    assert any(v["fill_ratio"] > 0 for v in (r.asDict() for r in out))
+
+
+def test_source_cap_invariants(spark, sf_dir):
+    out = corpus_source_cap(spark, sf_dir).collect()
+    docs_per_source = {
+        r["source"]: r["n"]
+        for r in load(spark, sf_dir, "documents").groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["source"] for r in out} == set(docs_per_source)
+    for r in out:
+        assert r["n_kept"] <= _SOURCE_CAP
+        assert r["n_kept"] <= r["n_docs"]
+        assert r["n_docs"] == docs_per_source[r["source"]]
+        assert r["cap_hit"] == (1 if r["n_docs"] > _SOURCE_CAP else 0)
+        assert r["n_kept"] == min(r["n_docs"], _SOURCE_CAP)
+
+
+def test_char_entropy_matches_python(spark, sf_dir):
+    """Spot-check the 27-bucket entropy against a plain-Python fold."""
+    rows = {r["doc_id"]: r["char_entropy"] for r in text_char_entropy(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id LIMIT 20"
+    ).fetchall()
+    for doc_id, text in docs:
+        counts = Counter(c if c in "abcdefghijklmnopqrstuvwxyz" else "#" for c in text.lower())
+        total = len(text)
+        h = -sum((n / total) * math.log2(n / total) for n in counts.values())
+        assert rows[doc_id] == pytest.approx(h, abs=2e-4), doc_id
+        assert 0.0 <= rows[doc_id] <= math.log2(27) + 1e-9
+
+
+def test_retention_cohort_day_zero_is_cohort_size(spark, sf_dir):
+    """Every user appears in their cohort on day 0, so the offset-0 cell
+    equals the cohort's size and every offset is non-negative."""
+    out = events_retention_cohorts(spark, sf_dir).collect()
+    assert all(r["day_offset"] >= 0 for r in out)
+    day0 = {r["cohort_day"]: r["n_users"] for r in out if r["day_offset"] == 0}
+    e = load(spark, sf_dir, "events")
+    cohort_sizes = {
+        r["cohort_day"]: r["n"]
+        for r in e.groupBy("user_id")
+        .agg(F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert day0 == cohort_sizes
+
+
+def test_interarrival_gap_counts(spark, sf_dir):
+    """Each (user, type) stream of n events contributes n-1 gaps."""
+    out = {r["event_type"]: r for r in events_interarrival_stats(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events")
+    per_stream = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("n") - 1).alias("gaps"))
+        .collect()
+    )
+    for r in per_stream:
+        assert out[r["event_type"]]["n_gaps"] == r["gaps"]
+    for r in out.values():
+        assert r["min_gap_s"] >= 0
+        assert r["min_gap_s"] <= r["avg_gap_s"] <= r["max_gap_s"]
+
+
+def test_native_session_window_conserves_events_and_value(spark, sf_dir):
+    """The native session_window partitions each user's events exactly, and
+    agrees with the hand-built islands twin up to the documented boundary
+    semantics (gap == timeout splits natively, merges in the manual twin)."""
+    native = events_session_window_native(spark, sf_dir)
+    manual = events_sessionize(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    assert native.agg(F.sum("n_events")).first()[0] == e.count()
+    n_native = native.count()
+    n_manual = manual.count()
+    # exact-boundary gaps can only ADD sessions on the native side
+    assert n_native >= n_manual
+    per_user_native = {
+        r["user_id"]: r["n"] for r in native.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    per_user_manual = {
+        r["user_id"]: r["n"] for r in manual.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_user_native) == set(per_user_manual)
+    assert all(per_user_native[u] >= per_user_manual[u] for u in per_user_native)
