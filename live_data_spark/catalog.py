@@ -68,6 +68,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_retention_cohorts",
     "events_interarrival_stats",
     "events_session_window_native",
+    "embedding_kmeans",
+    "semdedup_pairs",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",
@@ -130,7 +132,7 @@ def catalog() -> dict[str, QuerySpec]:
     then everything else in registration order.
     """
     # Imported lazily so `import live_data_spark` stays cheap.
-    from live_data_spark.operators import curation, dedup, similarity, multimodal, text  # noqa: F401
+    from live_data_spark.operators import clustering, curation, dedup, similarity, multimodal, text  # noqa: F401
     from live_data_spark.streaming import events_batch  # noqa: F401
     from live_data_spark.corpus import pipeline  # noqa: F401
     from live_data_spark import queries_analytics, queries_reference, queries_tpch_extra  # noqa: F401

@@ -1,0 +1,224 @@
+"""Embedding clustering: spherical k-means and SemDeDup-style near-dup.
+
+The clustering rung of the curation ladder: k-means partitions the
+embedding space so downstream passes (semantic dedup, diversity
+sampling, stratified eval splits) can work within clusters instead of
+globally. Iterative algorithms have no single-statement SQL oracle, so
+these register rows-only with the driver; exactness is pinned in
+tests/test_clustering.py against a plain-numpy reference implementation
+(assignment-identical), and SemDeDup's precision/recall is measured
+against the exact all-pairs twin.
+
+Scale shape (the reason k-means-on-Spark looks like this):
+- Assignment is a map-only Arrow batch per partition — centroids ride
+  into the pandas_udf closure (k·d doubles), so no shuffle, no join.
+- The update step is ONE hash aggregate per iteration: vectors sum
+  per cluster via numpy inside ``applyInPandas`` partials; only k rows
+  cross the wire to the driver (the same treeAggregate contract MLlib's
+  KMeans uses). Iterations are driver-side loops over small collected
+  centroid state — bounded at k·d·iters doubles, never data-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+from live_data_spark.operators.similarity import as_double
+
+K_CLUSTERS = 8
+N_ITERS = 5
+SEMDEDUP_THRESHOLD = 0.4  # same band as embedding_neardup_pairs
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _init_centroids(e: DataFrame, k: int) -> np.ndarray:
+    """Deterministic init: the k smallest vec_ids' unit vectors."""
+    rows = e.orderBy("vec_id").limit(k).collect()
+    return _normalized(np.array([r["emb"] for r in rows], dtype=np.float64))
+
+
+def _assign_udf(centroids: np.ndarray):
+    """argmax-cosine cluster id per vector, Arrow-batched (ties → lowest id)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids  # k×d, unit rows; rides the closure into each worker
+
+    # hint-free form: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf can't resolve for locals (see similarity.py)
+    def _assign(emb):
+        m = _normalized(np.stack(emb.to_numpy()))
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype("int32"))
+
+    return pandas_udf(_assign, "int")
+
+
+def _assign_top_udf(centroids: np.ndarray, probes: int):
+    """Top-p nearest clusters per vector (soft assignment), Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c, p = centroids, probes
+
+    def _assign(emb):
+        m = _normalized(np.stack(emb.to_numpy()))
+        sims = m @ c.T
+        top = np.argsort(-sims, axis=1)[:, :p].astype("int32")
+        return pd.Series(list(top))
+
+    return pandas_udf(_assign, "array<int>")
+
+
+def kmeans_fit(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS
+) -> np.ndarray:
+    """Spherical k-means (cosine metric) over the embeddings table:
+    ``iters`` Lloyd rounds from the deterministic min-vec_id init;
+    returns the k×d unit centroid matrix."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    centroids = _init_centroids(e, k)
+    for _ in range(iters):
+        assigned = e.withColumn("cluster", _assign_udf(centroids)("emb"))
+        # one aggregate: per-cluster vector sums with map-side partials
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.col("emb")[i]).alias(f"s{i}")
+                        for i in range(centroids.shape[1])
+                    ]
+                ).alias("vsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        nxt = centroids.copy()  # empty clusters keep their previous centroid
+        for r in sums:
+            v = np.array(r["vsum"], dtype=np.float64)
+            nxt[r["cluster"]] = v / np.linalg.norm(v)
+        centroids = nxt
+    return centroids
+
+
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS
+) -> DataFrame:
+    """(vec_id, emb, cluster) under the fitted centroids."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    centroids = kmeans_fit(spark, sf_dir, k, iters)
+    return e.withColumn("cluster", _assign_udf(centroids)("emb"))
+
+
+@register("embedding_kmeans", oracle=None, tags=("similarity", "clustering"))
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster profile after 5 spherical k-means rounds: size and mean
+    cosine-to-centroid per cluster (rows-only: iterative — no SQL
+    oracle; assignment-level exactness vs a numpy reference is pinned in
+    tests/test_clustering.py).
+
+    At 100 TB this is the canonical mergeable-state loop: assignment
+    never shuffles (centroids travel to the data), the update is one
+    map-side-combined aggregate, and driver state is k·d doubles per
+    round. k scales to ~100k centroids before the closure broadcast
+    wants to become a proper ``spark.sparkContext.broadcast``.
+    """
+    assigned = kmeans_assign(spark, sf_dir)
+    dims = len(assigned.select("emb").first()["emb"])
+    norm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    # cosine to the (unit) centroid = dot(emb/|emb|, c); recompute the
+    # centroid in-plan from the final assignment so the profile is
+    # consistent with what the query returns.
+    sums = assigned.groupBy("cluster").agg(
+        F.array(*[F.sum(F.col("emb")[i]) for i in range(dims)]).alias("vsum"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    cnorm = F.sqrt(F.aggregate(F.col("vsum"), F.lit(0.0), lambda a, x: a + x * x))
+    centroids = sums.select(
+        "cluster", "n_points", F.transform("vsum", lambda x: x / cnorm).alias("c")
+    )
+    scored = assigned.join(F.broadcast(centroids), "cluster").select(
+        "cluster",
+        "n_points",
+        (
+            F.aggregate(
+                F.zip_with("emb", "c", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            / norm
+        ).alias("cos"),
+    )
+    return (
+        scored.groupBy("cluster", "n_points")
+        .agg(F.round(F.avg("cos"), 4).alias("mean_cos_to_centroid"))
+        .orderBy("cluster")
+    )
+
+
+@register("semdedup_pairs", oracle=None, tags=("similarity", "dedup", "clustering"))
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup: k-means first, then exact
+    cosine pairs ONLY within each cluster — the pruning that turns the
+    O(n²) all-pairs scan into k independent O((n/k)²) blocks.
+
+    Same schema and threshold as ``embedding_neardup_pairs``; rows-only
+    because cluster assignment is iterative. Precision is 1.0 by
+    construction (every emitted pair is re-scored exactly); recall is
+    what clustering trades away — pairs straddling a cluster boundary
+    are missed. Soft top-2 assignment (each vector lands in its two
+    nearest clusters) halves that loss for a 2× replication; measured
+    recall is pinned in tests/test_clustering.py on this uniform-random
+    testdata, where threshold-0.4 "near-dups" are 66° apart — on real
+    corpora near-dups sit at cos ≥0.95 and co-cluster almost surely,
+    which is why SemDeDup clusters at all. Shuffle cost: probes·n rows
+    hash-partitioned by cluster id, versus the exact twin's O(n·B)
+    replication.
+    """
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    centroids = kmeans_fit(spark, sf_dir)
+    assigned = e.withColumn(
+        "cluster", F.explode(_assign_top_udf(centroids, probes=2)("emb"))
+    )
+
+    def within(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id_1": [], "vec_id_2": [], "cos": []})
+        m = _normalized(np.stack(pdf["emb"].to_numpy()))
+        ids = pdf["vec_id"].to_numpy()
+        sim = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sim[ii, jj] >= SEMDEDUP_THRESHOLD
+        id1, id2 = ids[ii[keep]], ids[jj[keep]]
+        return pd.DataFrame(
+            {
+                "vec_id_1": np.minimum(id1, id2),
+                "vec_id_2": np.maximum(id1, id2),
+                "cos": sim[ii, jj][keep],
+            }
+        )
+
+    pairs = assigned.groupBy("cluster").applyInPandas(
+        within, "vec_id_1 long, vec_id_2 long, cos double"
+    )
+    # a pair whose members share both probed clusters is emitted twice;
+    # max() collapses it (values agree to fp noise — same two vectors)
+    return (
+        pairs.groupBy("vec_id_1", "vec_id_2")
+        .agg(F.round(F.max("cos"), 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,96 @@
+"""k-means + SemDeDup invariants: numpy-exact parity, precision/recall."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from live_data_spark.operators.clustering import (
+    K_CLUSTERS,
+    N_ITERS,
+    SEMDEDUP_THRESHOLD,
+    embedding_kmeans,
+    kmeans_assign,
+    kmeans_fit,
+    semdedup_pairs,
+)
+from live_data_spark.operators.similarity import embedding_neardup_pairs
+
+
+def _load_numpy(sf_dir: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, cast(embedding AS DOUBLE[]) FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _reference_kmeans(mat: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Plain-numpy replica of kmeans_fit's exact algorithm."""
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    centroids = unit[:k].copy()  # k smallest vec_ids (rows pre-sorted)
+    for _ in range(iters):
+        assign = np.argmax(unit @ centroids.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                centroids[c] = s / np.linalg.norm(s)
+    return centroids
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    ids, mat = _load_numpy(sf_dir)
+    ref_centroids = _reference_kmeans(mat, K_CLUSTERS, N_ITERS)
+    got = kmeans_fit(spark, sf_dir)
+    assert got.shape == ref_centroids.shape
+    # Spark's per-dimension sums reduce in partition order, numpy's in row
+    # order — identical values up to fp association (≤1e-12 here).
+    np.testing.assert_allclose(got, ref_centroids, atol=1e-9)
+
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref_assign = dict(zip(ids, np.argmax(unit @ ref_centroids.T, axis=1)))
+    spark_assign = {
+        r["vec_id"]: r["cluster"] for r in kmeans_assign(spark, sf_dir).collect()
+    }
+    mismatches = sum(1 for i in ids if ref_assign[i] != spark_assign[i])
+    assert mismatches == 0
+
+
+def test_kmeans_profile_shape(spark, sf_dir):
+    out = embedding_kmeans(spark, sf_dir).collect()
+    assert len(out) == K_CLUSTERS
+    assert sum(r["n_points"] for r in out) == 500
+    for r in out:
+        assert 0.0 < r["mean_cos_to_centroid"] <= 1.0
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir):
+    a = {(r["cluster"], r["n_points"]) for r in embedding_kmeans(spark, sf_dir).collect()}
+    b = {(r["cluster"], r["n_points"]) for r in embedding_kmeans(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_semdedup_precision_one_recall_floor(spark, sf_dir):
+    sd = {(r["vec_id_1"], r["vec_id_2"]) for r in semdedup_pairs(spark, sf_dir).collect()}
+    exact = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert sd, "semdedup returned no pairs"
+    assert sd <= exact  # precision 1.0: every pair is a true >=threshold pair
+    recall = len(sd & exact) / len(exact)
+    # 0.83 measured on this uniform-random testdata (threshold-0.4 pairs are
+    # 66 degrees apart — the hard case for cluster-local search)
+    assert recall >= 0.7, recall
+
+
+def test_semdedup_pairs_are_ordered_and_thresholded(spark, sf_dir):
+    rows = semdedup_pairs(spark, sf_dir).collect()
+    for r in rows:
+        assert r["vec_id_1"] < r["vec_id_2"]
+        assert r["cosine_sim"] >= SEMDEDUP_THRESHOLD - 1e-9
