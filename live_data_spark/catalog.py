@@ -70,6 +70,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_session_window_native",
     "embedding_kmeans",
     "semdedup_pairs",
+    "events_value_winsorized",
+    "langid_confusion",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

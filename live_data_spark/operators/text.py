@@ -183,6 +183,61 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select("doc_id", "labeled_lang", detected.alias("detected_lang"))
 
 
+_CONFUSION_ORACLE = rf"""
+WITH counts AS (
+  SELECT doc_id, lang AS labeled_lang,
+    len(regexp_extract_all(text, '\b({_LANG_MARKERS["en"]})\b')) AS c_en,
+    len(regexp_extract_all(text, '\b({_LANG_MARKERS["de"]})\b')) AS c_de,
+    len(regexp_extract_all(text, '\b({_LANG_MARKERS["es"]})\b')) AS c_es,
+    len(regexp_extract_all(text, '\b({_LANG_MARKERS["fr"]})\b')) AS c_fr
+  FROM documents
+), detected AS (
+  SELECT labeled_lang,
+    CASE
+      WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+      WHEN c_es >= c_fr THEN 'es'
+      ELSE 'fr'
+    END AS detected_lang
+  FROM counts
+)
+SELECT labeled_lang, detected_lang, count(*) AS n_docs,
+       round(count(*) / cast(sum(count(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE), 4)
+         AS share_of_label
+FROM detected
+GROUP BY labeled_lang, detected_lang
+"""
+
+
+@register("langid_confusion", oracle=_CONFUSION_ORACLE, tags=("text", "quality"))
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared label × detected language
+    with within-label shares — the audit that tells you whether a lang
+    partition of the corpus can be trusted before per-language sampling
+    rates (stratified_sample_by_lang, training_mix_plan) rely on it.
+
+    Reuses text_langid's classifier frame, so the scan and the marker
+    regexes are written once; the matrix is one hash aggregate over at
+    most |langs|² rows plus a window over that already-tiny frame.
+    """
+    detected = text_langid(spark, sf_dir).select("labeled_lang", "detected_lang")
+    cells = detected.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    per_label = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "detected_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(per_label).cast("double"), 4
+        ).alias("share_of_label"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting.
 # ---------------------------------------------------------------------------

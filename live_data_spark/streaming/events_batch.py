@@ -604,3 +604,64 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — percentile clipping for robust aggregates.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(c.p05, 4) AS p05,
+       round(c.p95, 4) AS p95,
+       round(cast(sum(cast(e.value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_raw,
+       round(cast(sum(cast(least(greatest(e.value, c.p05), c.p95) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS mean_winsorized,
+       count(*) FILTER (WHERE e.value < c.p05) AS n_clipped_low,
+       count(*) FILTER (WHERE e.value > c.p95) AS n_clipped_high
+FROM events e JOIN cuts c ON c.event_type = e.event_type
+GROUP BY e.event_type, c.p05, c.p95
+"""
+
+
+@register("events_value_winsorized", oracle=_WINSOR_ORACLE, tags=("events", "robust"))
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) robust mean per event type — the
+    standard tail-taming step before a mean is trusted on skewed metric
+    streams, with clip counts so the tails stay auditable.
+
+    Two aggregates over the same event_type keys: the 5-row percentile
+    frame broadcasts back onto the stream (same shape as
+    events_value_outliers — a window over the raw stream would hash the
+    full table by a 5-value key). Sums run in DECIMAL(18,6) so the
+    engine-order-dependent double drift never reaches the rounded
+    output. At 100 TB swap percentile for percentile_approx and the
+    plan is otherwise unchanged.
+    """
+    e = load(spark, sf_dir, "events")
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    dec_mean = lambda c: F.round(  # noqa: E731 — shared exact-sum mean shape
+        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+    )
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+            dec_mean(F.col("value")).alias("mean_raw"),
+            dec_mean(clipped).alias("mean_winsorized"),
+            F.count(F.when(F.col("value") < F.col("p05"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("value") > F.col("p95"), 1)).alias("n_clipped_high"),
+        )
+    )

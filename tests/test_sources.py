@@ -1,0 +1,81 @@
+"""File-source surface: JSONL round-trip, corrupt isolation, partition pruning."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from live_data_spark.catalog import load
+from live_data_spark.sources.files import read_jsonl, write_jsonl
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang").limit(50)
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, DOC_SCHEMA)
+    assert back.schema == DOC_SCHEMA
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_jsonl_corrupt_lines_isolated(spark, tmp_path):
+    """PERMISSIVE + declared _corrupt_record: bad lines quarantine, good
+    lines parse — the 100 TB posture (one bad shard must not kill a job)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        json.dumps({"doc_id": 1, "text": "ok", "lang": "en"})
+        + "\n{not json at all\n"
+        + json.dumps({"doc_id": 2, "text": "also ok", "lang": "de"})
+        + "\n"
+    )
+    schema = DOC_SCHEMA.add(StructField("_corrupt_record", StringType()))
+    got = read_jsonl(spark, str(p), schema)
+    rows = got.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("{not json")
+
+
+def test_partitioned_write_prunes_files(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet + a partition-column predicate = the scan
+    never opens non-matching directories. This is THE 100 TB lever: a
+    date/type-partitioned fact turns full scans into partition-sized ones."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    out = str(tmp_path / "events_by_type")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    all_types = spark.read.parquet(out)
+    one = all_types.where(F.col("event_type") == "purchase")
+
+    # plan-level proof: the predicate lands in PartitionFilters (file-index
+    # pruning — non-matching directories are never opened), NOT a post-scan
+    # Filter. (inputFiles() reports the pre-pruning relation listing, so the
+    # plan string is the observable contract here.)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_type" in pf and "purchase" in pf
+    # and the partition column is NOT a data filter
+    assert "event_type" not in plan.split("DataFilters")[1].split("]")[0]
+
+    got = {r["event_id"] for r in one.collect()}
+    want = {r["event_id"] for r in e.where(F.col("event_type") == "purchase").collect()}
+    assert got == want
