@@ -157,6 +157,73 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+SPIKE_ALPHA = 0.3  # EWMA smoothing
+SPIKE_FACTOR = 3.0  # alert when value > factor × current EWMA
+
+
+def value_spike_monitor(events: DataFrame) -> DataFrame:
+    """Per-user EWMA spike alerts via ``transformWithStateInPandas`` —
+    Spark 4's typed-state successor to applyInPandasWithState (named
+    state variables, per-variable TTL, timers), exercised here with a
+    single ValueState holding the running EWMA.
+
+    Semantics (batch-twin reproducible): events process in (ts,
+    event_id) order within each micro-batch; an event whose value
+    exceeds ``SPIKE_FACTOR × ewma_before`` emits an alert; every event
+    folds into ``ewma = α·value + (1-α)·ewma`` (seeded by the first
+    value, which never alerts). State is one (ewma,) double per user —
+    O(distinct users), bounded in production via
+    ``handle.getValueState(..., ttlDurationMs=...)`` eviction.
+
+    Environment gate: the transformWithState driver worker speaks
+    protobuf to the JVM, so running a query over this plan needs
+    ``google.protobuf`` installed (absent from this container — the
+    plan builds and the operator is tested wherever protobuf exists;
+    tests/test_streaming.py skips gracefully otherwise). The
+    applyInPandasWithState twins above run everywhere.
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ewma_before", DoubleType()),
+        ]
+    )
+
+    class SpikeMonitor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ewma = handle.getValueState("ewma", "ewma double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            ewma = self._ewma.get()[0] if self._ewma.exists() else None
+            alerts: list[tuple[int, int, float, float]] = []
+            for r in pdf.itertuples():
+                v = float(r.value)
+                if ewma is None:
+                    ewma = v  # seed: the first observation is the baseline
+                    continue
+                if v > SPIKE_FACTOR * ewma:
+                    alerts.append((key[0], int(r.event_id), v, ewma))
+                ewma = SPIKE_ALPHA * v + (1.0 - SPIKE_ALPHA) * ewma
+            self._ewma.update((ewma,))
+            if alerts:
+                yield pd.DataFrame(
+                    alerts, columns=["user_id", "event_id", "value", "ewma_before"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SpikeMonitor(), out_schema, "Update", "None"
+    )
+
+
 def funnel_tracker(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
     """Custom stateful streaming funnel — the streaming twin of the batch
     ``events_funnel`` (strictly-after stage semantics, SURVEY extension

@@ -249,3 +249,73 @@ def test_funnel_tracker_matches_batch_and_survives_restart(spark, tmp_path):
     # funnel counts = users with stage >= k — the batch events_funnel contract
     n_at = lambda k: sum(1 for s in stages.values() if s >= k)
     assert (n_at(1), n_at(2), n_at(3)) == (2, 1, 1)
+
+
+def test_value_spike_monitor_matches_reference_and_survives_restart(spark, tmp_path):
+    """transformWithStateInPandas EWMA alerts must match a plain-Python
+    fold over the same event order, including a spike whose baseline
+    state was written by an earlier micro-batch."""
+    # the TWS driver worker requires protobuf (absent in this container)
+    pytest.importorskip("google.protobuf")
+    src = tmp_path / "spike_src"
+    src.mkdir()
+    sink = tmp_path / "spike_sink"
+    ckpt = tmp_path / "spike_ckpt"
+
+    # batch 1: u0 builds a ~1.0 baseline; u1 spikes INSIDE the batch
+    b1 = _mk_events(
+        spark,
+        [(0, 0, "view", 1.0), (1, 0, "view", 1.2), (2, 1, "view", 2.0), (3, 1, "view", 9.0)],
+    )
+    b1.write.parquet(str(src / "b1"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    jobs.run_available_now_update(jobs.value_spike_monitor(stream), str(sink), str(ckpt))
+
+    # batch 2: u0 spikes against the checkpointed batch-1 EWMA; u1 calm
+    b2 = _mk_events(spark, [(10, 0, "view", 50.0), (11, 1, "view", 4.0)])
+    b2 = b2.withColumn("event_id", F.col("event_id") + 100)
+    b2.write.parquet(str(src / "b2"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    jobs.run_available_now_update(jobs.value_spike_monitor(stream), str(sink), str(ckpt))
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma_before"]
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+
+    # reference fold (same order, same constants)
+    def fold(values):
+        ewma, alerts = None, {}
+        for eid, v in values:
+            if ewma is None:
+                ewma = v
+                continue
+            if v > jobs.SPIKE_FACTOR * ewma:
+                alerts[eid] = ewma
+            ewma = jobs.SPIKE_ALPHA * v + (1 - jobs.SPIKE_ALPHA) * ewma
+        return alerts
+
+    want = {}
+    for uid, seq in {0: [(0, 1.0), (1, 1.2), (100, 50.0)], 1: [(2, 2.0), (3, 9.0), (101, 4.0)]}.items():
+        for eid, ewma in fold(seq).items():
+            want[(uid, eid)] = ewma
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12), k
+
+
+def test_value_spike_monitor_plan_builds_without_protobuf(spark, tmp_path):
+    """The TWS plan itself (analysis + schema) must build in any env —
+    only query EXECUTION needs the protobuf driver worker."""
+    src = tmp_path / "spike_plan_src"
+    src.mkdir()
+    _mk_events(spark, [(0, 0, "view", 1.0)]).write.parquet(str(src / "b1"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    monitored = jobs.value_spike_monitor(stream)
+    assert monitored.isStreaming
+    assert [f.name for f in monitored.schema.fields] == [
+        "user_id",
+        "event_id",
+        "value",
+        "ewma_before",
+    ]
