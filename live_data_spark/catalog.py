@@ -72,6 +72,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "semdedup_pairs",
     "events_value_winsorized",
     "langid_confusion",
+    "text_ngram_novelty",
+    "events_value_histogram_equidepth",
+    "events_heavy_hitters",
+    "events_heavy_hitters_approx",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -554,3 +554,51 @@ def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("span"))
         .limit(50)
     )
+
+
+_NOVELTY_ORACLE = (
+    _SHINGLE_CTE
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), freq AS (
+  SELECT s, count(*) AS df FROM ex GROUP BY s
+)
+SELECT e.doc_id,
+       count(*) AS n_shingles,
+       count(*) FILTER (WHERE freq.df = 1) AS n_unique,
+       round(count(*) FILTER (WHERE freq.df = 1) / cast(count(*) AS DOUBLE), 4)
+         AS novelty
+FROM ex e JOIN freq ON freq.s = e.s
+GROUP BY e.doc_id
+"""
+)
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("text", "quality", "dedup"))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level novelty per document: the fraction of its distinct
+    word 3-grams that appear in NO other document — the diversity twin
+    of the dedup ladder (low novelty = template/boilerplate-heavy doc
+    even when no single pair crosses a dedup threshold; a standard
+    data-mix diversity signal).
+
+    Plan: the shared distinct-shingle subtree → one shingle-keyed
+    document-frequency aggregate → join back on the shingle (both sides
+    hash-partitioned by ``s``, so the exchange is reused) → one doc-keyed
+    rollup. Since (doc_id, s) rows are distinct, ``count(*)`` per
+    shingle IS document frequency — no countDistinct state anywhere.
+    """
+    ex = shingle_rows(spark, sf_dir)
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_unique"),
+            F.round(
+                F.count(F.when(F.col("df") == 1, 1)) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("novelty"),
+        )
+    )

@@ -665,3 +665,104 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("value") > F.col("p95"), 1)).alias("n_clipped_high"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — decile bins from interpolated quantile cuts.
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH cuts AS (
+  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM events
+)
+SELECT len(list_filter(c.qs, q -> e.value >= q)) AS bin,
+       count(*) AS n,
+       round(min(e.value), 4) AS lo,
+       round(max(e.value), 4) AS hi
+FROM events e CROSS JOIN cuts c
+GROUP BY 1
+"""
+
+
+@register("events_value_histogram_equidepth", oracle=_EQUIDEPTH_ORACLE, tags=("events", "histogram"))
+def events_value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event value — the adaptive
+    complement of the fixed-width ``events_value_histogram``: bin edges
+    are the interpolated p10..p90 cuts, so each bin holds ≈10% of the
+    stream regardless of skew.
+
+    Deliberately NOT ``ntile(10) OVER (ORDER BY value)``: a global-order
+    window funnels the whole table through ONE partition. Instead a
+    1-row quantile aggregate broadcasts its 9 cuts back over the scan
+    and the bin index is ``#cuts ≤ value`` — two passes, both fully
+    parallel, the same cuts-frame shape as events_value_winsorized. At
+    100 TB swap percentile for percentile_approx (mergeable t-digest)
+    and nothing else changes.
+    """
+    e = load(spark, sf_dir, "events")
+    cuts = e.agg(
+        F.percentile("value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias("qs")
+    )
+    binned = e.crossJoin(F.broadcast(cuts)).select(
+        "value",
+        F.size(F.filter("qs", lambda q: F.col("value") >= q)).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — exact top-k plus the sketch-based approximate twin.
+# ---------------------------------------------------------------------------
+
+_HH_TOP = 20
+
+_HH_ORACLE = f"""
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT {_HH_TOP}
+"""
+
+
+@register("events_heavy_hitters", oracle=_HH_ORACLE, tags=("events", "topk"))
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-20 users by event count, total-ordered
+    (count desc, user_id). One user-keyed hash aggregate then
+    TakeOrderedAndProject over the per-user frame — no global sort; the
+    candidate set for the limit is 20 rows per partition.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(_HH_TOP)
+    )
+
+
+@register("events_heavy_hitters_approx", oracle=None, tags=("events", "topk", "sketch"))
+def events_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: ``approx_top_k`` (Spark 4), the
+    one-pass mergeable summary that replaces the exact group-by at
+    100 TB — per-partition sketches merge on the driver side of a 1-row
+    aggregate instead of shuffling every distinct key.
+
+    Rows-only for the driver (tie order inside the sketch is
+    unspecified, so rank isn't a stable contract); pytest pins that
+    with maxItemsTracked ≥ distinct-key count the returned (user, count)
+    pairs are exactly correct against the exact twin.
+    """
+    e = load(spark, sf_dir, "events")
+    topk = e.agg(
+        F.expr(f"approx_top_k(user_id, {_HH_TOP}, 65536)").alias("tk")
+    )
+    return topk.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("user_id"),
+        F.col("x.count").alias("n_events"),
+    )

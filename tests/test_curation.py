@@ -150,3 +150,51 @@ def test_native_session_window_conserves_events_and_value(spark, sf_dir):
     }
     assert set(per_user_native) == set(per_user_manual)
     assert all(per_user_native[u] >= per_user_manual[u] for u in per_user_native)
+
+
+def test_heavy_hitters_approx_is_exact_when_sketch_fits(spark, sf_dir):
+    """maxItemsTracked (65536) exceeds the distinct-user count, so the
+    sketch degenerates to exact counts: every returned pair must match
+    the exact per-user counts, and the top-1 count must agree."""
+    from live_data_spark.streaming.events_batch import (
+        events_heavy_hitters,
+        events_heavy_hitters_approx,
+    )
+
+    exact_all = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    approx = {r["user_id"]: r["n_events"] for r in events_heavy_hitters_approx(spark, sf_dir).collect()}
+    assert len(approx) == min(20, len(exact_all))
+    for uid, n in approx.items():
+        assert exact_all[uid] == n
+    top_exact = events_heavy_hitters(spark, sf_dir).collect()
+    assert top_exact[0]["n_events"] == max(approx.values())
+
+
+def test_ngram_novelty_bounds_and_duplicate_docs_score_zero(spark, sf_dir):
+    """Novelty is in [0,1]; exact-duplicate documents share every shingle,
+    so both copies must score 0 unique shingles."""
+    from live_data_spark.operators.dedup import text_ngram_novelty
+    from live_data_spark.operators.text import fingerprint
+
+    nov = {r["doc_id"]: r for r in text_ngram_novelty(spark, sf_dir).collect()}
+    for r in nov.values():
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_unique"] <= r["n_shingles"]
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", fingerprint("text").alias("fp"))
+    from collections import Counter
+
+    fps = Counter(r["fp"] for r in docs.collect())
+    dup_fps = {fp for fp, n in fps.items() if n > 1}
+    dup_ids = [r["doc_id"] for r in docs.collect() if r["fp"] in dup_fps]
+    # exact duplicates exist at sf>=0.01 but not necessarily at the smoke SF;
+    # when present, both copies must have zero corpus-unique shingles
+    for did in dup_ids:
+        if did in nov:  # zero-shingle docs drop from the frame
+            assert nov[did]["n_unique"] == 0
