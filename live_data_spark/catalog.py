@@ -76,6 +76,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_value_histogram_equidepth",
     "events_heavy_hitters",
     "events_heavy_hitters_approx",
+    "corpus_chunk_documents",
+    "events_rolling_dau",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

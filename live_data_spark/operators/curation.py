@@ -194,3 +194,66 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     entropy = -sum(terms[1:], terms[0])
     return d.select("doc_id", "lang", F.round(entropy, 4).alias("char_entropy"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — overlapping token windows for embedding pipelines.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+_CHUNK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest(cast(ceil((len(w) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS BIGINT), 0))) AS chunk_id,
+         len(w) AS n_words
+  FROM toks WHERE len(w) > 0
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_STRIDE} + 1 AS start_word,
+       least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_words) AS end_word,
+       least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_words)
+         - (chunk_id * {_CHUNK_STRIDE} + 1) + 1 AS n_tokens
+FROM chunks
+"""
+
+
+@register("corpus_chunk_documents", oracle=_CHUNK_ORACLE, tags=("text", "chunking", "pipeline"))
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48) —
+    the doc→chunk fan-out every embedding/RAG pipeline runs before
+    vectorizing. Emits the chunk manifest (word offsets + actual
+    length); the text slice itself is ``array_to_string(slice(w, start,
+    n))`` on the same arithmetic when the consumer wants payloads.
+
+    Chunk count per doc is ``1 + ceil((len-size)/stride)`` (every word
+    covered, last chunk ragged). The generator is an integer
+    ``sequence`` explode — same no-array-materialization discipline as
+    shingle_rows; one map-only pass, fan-out ≈ len/stride rows per doc,
+    no shuffle at all.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    base = d.select("doc_id", F.size(w).alias("n_words")).where(F.col("n_words") > 0)
+    n_chunks_m1 = F.greatest(
+        F.ceil((F.col("n_words") - _CHUNK_SIZE) / float(_CHUNK_STRIDE)).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "n_words",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_m1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_STRIDE + 1
+    end = F.least(start + (_CHUNK_SIZE - 1), F.col("n_words"))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_word"),
+        end.alias("end_word"),
+        (end - start + 1).alias("n_tokens"),
+    )

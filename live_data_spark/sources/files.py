@@ -18,6 +18,7 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _TS_NTZ_FMT = "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
@@ -162,3 +163,26 @@ def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> N
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: tuple[str, ...], n_files: int | None = None
+) -> None:
+    """Range-partition + sort-within-partition parquet write — the data
+    layout that makes min/max row-group statistics selective.
+
+    An unsorted write leaves every row group spanning the full value
+    domain, so a range predicate prunes nothing; ``repartitionByRange``
+    gives each FILE a disjoint slice of the sort key and the
+    within-partition sort tightens every ROW GROUP inside it (the poor
+    man's clustering key / Z-order for the single-column case). Readers
+    then skip whole groups via parquet stats under the pushed filter —
+    tests/test_sources.py proves the written stats are disjoint.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -766,3 +766,49 @@ def events_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.item").alias("user_id"),
         F.col("x.count").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct actives — DAU with 7-day trailing WAU.
+# ---------------------------------------------------------------------------
+
+_DAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT cast(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END) AS dau,
+       count(DISTINCT du.user_id) AS wau_7d
+FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+"""
+
+
+@register("events_rolling_dau", oracle=_DAU_ORACLE, tags=("events", "window", "distinct"))
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing 7-day WAU per day — the rolling DISTINCT that
+    plain windows can't express (count(DISTINCT) over a RANGE frame
+    isn't supported anywhere) and pre-aggregated DAU can't sum (distinct
+    isn't additive).
+
+    Shape: dedupe to (day, user) first — the only pass over raw events —
+    then a range join against the day grid fans each pair out to ≤7
+    window anchors before one (day)-keyed distinct count. The fan-out is
+    7×|day-user pairs|, independent of raw event volume; at 100 TB the
+    (day, user) frame is what you materialize incrementally, and the
+    purpose-built sketch alternative (mergeable HLL per day, union over
+    the trailing window) drops the fan-out entirely when approximation
+    is acceptable.
+    """
+    e = load(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    joined = F.broadcast(days.select(F.col("d").alias("anchor"))).join(
+        du, (F.col("d") <= F.col("anchor")) & (F.col("d") >= F.date_sub("anchor", 6))
+    )
+    return joined.groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct(F.when(F.col("d") == F.col("anchor"), F.col("user_id"))).alias("dau"),
+        F.countDistinct("user_id").alias("wau_7d"),
+    )

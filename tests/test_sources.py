@@ -79,3 +79,41 @@ def test_partitioned_write_prunes_files(spark, sf_dir, tmp_path):
     got = {r["event_id"] for r in one.collect()}
     want = {r["event_id"] for r in e.where(F.col("event_type") == "purchase").collect()}
     assert got == want
+
+
+def test_sorted_parquet_rowgroup_stats_are_disjoint(spark, sf_dir, tmp_path):
+    """write_sorted_parquet must produce files whose value ranges don't
+    overlap (range partitioning) with tight row-group min/max stats —
+    the physical property that makes stats-based skipping selective."""
+    import pyarrow.parquet as pq
+
+    from live_data_spark.sources.files import write_sorted_parquet
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    out = tmp_path / "events_sorted"
+    write_sorted_parquet(e, str(out), ("value",), n_files=4)
+
+    ranges = []
+    for f in sorted(out.glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        col_idx = next(
+            i for i in range(len(md.schema)) if md.schema.column(i).name == "value"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+        # row groups inside a file are sorted: group ranges must be ordered
+        assert mins == sorted(mins)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file value ranges overlap — range partitioning failed"
+
+    # and a range predicate is pushed down to the scan
+    back = spark.read.parquet(str(out)).where(F.col("value") > 100.0)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)]" in plan
+    want = e.where(F.col("value") > 100.0).count()
+    assert back.count() == want
