@@ -10,8 +10,10 @@ of wide rows). Per-query time is the BEST OF 2 back-to-back runs: the first
 run of a plan pays one-time Janino/JIT compilation of its generated code
 (~1-3 s for wide aggregates) and is exposed to transient host load; a
 long-lived production session amortizes both, so steady-state is the
-representative engine number. Total is the sum of per-query times; the
-JSON records runs_per_query for transparency.
+representative engine number. Three runs give two post-codegen samples,
+which cuts the run-to-run spread of min() substantially versus the single
+steady-state sample best-of-2 leaves. Total is the sum of per-query
+times; the JSON records runs_per_query for transparency.
 """
 
 from __future__ import annotations
@@ -52,7 +54,7 @@ def main() -> None:
         _ident(col("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    runs = 2
+    runs = 3
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         best = float("inf")
