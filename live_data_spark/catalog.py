@@ -78,6 +78,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_heavy_hitters_approx",
     "corpus_chunk_documents",
     "events_rolling_dau",
+    "corpus_quality_funnel",
+    "embedding_quantize_stats",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

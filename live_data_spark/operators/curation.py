@@ -257,3 +257,98 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         end.alias("end_word"),
         (end - start + 1).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality funnel — stage-by-stage survival accounting for the corpus gates.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_Q_ORACLE = r"""
+WITH stg AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is|in|to|for|on|with)\b')) AS n_stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), flagged AS (
+  SELECT lang, fp, doc_id,
+         CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS c_len,
+         CASE WHEN n_tokens >= 20
+               AND ((n_stop / n_tokens BETWEEN 0.01 AND 0.5) OR lang <> 'en')
+              THEN 1 ELSE 0 END AS c_stop,
+         CASE WHEN n_tokens >= 20
+               AND ((n_stop / n_tokens BETWEEN 0.01 AND 0.5) OR lang <> 'en')
+               AND n_punct / n_chars < 0.2
+              THEN 1 ELSE 0 END AS c_punct
+  FROM stg
+), surv AS (
+  SELECT fp, min(doc_id) AS doc_id FROM flagged WHERE c_punct = 1 GROUP BY fp
+), final AS (
+  SELECT f.lang, f.doc_id, f.c_len, f.c_stop, f.c_punct,
+         CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS c_dedup
+  FROM flagged f LEFT JOIN surv s ON s.fp = f.fp AND s.doc_id = f.doc_id
+)
+SELECT lang,
+       count(*) AS n_total,
+       cast(sum(c_len) AS BIGINT) AS n_after_length,
+       cast(sum(c_stop) AS BIGINT) AS n_after_stopword,
+       cast(sum(c_punct) AS BIGINT) AS n_after_punct,
+       cast(sum(c_dedup) AS BIGINT) AS n_after_dedup,
+       round(sum(c_dedup) / cast(count(*) AS DOUBLE), 4) AS keep_rate
+FROM final
+GROUP BY lang
+"""
+
+
+@register("corpus_quality_funnel", oracle=_FUNNEL_Q_ORACLE, tags=("text", "quality", "pipeline"))
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language survival through the corpus gates (length → stopword
+    → punctuation → exact dedup) — the observability table a curation
+    pipeline publishes so a sudden gate-level drop (bad crawl, regressed
+    classifier) is visible before it poisons a training mix. Gate
+    definitions are exactly corpus/pipeline.py's (stopword band applies
+    to English only; dedup keeps min-doc_id per fingerprint among gate
+    survivors).
+
+    One narrow scan computes every cumulative flag; the only shuffle
+    beyond the 1-row-per-lang aggregate is the dedup survivor map
+    (fp → min id, 16-byte keys). The funnel counts are CASE-sums in a
+    single pass — not one filtered subquery per stage.
+    """
+    from live_data_spark.operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    n_stop = F.regexp_count("text", F.lit(r"\b(the|a|of|and|is|in|to|for|on|with)\b")).cast(
+        "double"
+    )
+    n_punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+    n_chars = F.length("text").cast("double")
+    c_len = n_tokens >= 20
+    c_stop = c_len & ((n_stop / n_tokens).between(0.01, 0.5) | (F.col("lang") != "en"))
+    c_punct = c_stop & (n_punct / n_chars < 0.2)
+    flagged = d.select(
+        "lang",
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        c_len.cast("int").alias("c_len"),
+        c_stop.cast("int").alias("c_stop"),
+        c_punct.cast("int").alias("c_punct"),
+    )
+    surv = (
+        flagged.where(F.col("c_punct") == 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("c_dedup", F.lit(1))
+    )
+    final = flagged.join(surv, ["fp", "doc_id"], "left").na.fill({"c_dedup": 0})
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("c_len").alias("n_after_length"),
+        F.sum("c_stop").alias("n_after_stopword"),
+        F.sum("c_punct").alias("n_after_punct"),
+        F.sum("c_dedup").alias("n_after_dedup"),
+        F.round(F.sum("c_dedup") / F.count(F.lit(1)).cast("double"), 4).alias("keep_rate"),
+    )

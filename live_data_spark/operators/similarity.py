@@ -553,3 +553,67 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_v")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the vector-compression step before ANN serving.
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS dim
+), ex AS (
+  SELECT e.vec_id, d.dim, cast(e.embedding[d.dim] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims d
+), stats AS (
+  SELECT dim, min(x) AS dmin, max(x) AS dmax FROM ex GROUP BY dim
+), q AS (
+  SELECT ex.dim, stats.dmin, stats.dmax, ex.x,
+         round((ex.x - stats.dmin) / (stats.dmax - stats.dmin) * 255) AS code
+  FROM ex JOIN stats USING (dim)
+)
+SELECT cast(dim AS INTEGER) AS dim,
+       round(dmin, 4) AS dmin,
+       round(dmax, 4) AS dmax,
+       round(cast(sum(cast(abs(x - (code / 255 * (dmax - dmin) + dmin)) AS DECIMAL(18,12)))
+                  AS DOUBLE) / count(*), 6) AS mean_abs_err
+FROM q
+GROUP BY dim, dmin, dmax
+"""
+
+
+@register("embedding_quantize_stats", oracle=_QUANT_ORACLE, tags=("similarity", "vector", "compression"))
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 (asymmetric min/max) quantization profile:
+    scale bounds + mean absolute reconstruction error — the 4×
+    compression every ANN serving tier applies before distance
+    computation, here as the calibration pass that decides whether 8
+    bits suffice per dimension.
+
+    Plan: posexplode to (vec_id, dim, x) — the fan-out is d× but the
+    rows are 20 bytes; per-dim min/max is one 64-row aggregate that
+    broadcasts back; codes and errors never materialize outside the
+    final per-dim rollup. Reconstruction-error sums run in
+    DECIMAL(18,12) so engine summation order can't move the rounded
+    output. At 100 TB, calibrate on a deterministic hash sample instead
+    of the full corpus — the plan is unchanged upstream of the scan
+    filter.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    ex = e.select("vec_id", F.posexplode("emb").alias("dim0", "x")).select(
+        (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    stats = ex.groupBy("dim").agg(F.min("x").alias("dmin"), F.max("x").alias("dmax"))
+    q = ex.join(F.broadcast(stats), "dim").withColumn(
+        "code", F.round((F.col("x") - F.col("dmin")) / (F.col("dmax") - F.col("dmin")) * 255)
+    )
+    err = F.abs(F.col("x") - (F.col("code") / 255 * (F.col("dmax") - F.col("dmin")) + F.col("dmin")))
+    return q.groupBy(
+        F.col("dim").cast("int").alias("dim"),
+        F.round("dmin", 4).alias("dmin"),
+        F.round("dmax", 4).alias("dmax"),
+    ).agg(
+        F.round(
+            F.sum(err.cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_abs_err")
+    )

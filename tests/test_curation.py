@@ -198,3 +198,31 @@ def test_ngram_novelty_bounds_and_duplicate_docs_score_zero(spark, sf_dir):
     for did in dup_ids:
         if did in nov:  # zero-shingle docs drop from the frame
             assert nov[did]["n_unique"] == 0
+
+
+def test_quality_funnel_is_monotone(spark, sf_dir):
+    """Each gate can only shrink the surviving set, per language."""
+    from live_data_spark.operators.curation import corpus_quality_funnel
+
+    for r in corpus_quality_funnel(spark, sf_dir).collect():
+        assert (
+            r["n_total"]
+            >= r["n_after_length"]
+            >= r["n_after_stopword"]
+            >= r["n_after_punct"]
+            >= r["n_after_dedup"]
+            >= 0
+        )
+        assert r["keep_rate"] == pytest.approx(r["n_after_dedup"] / r["n_total"], abs=1e-4)
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Round-to-nearest int8 reconstruction error is at most step/2 per
+    value, so the per-dim mean must be too."""
+    from live_data_spark.operators.similarity import embedding_quantize_stats
+
+    rows = embedding_quantize_stats(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        step = (r["dmax"] - r["dmin"]) / 255.0
+        assert 0.0 <= r["mean_abs_err"] <= step / 2 + 1e-4, r["dim"]
