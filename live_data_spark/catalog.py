@@ -80,6 +80,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_rolling_dau",
     "corpus_quality_funnel",
     "embedding_quantize_stats",
+    "corpus_priority_sample",
+    "corpus_lang_source_chi2",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

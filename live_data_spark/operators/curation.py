@@ -352,3 +352,116 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_dedup").alias("n_after_dedup"),
         F.round(F.sum("c_dedup") / F.count(F.lit(1)).cast("double"), 4).alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling — deterministic weighted sample (Duffield-Lund-Thorup).
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 100
+
+# Knuth-hash uniform in (0, 1]: same integer arithmetic as
+# functions.dialect.deterministic_sample, scaled to a million buckets.
+# Integer ops + one correctly-rounded IEEE division = engine-identical.
+_U_BUCKETS = 1_000_003
+
+_PRIORITY_ORACLE = rf"""
+WITH weighted AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS w,
+         (((doc_id % 100003) * 2654435761) % {_U_BUCKETS} + 1) / {_U_BUCKETS}.0 AS u
+  FROM documents
+), prioritized AS (
+  SELECT doc_id, lang, w, round(w / u, 4) AS priority,
+         row_number() OVER (ORDER BY w / u DESC, doc_id) AS rnk
+  FROM weighted
+)
+SELECT doc_id, lang, cast(w AS BIGINT) AS n_tokens, priority
+FROM prioritized WHERE rnk <= {_PRIORITY_K}
+"""
+
+
+@register("corpus_priority_sample", oracle=_PRIORITY_ORACLE, tags=("text", "sampling"))
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample via priority sampling (Duffield,
+    Lund & Thorup): each doc gets priority ``w / u`` for a per-doc
+    uniform ``u``; the top-k priorities form a sample whose inclusion
+    probability is proportional to weight (here token count) — the
+    principled way to subsample a corpus for eval/inspection when long
+    documents should be proportionally represented.
+
+    Determinism across engines: ``u`` is a Knuth integer hash mapped to
+    (0, 1] — integer arithmetic plus ONE correctly-rounded IEEE division,
+    so priorities are bit-identical in Spark and DuckDB (no rand(), no
+    transcendental functions whose last ulp differs per libm). Plan: a
+    map-only projection then TakeOrderedAndProject — the top-k never
+    sorts the corpus. Ties carry a doc_id break for a total order.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    u = (
+        (F.pmod(F.col("doc_id"), F.lit(100003)) * F.lit(2654435761)) % _U_BUCKETS + 1
+    ) / float(_U_BUCKETS)
+    weighted = d.select(
+        "doc_id", "lang", w.alias("w"), (w.cast("double") / u).alias("p")
+    )
+    return (
+        weighted.orderBy(F.col("p").desc(), "doc_id")
+        .limit(_PRIORITY_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("w").alias("n_tokens"),
+            F.round("p", 4).alias("priority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square drift test — lang × source independence.
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+), margins AS (
+  SELECT lang, source, o,
+         sum(o) OVER (PARTITION BY lang) AS row_n,
+         sum(o) OVER (PARTITION BY source) AS col_n,
+         sum(o) OVER () AS n
+  FROM cells
+)
+SELECT lang, source, cast(o AS BIGINT) AS observed,
+       round(row_n * col_n / cast(n AS DOUBLE), 4) AS expected,
+       round(pow(o - row_n * col_n / cast(n AS DOUBLE), 2)
+             / (row_n * col_n / cast(n AS DOUBLE)), 4) AS chi2_contribution
+FROM margins
+"""
+
+
+@register("corpus_lang_source_chi2", oracle=_CHI2_ORACLE, tags=("text", "stats", "drift"))
+def corpus_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for lang × source — the
+    distribution-drift check a corpus pipeline runs per ingest batch
+    (is language mix independent of source? a spiking cell = one crawl
+    pouring one language). Emits observed vs expected and each cell's
+    χ² contribution; the test statistic is their sum and the threshold
+    lives in the consumer.
+
+    One |langs|×|sources| cell aggregate (the only pass over documents),
+    then windows over that tiny frame for the margins — the windows
+    never see the corpus, only the contingency table.
+    """
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_n = F.sum("o").over(Window.partitionBy("lang"))
+    col_n = F.sum("o").over(Window.partitionBy("source"))
+    n = F.sum("o").over(Window.partitionBy())
+    expected = row_n * col_n / n.cast("double")
+    return cells.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        F.round(expected, 4).alias("expected"),
+        F.round(F.pow(F.col("o") - expected, 2) / expected, 4).alias("chi2_contribution"),
+    )
