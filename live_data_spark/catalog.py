@@ -82,6 +82,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "embedding_quantize_stats",
     "corpus_priority_sample",
     "corpus_lang_source_chi2",
+    "rfm_segments",
+    "events_seasonal_anomalies",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from live_data_spark.catalog import load, register
-from live_data_spark.functions.dialect import dec2
+from live_data_spark.functions.dialect import dec2, money_sum
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
@@ -1207,4 +1207,87 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(stats), "event_type")
         .where(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — quantile-cut customer segments over orders.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS r,
+         count(*) AS f,
+         cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT quantile_cont(r, 1.0/3) AS r33, quantile_cont(r, 2.0/3) AS r66,
+         quantile_cont(f, 1.0/3) AS f33, quantile_cont(f, 2.0/3) AS f66,
+         quantile_cont(m, 1.0/3) AS m33, quantile_cont(m, 2.0/3) AS m66
+  FROM per_cust
+)
+SELECT
+  1 + CASE WHEN r >= r33 THEN 1 ELSE 0 END + CASE WHEN r >= r66 THEN 1 ELSE 0 END AS r_seg,
+  1 + CASE WHEN f >= f33 THEN 1 ELSE 0 END + CASE WHEN f >= f66 THEN 1 ELSE 0 END AS f_seg,
+  1 + CASE WHEN m >= m33 THEN 1 ELSE 0 END + CASE WHEN m >= m66 THEN 1 ELSE 0 END AS m_seg,
+  count(*) AS n_customers,
+  round(cast(sum(cast(m AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_monetary
+FROM per_cust CROSS JOIN cuts
+GROUP BY 1, 2, 3
+"""
+
+
+@register("rfm_segments", oracle=_RFM_ORACLE, tags=("agg", "quantile", "segmentation"))
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) tercile segmentation — the
+    classic customer-value grid, as the cut-frame pattern: one customer
+    aggregate (the only pass over orders), a 1-row quantile frame
+    broadcast back, integer segment arithmetic, then a ≤27-row rollup.
+
+    Monetary sums run in DECIMAL(18,2) everywhere (per-customer and
+    per-segment) so engine summation order can't flip a tercile
+    boundary or the rounded segment average. Recency is an integer day
+    diff against the corpus max order date — a 1-row subquery that
+    rides the same broadcast.
+    """
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("maxd"), F.max("o_orderdate")).alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            money_sum("o_totalprice").alias("m"),
+        )
+    )
+    cuts = per_cust.agg(
+        F.percentile("r", F.lit(1.0 / 3)).alias("r33"),
+        F.percentile("r", F.lit(2.0 / 3)).alias("r66"),
+        F.percentile("f", F.lit(1.0 / 3)).alias("f33"),
+        F.percentile("f", F.lit(2.0 / 3)).alias("f66"),
+        F.percentile("m", F.lit(1.0 / 3)).alias("m33"),
+        F.percentile("m", F.lit(2.0 / 3)).alias("m66"),
+    )
+    seg = lambda v, lo, hi: (  # noqa: E731
+        F.lit(1)
+        + F.when(F.col(v) >= F.col(lo), 1).otherwise(0)
+        + F.when(F.col(v) >= F.col(hi), 1).otherwise(0)
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .select(
+            seg("r", "r33", "r66").alias("r_seg"),
+            seg("f", "f33", "f66").alias("f_seg"),
+            seg("m", "m33", "m66").alias("m_seg"),
+            "m",
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("m").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_monetary"),
+        )
     )

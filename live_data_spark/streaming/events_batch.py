@@ -812,3 +812,59 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(F.col("d") == F.col("anchor"), F.col("user_id"))).alias("dau"),
         F.countDistinct("user_id").alias("wau_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly detection — hour-of-day baseline vs observed.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, hour(ts) AS hod, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), baseline AS (
+  SELECT hod, event_type,
+         sum(n) / cast(count(*) AS DOUBLE) AS expected
+  FROM hourly GROUP BY hod, event_type
+)
+SELECT strftime(h.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+       h.event_type,
+       h.n AS n_events,
+       round(b.expected, 4) AS expected,
+       round(h.n / b.expected, 4) AS lift
+FROM hourly h JOIN baseline b ON b.hod = h.hod AND b.event_type = h.event_type
+WHERE h.n / b.expected >= 1.5
+"""
+
+
+@register("events_seasonal_anomalies", oracle=_SEASONAL_ORACLE, tags=("events", "timeseries", "anomaly"))
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly hours: each (hour, type) count compared against
+    the same-hour-of-day average across the corpus' days (the cheapest
+    seasonal baseline — spiky traffic at 3 am means something different
+    than at peak). Hours at ≥1.5× their seasonal expectation surface.
+
+    Baseline is defined over OBSERVED same-hod hours (absent hours don't
+    dilute it) — the same definition on both engines. Two aggregates:
+    the hourly rollup is the only pass over events; the 24×|types|
+    baseline frame broadcasts back onto the (already tiny) hourly frame.
+    Integer counts divided by an identically-computed double mean keep
+    the lift deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.hour("ts").alias("hod"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = hourly.groupBy("hod", "event_type").agg(
+        (F.sum("n") / F.count(F.lit(1)).cast("double")).alias("expected")
+    )
+    joined = hourly.join(F.broadcast(baseline), ["hod", "event_type"])
+    return joined.where(F.col("n") / F.col("expected") >= 1.5).select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("expected", 4).alias("expected"),
+        F.round(F.col("n") / F.col("expected"), 4).alias("lift"),
+    )
