@@ -117,3 +117,41 @@ def test_sorted_parquet_rowgroup_stats_are_disjoint(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)]" in plan
     want = e.where(F.col("value") > 100.0).count()
     assert back.count() == want
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """A column added mid-stream must not break the table: mergeSchema
+    unions the parquet footers and back-fills nulls — the contract that
+    lets an incremental fact evolve without rewriting history."""
+    out = str(tmp_path / "evolving")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang").limit(20)
+    d.write.mode("overwrite").parquet(out)
+    d2 = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.length("text").alias("n_chars_actual"))
+        .limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    d2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"doc_id", "lang", "n_chars_actual"}
+    assert merged.count() == 30
+    # old files surface the new column as null; new files carry values
+    assert merged.where(F.col("n_chars_actual").isNull()).count() == 20
+    assert merged.where(F.col("n_chars_actual").isNotNull()).count() == 10
+
+
+def test_corrupt_parquet_file_isolated(spark, sf_dir, tmp_path):
+    """ignoreCorruptFiles: one truncated part file must not kill a scan
+    over a 100k-file table — the job reads past it (with data loss
+    confined to that file, which monitoring owns)."""
+    out = tmp_path / "with_corrupt"
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang").limit(20)
+    d.write.mode("overwrite").parquet(str(out))
+    (out / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+
+    clean = (
+        spark.read.option("ignoreCorruptFiles", True).parquet(str(out)).count()
+    )
+    assert clean == 20
