@@ -794,20 +794,26 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     isn't additive).
 
     Shape: dedupe to (day, user) first — the only pass over raw events —
-    then a range join against the day grid fans each pair out to ≤7
-    window anchors before one (day)-keyed distinct count. The fan-out is
-    7×|day-user pairs|, independent of raw event volume; at 100 TB the
-    (day, user) frame is what you materialize incrementally, and the
-    purpose-built sketch alternative (mergeable HLL per day, union over
-    the trailing window) drops the fan-out entirely when approximation
-    is acceptable.
+    then each pair EXPLODES to its 7 future window anchors and an
+    equi-join against the observed-day grid keeps real anchors. The
+    explode form matters: a range-condition join against the day grid
+    is a BroadcastNestedLoopJoin testing every pair against every day
+    (|days|× work — 3650× on a 10-year table); the explode is exactly 7
+    rows per pair regardless of history length, then everything is
+    hash-partitioned. At 100 TB the (day, user) frame is what you
+    materialize incrementally, and the sketch alternative (mergeable
+    HLL per day, union over the trailing window) drops the fan-out
+    entirely when approximation is acceptable.
     """
     e = load(spark, sf_dir, "events")
     du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    days = du.select("d").distinct()
-    joined = F.broadcast(days.select(F.col("d").alias("anchor"))).join(
-        du, (F.col("d") <= F.col("anchor")) & (F.col("d") >= F.date_sub("anchor", 6))
+    days = du.select(F.col("d").alias("anchor")).distinct()
+    fan = du.select(
+        "d",
+        "user_id",
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("anchor"),
     )
+    joined = fan.join(F.broadcast(days), "anchor")
     return joined.groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day")).agg(
         F.countDistinct(F.when(F.col("d") == F.col("anchor"), F.col("user_id"))).alias("dau"),
         F.countDistinct("user_id").alias("wau_7d"),

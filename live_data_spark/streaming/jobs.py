@@ -106,6 +106,29 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 h
     )
 
 
+def sliding_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1-hour/15-minute rollup — streaming twin of
+    ``events_sliding_rollup``. Same Expand-based 4× window assignment as
+    batch; the watermark bounds how many overlapping windows stay open
+    per (window, type) — state is (window/slide)·|types| groups per
+    active hour, evicted as the watermark passes each window end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event stream by id — ``dropDuplicatesWithinWatermark``.
 

@@ -319,3 +319,28 @@ def test_value_spike_monitor_plan_builds_without_protobuf(spark, tmp_path):
         "value",
         "ewma_before",
     ]
+
+
+def test_sliding_rollup_matches_batch(spark, events_dir, tmp_path):
+    """Streaming sliding windows must equal the batch Expand assignment
+    on every window the watermark closed."""
+    stream = jobs.read_events_stream(spark, events_dir)
+    got = _drain(spark, jobs.sliding_rollup(stream), tmp_path, "sliding").collect()
+
+    batch = spark.read.parquet(events_dir).where(F.col("event_type") != "sentinel")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
