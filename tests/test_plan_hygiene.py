@@ -24,6 +24,23 @@ from live_data_spark.catalog import catalog
 # (none today — 1-row frames go through BroadcastNestedLoopJoin)
 CARTESIAN_OK: set[str] = set()
 
+# BroadcastNestedLoopJoin is legitimate ONLY for 1-row scalar/cut frames
+# (quantile cuts, global sums, bounds) or the documented brute-force ANN
+# tiers whose whole point is the dense compare. Anything new showing up
+# here is probably a range-condition join that should be an explode +
+# equi-join (the events_rolling_dau lesson: |days|x nested-loop work vs
+# an exact 7-row fan-out).
+BNLJ_OK: set[str] = {
+    "events_value_histogram_equidepth",  # 1-row decile cut frame
+    "rfm_segments",  # 1-row anchor + 1-row tercile cuts
+    "events_gapfill_hourly",  # 1-row bounds x distinct types grid
+    "text_tfidf_topterms",  # 1-row corpus doc-count scalar
+    "q11_important_parts",  # 1-row global-sum scalar
+    "q22_rich_inactive_customers",  # 1-row avg-balance scalar
+    "ann_cosine_topk",  # exact brute-force tier (broadcast query set)
+    "ann_ivf_flat",  # centroid assignment compare (by design)
+}
+
 ALL = sorted(catalog())
 
 
@@ -34,3 +51,8 @@ def test_no_plan_antipatterns(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     if name not in CARTESIAN_OK:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join — 1-row frame? add to BNLJ_OK with a "
+            "reason; range condition? rewrite as explode + equi-join"
+        )
