@@ -366,13 +366,21 @@ class Project:
         names = select or list(self._models)
         return {n: self.build(n) for n in names}
 
-    def run_tests(self, select: list[str] | None = None):
-        """Run declared data tests; see plans.testing for semantics."""
+    def run_tests(self, select: list[str] | None = None, store_failures: bool = False):
+        """Run declared data tests; see plans.testing for semantics.
+
+        ``store_failures`` (dbt config analog): persist each failing
+        test's FULL violation set under ``{warehouse}/test_failures/``
+        so failures are queryable tables, not just log samples.
+        Severity gating is the caller's job via ``TestResult.blocking``
+        (dbt: ``warn`` reports, only ``error`` fails the run).
+        """
+        failures_dir = f"{self.warehouse_dir}/test_failures" if store_failures else None
         results = []
         for t in self._tests:
             if select and t.model not in select:
                 continue
-            results.append(t.run(self))
+            results.append(t.run(self, store_failures_dir=failures_dir))
         return results
 
     def invalidate(self) -> None:

@@ -41,9 +41,18 @@ class TestResult:
     passed: bool
     n_violations: int
     sample: tuple = ()
+    severity: str = "error"  # dbt severity config: "error" | "warn"
+    failures_path: str | None = None  # set when store_failures persisted rows
+
+    @property
+    def blocking(self) -> bool:
+        """True iff this result should fail the run (dbt: warn never does)."""
+        return not self.passed and self.severity == "error"
 
     def __str__(self) -> str:  # pragma: no cover - cosmetic
         status = "PASS" if self.passed else f"FAIL ({self.n_violations} violations)"
+        if not self.passed and self.severity == "warn":
+            status = f"WARN ({self.n_violations} violations)"
         return f"{self.test_name}[{self.model}]: {status}"
 
 
@@ -55,6 +64,7 @@ class GenericTest:
     model: str  # model name, or "source:bike_shop.customers"
     column: str
     params: tuple = ()
+    severity: str = "error"  # "warn" reports without failing the run
 
     def _target(self, project: "Project") -> DataFrame:
         if self.model.startswith("source:"):
@@ -65,18 +75,27 @@ class GenericTest:
     def build(self, project: "Project") -> DataFrame:
         raise NotImplementedError
 
-    def run(self, project: "Project") -> TestResult:
+    def run(self, project: "Project", store_failures_dir: str | None = None) -> TestResult:
         violations = self.build(project)
         # count via limited collect: a passing test touches no extra data,
         # a failing one materializes at most the sample
         sample = violations.limit(MAX_FAILURE_SAMPLE + 1).collect()
         n = len(sample)
+        failures_path = None
+        if n and store_failures_dir is not None:
+            # dbt store_failures: persist the FULL violation set as a table
+            # an analyst can query (the sample above is only a preview)
+            safe_model = self.model.replace(":", "_").replace(".", "_")
+            failures_path = f"{store_failures_dir}/{safe_model}__{self.test_name}"
+            violations.write.mode("overwrite").parquet(failures_path)
         return TestResult(
             test_name=self.test_name,
             model=self.model,
             passed=n == 0,
             n_violations=n,  # ">MAX_FAILURE_SAMPLE" truncated count
             sample=tuple(tuple(r) for r in sample[:MAX_FAILURE_SAMPLE]),
+            severity=self.severity,
+            failures_path=failures_path,
         )
 
 
@@ -131,22 +150,27 @@ class AcceptedValuesTest(GenericTest):
 # -- declaration helpers (the YAML shorthand) --------------------------------
 
 
-def not_null(model: str, column: str) -> NotNullTest:
-    return NotNullTest(f"not_null_{column}", model, column)
+def not_null(model: str, column: str, severity: str = "error") -> NotNullTest:
+    return NotNullTest(f"not_null_{column}", model, column, severity=severity)
 
 
-def unique(model: str, column: str) -> UniqueTest:
-    return UniqueTest(f"unique_{column}", model, column)
+def unique(model: str, column: str, severity: str = "error") -> UniqueTest:
+    return UniqueTest(f"unique_{column}", model, column, severity=severity)
 
 
-def relationships(model: str, column: str, to_model: str, to_column: str) -> RelationshipsTest:
+def relationships(
+    model: str, column: str, to_model: str, to_column: str, severity: str = "error"
+) -> RelationshipsTest:
     return RelationshipsTest(
         f"relationships_{column}__{to_model}_{to_column}",
         model,
         column,
         params=(to_model, to_column),
+        severity=severity,
     )
 
 
-def accepted_values(model: str, column: str, values: list) -> AcceptedValuesTest:
-    return AcceptedValuesTest(f"accepted_values_{column}", model, column, params=tuple(values))
+def accepted_values(model: str, column: str, values: list, severity: str = "error") -> AcceptedValuesTest:
+    return AcceptedValuesTest(
+        f"accepted_values_{column}", model, column, params=tuple(values), severity=severity
+    )

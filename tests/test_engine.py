@@ -351,3 +351,51 @@ def test_orc_round_trip_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_severity_warn_reports_without_blocking(spark, tmp_path):
+    """dbt severity: a failing warn-test reports violations but never
+    blocks the run; error-severity does."""
+    proj = Project(spark, warehouse_dir=str(tmp_path))
+
+    @proj.model
+    def m(ctx):
+        return ctx.spark.createDataFrame([(1,), (1,), (None,)], ["v"])
+
+    proj.add_test(unique("m", "v", severity="warn"))
+    proj.add_test(not_null("m", "v"))
+    res = {r.test_name: r for r in proj.run_tests()}
+    warn, err = res["unique_v"], res["not_null_v"]
+    assert not warn.passed and warn.severity == "warn" and not warn.blocking
+    assert "WARN" in str(warn)
+    assert not err.passed and err.severity == "error" and err.blocking
+
+
+def test_store_failures_persists_full_violation_set(spark, tmp_path):
+    """dbt store_failures: the COMPLETE violation rows land as a parquet
+    table (the in-memory sample is only a preview)."""
+    proj = Project(spark, warehouse_dir=str(tmp_path))
+
+    @proj.model
+    def m(ctx):
+        # 30 duplicated values — more than MAX_FAILURE_SAMPLE (20)
+        return ctx.spark.createDataFrame([(i % 30,) for i in range(60)], ["v"])
+
+    proj.add_test(unique("m", "v"))
+    [res] = proj.run_tests(store_failures=True)
+    assert not res.passed
+    assert res.failures_path is not None
+    stored = spark.read.parquet(res.failures_path)
+    assert stored.count() == 30  # full set, beyond the 21-row sample cap
+    assert set(stored.columns) == {"v", "n"}
+
+    # passing tests store nothing
+    proj2 = Project(spark, warehouse_dir=str(tmp_path / "w2"))
+
+    @proj2.model
+    def ok(ctx):
+        return ctx.spark.createDataFrame([(1,), (2,)], ["v"])
+
+    proj2.add_test(unique("ok", "v"))
+    [res2] = proj2.run_tests(store_failures=True)
+    assert res2.passed and res2.failures_path is None
