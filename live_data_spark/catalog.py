@@ -84,6 +84,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "corpus_lang_source_chi2",
     "rfm_segments",
     "events_seasonal_anomalies",
+    "embedding_label_prototypes",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -617,3 +617,66 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err.cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_abs_err")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label prototypes — nearest-to-centroid exemplars per label.
+# ---------------------------------------------------------------------------
+
+_PROTO_ORACLE = """
+WITH dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS dim
+), ex AS (
+  SELECT e.vec_id, e.label, d.dim, cast(e.embedding[d.dim] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims d
+), cent AS (
+  SELECT label, dim, sum(x) AS cx FROM ex GROUP BY label, dim
+), cvecs AS (
+  SELECT label, list(cx ORDER BY dim) AS cvec FROM cent GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label,
+         list_cosine_similarity(cast(e.embedding AS DOUBLE[]), c.cvec) AS cos,
+         row_number() OVER (
+           PARTITION BY e.label
+           ORDER BY list_cosine_similarity(cast(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                    e.vec_id) AS rnk
+  FROM embeddings e JOIN cvecs c USING (label)
+)
+SELECT label, vec_id, cast(rnk AS INTEGER) AS rnk, round(cos, 4) AS cosine_to_centroid
+FROM scored WHERE rnk <= 3
+"""
+
+
+@register("embedding_label_prototypes", oracle=_PROTO_ORACLE, tags=("similarity", "vector", "distillation"))
+def embedding_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype exemplars: the 3 vectors nearest their
+    label's centroid — the coreset/dataset-distillation primitive
+    (represent each class by its most central members) and the
+    quality check on labels themselves (a prototype with low centroid
+    cosine flags a diffuse or mislabeled class).
+
+    Plan: one posexplode pass → (label, dim) sums (map-side combined,
+    |labels|·d rows out) → per-label centroid arrays (built by sorted
+    dim so both engines assemble the identical vector) → broadcast back
+    → cosine + per-label top-3 window. Cosine is scale-invariant, so
+    the centroid skips the 1/n normalization entirely — fewer float ops
+    for the oracle to drift on.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    n_dims = len(e.select("emb").first()["emb"])
+    cvecs = e.groupBy("label").agg(
+        F.array(*[F.sum(F.col("emb")[i]) for i in range(n_dims)]).alias("cvec")
+    )
+    scored = e.join(F.broadcast(cvecs), "label").select(
+        "label", "vec_id", cosine(F.col("emb"), F.col("cvec")).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("label", "vec_id", "rnk", F.round("cos", 4).alias("cosine_to_centroid"))
+    )
