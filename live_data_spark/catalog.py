@@ -85,6 +85,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "rfm_segments",
     "events_seasonal_anomalies",
     "embedding_label_prototypes",
+    "events_type_markov",
+    "training_mix_temperature",
+    "dedup_rate_by_source",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

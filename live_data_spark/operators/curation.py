@@ -465,3 +465,116 @@ def corpus_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 4).alias("expected"),
         F.round(F.pow(F.col("o") - expected, 2) / expected, 4).alias("chi2_contribution"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mix — multilingual alpha-sampling rates.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3  # the standard multilingual temperature (mBERT/XLM-R lineage)
+
+_TEMP_MIX_ORACLE = rf"""
+WITH per_lang AS (
+  SELECT lang,
+         cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), shares AS (
+  SELECT lang, n_tokens,
+         n_tokens / cast(sum(n_tokens) OVER () AS DOUBLE) AS share,
+         pow(n_tokens / cast(sum(n_tokens) OVER () AS DOUBLE), {_MIX_ALPHA})
+           AS share_alpha
+  FROM per_lang
+)
+SELECT lang, n_tokens,
+       round(share, 4) AS natural_share,
+       round(share_alpha / sum(share_alpha) OVER (), 4) AS sampled_share,
+       round((share_alpha / sum(share_alpha) OVER ()) / share, 4) AS upsample_factor
+FROM shares
+"""
+
+
+@register("training_mix_temperature", oracle=_TEMP_MIX_ORACLE, tags=("text", "sampling", "pipeline"))
+def training_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.3) language sampling — the exponentiated
+    re-mix that keeps low-resource languages represented (p_i ∝
+    share_i^α, the mBERT/XLM-R recipe), alongside the natural share and
+    each language's implied up/downsample factor.
+
+    Complements ``training_mix_plan`` (fixed token budgets): this is the
+    *relative* mix. One per-lang token aggregate (the only pass over
+    documents); all shares/normalizations are windows over the
+    |langs|-row frame. ``pow`` is the one transcendental — last-ulp
+    differences between libm implementations sit ~10 orders below the
+    4-decimal rounding.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("bigint").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(wall).cast("double")
+    shares = per_lang.select(
+        "lang", "n_tokens", share.alias("share"), F.pow(share, _MIX_ALPHA).alias("share_alpha")
+    )
+    return shares.select(
+        "lang",
+        "n_tokens",
+        F.round("share", 4).alias("natural_share"),
+        F.round(F.col("share_alpha") / F.sum("share_alpha").over(wall), 4).alias("sampled_share"),
+        F.round(
+            (F.col("share_alpha") / F.sum("share_alpha").over(wall)) / F.col("share"), 4
+        ).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-rate observability — duplicate mass per source.
+# ---------------------------------------------------------------------------
+
+_DUPRATE_ORACLE = r"""
+WITH fps AS (
+  SELECT source, doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), surv AS (
+  SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp
+)
+SELECT f.source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE f.doc_id <> s.keeper) AS n_duplicates,
+       round(count(*) FILTER (WHERE f.doc_id <> s.keeper) / cast(count(*) AS DOUBLE), 4)
+         AS dup_rate
+FROM fps f JOIN surv s ON s.fp = f.fp
+GROUP BY f.source
+"""
+
+
+@register("dedup_rate_by_source", oracle=_DUPRATE_ORACLE, tags=("dedup", "pipeline", "quality"))
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate mass per source (keep-min-id convention): the dedup
+    observability cut — a source whose dup_rate jumps between ingests is
+    re-crawling or mirroring content, and that's visible here before the
+    dedup pass silently eats the budget.
+
+    Same 16-byte fingerprint shuffle as ``dedup_exact`` (the survivor
+    map is fp → min id); the per-source rollup rides the fingerprint
+    join. Non-survivor rows are counted as duplicates regardless of
+    which source holds the keeper — cross-source mirrors show up in
+    BOTH sources' rates by design.
+    """
+    from live_data_spark.operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", fingerprint("text").alias("fp")
+    )
+    surv = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    joined = d.join(surv, "fp")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("doc_id") != F.col("keeper"), 1)).alias("n_duplicates"),
+        F.round(
+            F.count(F.when(F.col("doc_id") != F.col("keeper"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_rate"),
+    )

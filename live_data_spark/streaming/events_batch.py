@@ -874,3 +874,51 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("expected", 4).alias("expected"),
         F.round(F.col("n") / F.col("expected"), 4).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov over user streams.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+)
+SELECT cur AS from_type, nxt AS to_type, n AS n_transitions,
+       round(n / cast(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 4) AS p_transition
+FROM pairs
+"""
+
+
+@register("events_type_markov", oracle=_MARKOV_ORACLE, tags=("events", "sequence"))
+def events_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next type | current type) — the sequence signal behind
+    next-action prediction, funnel-shape discovery, and bot detection
+    (bots have degenerate transition rows).
+
+    One lead() pass per user stream (the same (user, ts, event_id)
+    partitioning every session operator reuses), then a |types|² cell
+    aggregate; the row-normalizing window runs over that ≤25-row frame,
+    never the events.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    pairs = seq.groupBy(
+        F.col("cur").alias("from_type"), F.col("nxt").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    row_total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / row_total.cast("double"), 4).alias("p_transition"),
+    )
