@@ -88,6 +88,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_type_markov",
     "training_mix_temperature",
     "dedup_rate_by_source",
+    "basket_part_pairs",
+    "funnel_latency_quantiles",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

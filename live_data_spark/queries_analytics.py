@@ -1291,3 +1291,155 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_monetary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity — part co-occurrence with lift.
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (
+  SELECT count(DISTINCT l_orderkey) AS n FROM items
+), part_count AS (
+  SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT p.part_1, p.part_2, p.n_both,
+       round(p.n_both * n.n / cast(c1.c * c2.c AS DOUBLE), 4) AS lift
+FROM pairs p
+JOIN part_count c1 ON c1.l_partkey = p.part_1
+JOIN part_count c2 ON c2.l_partkey = p.part_2
+CROSS JOIN n_orders n
+ORDER BY lift DESC, part_1, part_2
+LIMIT 50
+"""
+
+
+@register("basket_part_pairs", oracle=_BASKET_ORACLE, tags=("join", "affinity"))
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in ≥3 orders, ranked
+    by lift = P(a,b)·N / (P(a)·P(b)) — the co-occurrence mining shape
+    (self-join on the basket key) behind recommendations.
+
+    Scale shape: the self-join is keyed on l_orderkey where baskets are
+    small (≤7 items), so per-order pair fan-out is bounded at
+    items²/2 ≈ 25 rows — the join is linear in orders, NOT all-pairs in
+    parts. Support floor first (HAVING ≥3), lift math afterwards on the
+    already-aggregated pair table; part marginals broadcast back;
+    TakeOrderedAndProject for the top-50 with full tiebreaks.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_count = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_1"), F.col("b.l_partkey").alias("part_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    c1 = part_count.select(F.col("l_partkey").alias("part_1"), F.col("c").alias("c1"))
+    c2 = part_count.select(F.col("l_partkey").alias("part_2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(c1), "part_1")
+        .join(F.broadcast(c2), "part_2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_1",
+            "part_2",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("n") / (F.col("c1") * F.col("c2")).cast("double"), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_1", "part_2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency — time-to-convert quantiles.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), lat AS (
+  SELECT s1.user_id,
+         epoch_us(s3.t3) - epoch_us(s1.t1) AS us_total,
+         epoch_us(s2.t2) - epoch_us(s1.t1) AS us_to_click
+  FROM s3 JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(us_to_click, 0.5) / 60000000.0, 4) AS p50_click_min,
+       round(quantile_cont(us_total, 0.5) / 60000000.0, 4) AS p50_total_min,
+       round(quantile_cont(us_total, 0.9) / 60000000.0, 4) AS p90_total_min
+FROM lat
+"""
+
+
+@register("funnel_latency_quantiles", oracle=_FUNNEL_LATENCY_ORACLE, tags=("events", "funnel", "quantile"))
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution for the view→click→purchase
+    funnel: how long converting users took (first-touch to first
+    qualifying purchase, and to the intermediate click) — the metric
+    that turns funnel COUNTS (events_funnel) into funnel SPEED.
+
+    Reuses events_funnel's strictly-after stage frames (min-agg per
+    stage with the previous stage's time on the join condition);
+    latencies are exact epoch-microsecond integers; one 1-row quantile
+    aggregate at the end. The stage joins are user-keyed over
+    1-row-per-user frames — the same linear shape as the funnel itself.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame, prev_t: str, out_t: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == step_type).select("user_id", "ts")
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    lat = (
+        s3.join(s2, "user_id")
+        .join(s1, "user_id")
+        .select(
+            F.expr("timestampdiff(MICROSECOND, t1, t3)").alias("us_total"),
+            F.expr("timestampdiff(MICROSECOND, t1, t2)").alias("us_to_click"),
+        )
+    )
+    m = 60_000_000.0
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("us_to_click", F.lit(0.5)) / m, 4).alias("p50_click_min"),
+        F.round(F.percentile("us_total", F.lit(0.5)) / m, 4).alias("p50_total_min"),
+        F.round(F.percentile("us_total", F.lit(0.9)) / m, 4).alias("p90_total_min"),
+    )

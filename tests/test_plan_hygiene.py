@@ -37,6 +37,7 @@ BNLJ_OK: set[str] = {
     "text_tfidf_topterms",  # 1-row corpus doc-count scalar
     "q11_important_parts",  # 1-row global-sum scalar
     "q22_rich_inactive_customers",  # 1-row avg-balance scalar
+    "basket_part_pairs",  # 1-row total-order-count scalar
     "ann_cosine_topk",  # exact brute-force tier (broadcast query set)
     "ann_ivf_flat",  # centroid assignment compare (by design)
 }
