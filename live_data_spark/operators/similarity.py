@@ -515,8 +515,8 @@ WITH ex AS (
   FROM embeddings
 )
 SELECT label, dim,
-       cast(sum(cast(cast(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-         / count(*) AS centroid_v
+       (cast(sum(cast(floor(cast(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+         / count(*)) / 1e9 AS centroid_v
 FROM ex GROUP BY label, dim
 """
 
@@ -532,25 +532,27 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape for vector means (reduce-side arrays would concentrate whole
     labels on single reducers; driver-side numpy wouldn't distribute).
 
-    Element sums run in decimal(18,9) so the mean is order-independent
-    and bit-stable; the mean divides as double at the output boundary.
-    The cast goes float→double→decimal on BOTH sides: a float widens to
-    double exactly, and every engine rounds that same double to scale 9
-    identically — whereas engines disagree on DIRECT float→decimal
-    (Spark rounds the float's shortest decimal repr, DuckDB the binary
-    value; measured: 75% of elements differ at scale 9). IVF assignment
-    (ann_ivf_flat) reuses this shape for its centroid refresh.
+    Elements quantize to nanos as ``floor(v·1e9 + 0.5)`` BIGINTs before
+    summing, so the sum is exact integer arithmetic — order-independent
+    and engine-identical. The quantization itself is two IEEE double
+    ops (multiply, add) plus floor on identical inputs, so both engines
+    produce the same integer for every element. This replaced a
+    decimal(18,9) sum: engines disagree on double→decimal rounding for
+    the (rare but real) floats whose exact decimal expansion terminates
+    in a 5 at the boundary digit — Spark rounds HALF_UP, DuckDB's cast
+    half-even — which flipped one cell in 640 at sf0.1. Magnitudes:
+    |v|≲1 ⇒ per-group sums ≲ n·1e9 ≪ 2^53, exact at any realistic SF.
+    IVF assignment (ann_ivf_flat) reuses this shape for its centroid
+    refresh.
     """
     ex = load(spark, sf_dir, "embeddings").select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
+    nanos = F.floor(F.col("v").cast("double") * 1e9 + 0.5).cast("bigint")
     return (
         ex.groupBy("label", "dim")
         .agg(
-            (
-                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("centroid_v")
+            ((F.sum(nanos).cast("double") / F.count(F.lit(1))) / 1e9).alias("centroid_v")
         )
     )
 

@@ -226,3 +226,48 @@ def test_quantize_error_bounded_by_half_step(spark, sf_dir):
     for r in rows:
         step = (r["dmax"] - r["dmin"]) / 255.0
         assert 0.0 <= r["mean_abs_err"] <= step / 2 + 1e-4, r["dim"]
+
+
+def test_markov_rows_are_probability_distributions(spark, sf_dir):
+    from live_data_spark.streaming.events_batch import events_type_markov
+
+    rows = events_type_markov(spark, sf_dir).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 <= r["p_transition"] <= 1.0
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p_transition"]
+    for ft, total in by_from.items():
+        assert total == pytest.approx(1.0, abs=5e-3), ft  # 4-decimal rounding per cell
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
+    """alpha < 1 must compress the spread: the sampled shares sum to 1 and
+    every language moves toward (or stays at) the uniform share."""
+    from live_data_spark.operators.curation import training_mix_temperature
+
+    rows = training_mix_temperature(spark, sf_dir).collect()
+    assert sum(r["sampled_share"] for r in rows) == pytest.approx(1.0, abs=5e-3)
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        nat, samp = r["natural_share"], r["sampled_share"]
+        # temperature pulls toward uniform: sampled sits between natural and uniform
+        lo, hi = min(nat, uniform), max(nat, uniform)
+        assert lo - 5e-3 <= samp <= hi + 5e-3, r["lang"]
+        if nat < uniform:
+            assert r["upsample_factor"] >= 1.0 - 1e-3
+        if nat > uniform:
+            assert r["upsample_factor"] <= 1.0 + 1e-3
+
+
+def test_dedup_rate_consistent_with_exact_dedup(spark, sf_dir):
+    """Total duplicates across sources == corpus rows minus distinct
+    fingerprints (the dedup_exact survivor count)."""
+    from live_data_spark.operators.curation import dedup_rate_by_source
+    from live_data_spark.operators.text import fingerprint
+
+    rows = dedup_rate_by_source(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_fps = d.select(fingerprint("text").alias("fp")).distinct().count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_duplicates"] for r in rows) == n_docs - n_fps
