@@ -90,6 +90,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_rate_by_source",
     "basket_part_pairs",
     "funnel_latency_quantiles",
+    "events_rolling_dau_hll",
+    "text_compression_ratio",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

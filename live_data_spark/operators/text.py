@@ -639,3 +639,43 @@ def training_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), target.cast("double") / F.col("total_tokens")), 4
         ).alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal — zlib redundancy probe.
+# ---------------------------------------------------------------------------
+
+
+@register("text_compression_ratio", oracle=None, tags=("text", "quality"))
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    MassiveText-style redundancy probe: highly compressible text is
+    repetitive boilerplate, incompressible text is noise/binary; both
+    tails get filtered. Complements the n-gram repetition ratio with a
+    model-free whole-document signal.
+
+    The JVM has no built-in compressor expression, so this is one of
+    the few legitimately-Python operators: an Arrow-batched pandas_udf
+    (zlib level 6 — deterministic output for a given input across
+    platforms, so the test pins EXACT equality against direct zlib).
+    Map-only; rows-only for the driver (DuckDB has no zlib either).
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(texts):
+        def one(t):
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / max(len(raw), 1)
+
+        return pd.Series([one(t) for t in texts])
+
+    ratio_udf = pandas_udf(_ratio, "double")
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio_udf(F.col("text")), 4).alias("compression_ratio"),
+    )

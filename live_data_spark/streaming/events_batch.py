@@ -922,3 +922,36 @@ def events_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.round(F.col("n_transitions") / row_total.cast("double"), 4).alias("p_transition"),
     )
+
+
+@register("events_rolling_dau_hll", oracle=None, tags=("events", "window", "distinct", "sketch"))
+def events_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DAU/WAU via Apache DataSketches HLL — the documented
+    100 TB swap for ``events_rolling_dau``: instead of fanning
+    (day, user) pairs into every window, each day aggregates ONCE into
+    a mergeable sketch and the trailing window unions 7 sketches. The
+    shuffle drops from 7×|day-user pairs| to 7×|days| sketch blobs
+    (~KB each) — distinct-counting becomes O(days), independent of user
+    cardinality.
+
+    Rows-only for the driver (estimates are approximate by design);
+    tests/test_curation.py pins ≤2% relative error against the exact
+    twin at lgK=14. This is the sketch-ladder pattern from SCALE.md §7
+    made concrete: same output schema as the exact operator, one-line
+    swap at the call site.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    days = daily.select(F.col("d").alias("anchor"))
+    fan = daily.select(
+        "d", "sk", F.explode(F.sequence("d", F.date_add("d", 6))).alias("anchor")
+    )
+    joined = fan.join(F.broadcast(days), "anchor")
+    return joined.groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day")).agg(
+        F.max(
+            F.when(F.col("d") == F.col("anchor"), F.expr("hll_sketch_estimate(sk)"))
+        ).alias("dau"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("wau_7d"),
+    )

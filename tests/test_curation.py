@@ -271,3 +271,39 @@ def test_dedup_rate_consistent_with_exact_dedup(spark, sf_dir):
     n_fps = d.select(fingerprint("text").alias("fp")).distinct().count()
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert sum(r["n_duplicates"] for r in rows) == n_docs - n_fps
+
+
+def test_rolling_dau_hll_tracks_exact(spark, sf_dir):
+    """The sketch swap must stay within HLL lgK=14 error (≤2% here) of the
+    exact rolling distinct twin on every day."""
+    from live_data_spark.streaming.events_batch import (
+        events_rolling_dau,
+        events_rolling_dau_hll,
+    )
+
+    exact = {r["day"]: (r["dau"], r["wau_7d"]) for r in events_rolling_dau(spark, sf_dir).collect()}
+    hll = {r["day"]: (r["dau"], r["wau_7d"]) for r in events_rolling_dau_hll(spark, sf_dir).collect()}
+    assert set(exact) == set(hll)
+    for day, (dau, wau) in exact.items():
+        hdau, hwau = hll[day]
+        assert abs(hdau - dau) / dau <= 0.02, day
+        assert abs(hwau - wau) / wau <= 0.02, day
+
+
+def test_compression_ratio_matches_zlib(spark, sf_dir):
+    """Arrow-batched zlib must equal direct zlib exactly (level 6 output
+    is deterministic), and both corpus tails must be inside (0, ~1.1]."""
+    import zlib
+
+    from live_data_spark.operators.text import text_compression_ratio
+
+    rows = {r["doc_id"]: r["compression_ratio"] for r in text_compression_ratio(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id LIMIT 25"
+    ).fetchall()
+    for doc_id, text in docs:
+        raw = text.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 4)
+        assert rows[doc_id] == pytest.approx(want, abs=1e-9), doc_id
+    assert all(0.0 < v <= 1.2 for v in rows.values())
