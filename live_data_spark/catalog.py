@@ -92,6 +92,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "funnel_latency_quantiles",
     "events_rolling_dau_hll",
     "text_compression_ratio",
+    "corpus_zipf_slope",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -679,3 +679,75 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round(ratio_udf(F.col("text")), 4).alias("compression_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — rank-frequency power-law slope of the corpus vocabulary.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000
+
+_ZIPF_ORACLE = rf"""
+WITH terms AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, count(*) AS f FROM terms GROUP BY term
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+  FROM freq
+  ORDER BY f DESC, term LIMIT {_ZIPF_TOP}
+), logs AS (
+  SELECT ln(r) AS x, ln(f) AS y FROM ranked
+)
+SELECT count(*) AS n_terms,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope,
+       round(pow(count(*) * sum(x * y) - sum(x) * sum(y), 2)
+             / ((count(*) * sum(x * x) - sum(x) * sum(x))
+                * (count(*) * sum(y * y) - sum(y) * sum(y))), 4) AS r_squared
+FROM logs
+"""
+
+
+@register("corpus_zipf_slope", oracle=_ZIPF_ORACLE, tags=("text", "stats"))
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the top-1000 vocabulary: least-squares
+    slope of log(freq) vs log(rank) plus r² — natural language sits
+    near slope −1; word-salad or template corpora drift away, so this
+    is a one-number corpus-health probe (and a drift alarm between
+    ingests when tracked per batch).
+
+    One term-frequency aggregate (the only pass over documents), a
+    top-1000 TakeOrdered with a total order (freq desc, term), then the
+    closed-form regression as a 1-row aggregate over 1000 log pairs.
+    ``ln`` last-ulp differences between libm implementations are ~10
+    orders below the 4-decimal rounding after the 1000-term sums.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("term")
+    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        freq.orderBy(F.col("f").desc(), "term")
+        .limit(_ZIPF_TOP)
+        .select(
+            F.ln(F.row_number().over(Window.orderBy(F.col("f").desc(), "term"))).alias("x"),
+            F.ln("f").alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx, syy = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x")), F.sum(
+        F.col("y") * F.col("y")
+    )
+    return ranked.agg(
+        n.alias("n_terms"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+        ).alias("r_squared"),
+    )

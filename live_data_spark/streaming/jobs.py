@@ -180,6 +180,23 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_events_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream–static enrichment join: each micro-batch broadcast-joins
+    the (bounded, slowly-changing) dimension — STATELESS, unlike
+    stream-stream joins: no watermark, no join state, the dim is just
+    re-resolved per batch (so a dim refresh between batches is picked
+    up automatically — the streaming analog of a dbt ref to a dim
+    model).
+
+    Left join keeps unmatched events (enrichment must never drop
+    facts); at 100 TB of stream the dim side still broadcasts because
+    it's a dimension, not a fact.
+    """
+    return events.join(
+        F.broadcast(dim), events[key] == dim[dim.columns[0]], "left"
+    ).drop(dim.columns[0])
+
+
 SPIKE_ALPHA = 0.3  # EWMA smoothing
 SPIKE_FACTOR = 3.0  # alert when value > factor × current EWMA
 

@@ -344,3 +344,25 @@ def test_sliding_rollup_matches_batch(spark, events_dir, tmp_path):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_join(spark, events_dir, tmp_path):
+    """Stream-static broadcast join: stateless per-batch enrichment must
+    equal the batch left join, and unmatched events must survive."""
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")], ["d_user_id", "tier"]
+    )
+    stream = jobs.read_events_stream(spark, events_dir)
+    enriched = jobs.enrich_events_stream(stream, dim)
+    got = _drain(spark, enriched, tmp_path, "enrich")
+
+    batch = spark.read.parquet(events_dir)
+    want = batch.join(
+        F.broadcast(dim), batch["user_id"] == dim["d_user_id"], "left"
+    ).drop("d_user_id")
+    assert got.count() == batch.count()  # left join never drops facts
+    g = {(r["event_id"], r["tier"]) for r in got.select("event_id", "tier").collect()}
+    w = {(r["event_id"], r["tier"]) for r in want.select("event_id", "tier").collect()}
+    assert g == w
+    # users 3/4 have no dim row -> NULL tier survives
+    assert got.where(F.col("tier").isNull()).count() > 0
