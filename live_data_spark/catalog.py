@@ -93,6 +93,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_rolling_dau_hll",
     "text_compression_ratio",
     "corpus_zipf_slope",
+    "events_windowed_topk_users",
+    "orders_open_backlog_daily",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

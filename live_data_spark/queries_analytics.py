@@ -1443,3 +1443,57 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("us_total", F.lit(0.5)) / m, 4).alias("p50_total_min"),
         F.round(F.percentile("us_total", F.lit(0.9)) / m, 4).alias("p90_total_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog — interval accounting via +1/−1 boundary events.
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH bounds AS (
+  SELECT cast(o.o_orderdate AS DATE) AS d, 1 AS delta
+  FROM orders o
+  UNION ALL
+  SELECT cast(done.dd AS DATE), -1
+  FROM (SELECT l_orderkey, max(cast(l_shipdate AS DATE)) AS dd
+        FROM lineitem GROUP BY l_orderkey) done
+), daily AS (
+  SELECT d, sum(delta) AS net FROM bounds GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       cast(sum(net) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+FROM daily
+"""
+
+
+@register("orders_open_backlog_daily", oracle=_BACKLOG_ORACLE, tags=("agg", "timeseries", "interval"))
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — concurrent-interval accounting: each
+    order contributes +1 at placement and −1 when its last line item
+    ships; the running net is how many orders are in flight — the shape
+    behind concurrency counts, inventory in transit, and active-session
+    curves, with no per-day interval join anywhere.
+
+    The only passes over facts are the per-order completion aggregate
+    and the boundary-event union; everything after is a |days|-row
+    frame. The running sum IS a single-partition window — over ~2500
+    aggregated rows, not events (at 100 TB of orders this frame is
+    still |days|; if the series ever needed sharding, prefix sums per
+    year + year-offset broadcast is the standard split). Orders whose
+    lines never ship stay open forever — visible as the tail plateau.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    starts = o.select(F.to_date("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    done = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("d"))
+        .select("d", F.lit(-1).alias("delta"))
+    )
+    daily = starts.unionByName(done).groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    )

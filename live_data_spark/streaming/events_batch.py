@@ -955,3 +955,51 @@ def events_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dau"),
         F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("wau_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed top-k — heaviest users per hour (rank within window).
+# ---------------------------------------------------------------------------
+
+_WINDOWED_TOPK_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT h, user_id, n,
+         row_number() OVER (PARTITION BY h ORDER BY n DESC, user_id) AS rnk
+  FROM hourly
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+       user_id, n AS n_events, cast(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("events_windowed_topk_users", oracle=_WINDOWED_TOPK_ORACLE, tags=("events", "topk", "window"))
+def events_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 heaviest users per hour — windowed top-k, the per-window
+    complement of the global ``events_heavy_hitters``: rank WITHIN each
+    time bucket, so a burst that's invisible globally surfaces in its
+    hour.
+
+    Two-level: the (hour, user) count aggregate is the only pass over
+    events; ranking partitions by hour over that already-aggregated
+    frame. No global sort anywhere, and the rank partitions are
+    |users-per-hour| at worst — the frame windows never see raw events.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("h").orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            "n_events",
+            "rnk",
+        )
+    )
