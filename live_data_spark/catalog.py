@@ -95,6 +95,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "corpus_zipf_slope",
     "events_windowed_topk_users",
     "orders_open_backlog_daily",
+    "events_bot_score",
     # dedup ladder (unchecked in r01 except dedup_exact)
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -1003,3 +1003,71 @@ def events_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot scoring — inter-arrival regularity per user.
+# ---------------------------------------------------------------------------
+
+_BOT_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+), stats AS (
+  SELECT user_id,
+         count(g) AS n,
+         sum(cast(g AS DECIMAL(38,0))) AS sx,
+         sum(cast(g AS DECIMAL(38,0)) * cast(g AS DECIMAL(38,0))) AS sxx
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, cast(n AS BIGINT) AS n_gaps,
+       round(cast(sx AS DOUBLE) / n / 1000000.0, 4) AS mean_gap_s,
+       round(sqrt(greatest(n * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE), 0))
+             / cast(sx AS DOUBLE), 4) AS gap_cv,
+       CASE WHEN n >= 20 AND
+            sqrt(greatest(n * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE), 0))
+              / cast(sx AS DOUBLE) < 0.3
+            THEN 1 ELSE 0 END AS bot_flag
+FROM stats
+WHERE n >= 5
+"""
+
+
+@register("events_bot_score", oracle=_BOT_ORACLE, tags=("events", "quality", "anomaly"))
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot likelihood from inter-arrival regularity: the
+    coefficient of variation of event gaps (√n·Σg² − (Σg)² / Σg).
+    Humans are bursty (CV ≳ 1); schedulers and scripts tick metronomically
+    (CV → 0) — flag high-volume users below 0.3.
+
+    Exactness discipline: gaps are integer microseconds, but their
+    SQUARES overflow double's 2^53 integer range, so both moment sums
+    run in DECIMAL(38,0) — exact, order-independent — and only the final
+    scalar CV math happens in double (identical correctly-rounded ops on
+    identical inputs). One window pass on the shared user partitioning,
+    one user-keyed moment aggregate; the CV is Welford-free because the
+    two-moment form is exact here.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn("prev_ts", F.lag("ts").over(w)).select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("g"),
+    ).where(F.col("g").isNotNull())
+    gd = F.col("g").cast("decimal(38,0)")
+    stats = gaps.groupBy("user_id").agg(
+        F.count("g").alias("n"),
+        F.sum(gd).alias("sx"),
+        F.sum(gd * gd).alias("sxx"),
+    ).where(F.col("n") >= 5)
+    n, sx, sxx = F.col("n"), F.col("sx").cast("double"), F.col("sxx").cast("double")
+    cv = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) / sx
+    return stats.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(sx / n / 1e6, 4).alias("mean_gap_s"),
+        F.round(cv, 4).alias("gap_cv"),
+        F.when((n >= 20) & (cv < 0.3), 1).otherwise(0).alias("bot_flag"),
+    )
