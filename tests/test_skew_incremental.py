@@ -158,3 +158,52 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join handling: a hot key big enough to cross the skew
+    thresholds gets split (the executed join shows skew=true), and the
+    join result is unchanged — the runtime half of the salting story
+    (functions/skew.py is the compile-time half)."""
+    import pyspark.sql.functions as F
+
+    left_path = str(tmp_path / "skew_left")
+    right_path = str(tmp_path / "skew_right")
+    # 200k rows on ONE key plus a uniform tail; force tiny partition
+    # targets so the hot partition crosses the skew factor
+    spark.range(200_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    ).union(
+        spark.range(2_000).select((F.col("id") % 50 + 1).alias("k"), F.col("id"))
+    ).write.mode("overwrite").parquet(left_path)
+    spark.range(51).select(F.col("id").alias("k"), F.lit("dim").alias("v")).write.mode(
+        "overwrite"
+    ).parquet(right_path)
+
+    old = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        left = spark.read.parquet(left_path)
+        right = spark.read.parquet(right_path)
+        joined = left.join(right, "k")
+        # collect the join df itself so ITS adaptive plan finalizes
+        # (count() would execute a different query)
+        assert len(joined.collect()) == 202_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not mark the skewed join"
+    finally:
+        for key, val in old.items():
+            spark.conf.set(key, val)
