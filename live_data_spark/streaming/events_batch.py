@@ -1071,3 +1071,125 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 4).alias("gap_cv"),
         F.when((n >= 20) & (cv < 0.3), 1).otherwise(0).alias("bot_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Value concentration — Gini coefficient over per-user spend.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, sum(cast(value AS DECIMAL(18,2))) AS x
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i, count(*) OVER () AS n
+  FROM per_user
+)
+SELECT cast(max(n) AS BIGINT) AS n_users,
+       round(cast(sum(cast(x AS DOUBLE)) AS DOUBLE), 2) AS total_value,
+       round(2.0 * sum(i * cast(x AS DOUBLE)) / (max(n) * sum(cast(x AS DOUBLE)))
+             - (max(n) + 1.0) / max(n), 4) AS gini
+FROM ranked
+"""
+
+
+@register("events_value_gini", oracle=_GINI_ORACLE, tags=("events", "stats", "inequality"))
+def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event value — the concentration
+    number behind "whales vs long tail": 0 = uniform spend, →1 = one
+    user carries everything. Computed by the exact sorted formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with a total order (value, user_id).
+
+    Per-user sums run in DECIMAL(18,2) (exact, order-free); the rank
+    window is a global sort of the PER-USER frame — |users| rows, not
+    events (at 100 TB users still fit a few executors; if not, the
+    distributed Gini via the Lorenz-curve trapezoid over range-
+    partitioned prefix sums is the documented split). The i·x products
+    are exact integers times 2-decimal values — summed as doubles they
+    stay well under 2^53 relative precision for the 4-decimal output.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        F.col("x").cast("double").alias("xd"),
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.max(F.count(F.lit(1)).over(Window.partitionBy()))
+    # count(*) via a plain agg: rank frame already materializes all rows
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("xd"), 2).alias("total_value"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("xd")) / (F.count(F.lit(1)) * F.sum("xd"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap — Jaccard similarity between event-type user sets.
+# ---------------------------------------------------------------------------
+
+_TYPE_JACCARD_ORACLE = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS c FROM tu GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_1, b.event_type AS type_2, count(*) AS n_common
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_1, i.type_2, i.n_common,
+       round(i.n_common / cast(s1.c + s2.c - i.n_common AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.event_type = i.type_1
+JOIN sizes s2 ON s2.event_type = i.type_2
+"""
+
+
+@register("events_type_audience_jaccard", oracle=_TYPE_JACCARD_ORACLE, tags=("events", "setop"))
+def events_type_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard of the user sets
+    behind each pair of types — the "do clickers also purchase"
+    set-similarity readout, same inverted-index shape as the document
+    dedup ladder but at the (type, user) grain.
+
+    The distinct (type, user) frame is the only pass over events; the
+    self-join is user-keyed with ≤|types| rows per user (bounded
+    fan-out); set sizes broadcast onto the ≤|types|² pair table.
+    """
+    e = load(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_1"), F.col("b.event_type").alias("type_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("type_1"), F.col("c").alias("c1"))
+    s2 = sizes.select(F.col("event_type").alias("type_2"), F.col("c").alias("c2"))
+    return (
+        inter.join(F.broadcast(s1), "type_1")
+        .join(F.broadcast(s2), "type_2")
+        .select(
+            "type_1",
+            "type_2",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("c1") + F.col("c2") - F.col("n_common")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
