@@ -53,109 +53,15 @@ def register(
     return deco
 
 
-# The driver's correctness sweep verifies a PREFIX of the catalog (50
-# entries in round 1). Entries listed here lead the catalog: everything
-# that lacks a green driver row from the previous round — the previously
-# unchecked extension surface, the two fixed hash artifacts, and all
-# operators new this round. Previously-green entries follow in
-# registration order and can rotate out of the checked prefix for a
-# round. tests/test_engine.py pins that every name listed exists.
-_CHECK_FIRST: tuple[str, ...] = (
-    # new in r03: curation + events analytics (never driver-checked)
-    "corpus_pack_sequences",
-    "corpus_source_cap",
-    "text_char_entropy",
-    "events_retention_cohorts",
-    "events_interarrival_stats",
-    "events_session_window_native",
-    "embedding_kmeans",
-    "semdedup_pairs",
-    "events_value_winsorized",
-    "langid_confusion",
-    "text_ngram_novelty",
-    "events_value_histogram_equidepth",
-    "events_heavy_hitters",
-    "events_heavy_hitters_approx",
-    "corpus_chunk_documents",
-    "events_rolling_dau",
-    "corpus_quality_funnel",
-    "embedding_quantize_stats",
-    "corpus_priority_sample",
-    "corpus_lang_source_chi2",
-    "rfm_segments",
-    "events_seasonal_anomalies",
-    "embedding_label_prototypes",
-    "events_type_markov",
-    "training_mix_temperature",
-    "dedup_rate_by_source",
-    "basket_part_pairs",
-    "funnel_latency_quantiles",
-    "events_rolling_dau_hll",
-    "text_compression_ratio",
-    "corpus_zipf_slope",
-    "events_windowed_topk_users",
-    "orders_open_backlog_daily",
-    "events_bot_score",
-    # dedup ladder (unchecked in r01 except dedup_exact)
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_survivors",
-    # similarity / ANN (unchecked in r01; neardup_lsh new in r02)
-    "ann_cosine_topk",
-    "embedding_neardup_pairs",
-    "embedding_neardup_lsh",
-    "ann_ivf_flat",
-    "ann_srp_lsh",
-    "embedding_centroid_by_label",
-    # multimodal (rows-only, unchecked in r01)
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
-    # events surface (unchecked in r01)
-    "events_hourly_rollup",
-    "events_json_props",
-    "events_sessionize",
-    "events_dedup_latest",
-    "events_sliding_rollup",
-    "events_funnel",
-    # hash-artifact fixes from r01 (values were verified equal; oracle
-    # typing fixed in r02)
-    "corpus_pipeline_stats",
-    "q12_late_shipment_priority",
-    # new in r02: remaining TPC-H shapes
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q20_outsized_suppliers",
-    "q21_waiting_suppliers",
-    # new in r02: training-pipeline text operators
-    "text_repetition_ratio",
-    "text_pii_scrub_stats",
-    "stratified_sample_by_lang",
-    "contamination_ngram_overlap",
-    "dedup_boilerplate_spans",
-    "training_mix_plan",
-    "multimodal_header_stats",
-    "window_spend_deciles",
-    "events_pivot_by_type",
-    "events_value_histogram",
-    "events_unpivot_type_counts",
-    "events_gapfill_hourly",
-    "asof_next_event_after_error",
-    "events_value_outliers",
-    "fuzzy_part_names",
-)
-
-
 def catalog() -> dict[str, QuerySpec]:
     """All registered queries (imports operator modules for side effects).
 
-    Ordering: ``_CHECK_FIRST`` names lead (the driver verifies a prefix),
-    then everything else in registration order.
+    Ordering: the driver's correctness sweep verifies a 50-entry PREFIX of
+    this dict, so the order IS the check schedule. It is computed by the
+    rotation policy in :mod:`live_data_spark.ledger` — red rows first, then
+    never-checked entries (new operators land there automatically), then
+    entries edited since their last green row, then oldest-evidence-first.
+    tests/test_engine.py pins the policy invariants.
     """
     # Imported lazily so `import live_data_spark` stays cheap.
     from live_data_spark.operators import clustering, curation, dedup, similarity, multimodal, text  # noqa: F401
@@ -163,9 +69,9 @@ def catalog() -> dict[str, QuerySpec]:
     from live_data_spark.corpus import pipeline  # noqa: F401
     from live_data_spark import queries_analytics, queries_reference, queries_tpch_extra  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _CHECK_FIRST if n in _REGISTRY}
-    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
-    return ordered
+    from live_data_spark.ledger import check_order
+
+    return {n: _REGISTRY[n] for n in check_order(_REGISTRY)}
 
 
 # events.parquet stores ts as INT64 TIMESTAMP(NANOS) — Spark has no nanosecond

@@ -1113,6 +1113,41 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("window_spend_deciles_ranged", oracle=_DECILE_ORACLE, tags=("window", "rank", "scale"))
+def window_spend_deciles_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of ``window_spend_deciles`` — same rows, same oracle, no
+    single-partition stage. The exact twin's unpartitioned rank window
+    coalesces every customer into one task; here the global rank comes
+    from functions/ranks.py::with_global_rank (repartitionByRange + per-
+    partition row_number + broadcast P-row offsets), and the rank family
+    is derived in closed form: with the (spend DESC, customer_id) total
+    order there are no ORDER BY ties, so percent_rank = (r-1)/(n-1),
+    cume_dist = r/n, and ntile(10) is ntile_from_rank's exact bucket
+    arithmetic. Survives 100× because nothing downstream of the range
+    shuffle sees more than one partition's rows.
+    """
+    from live_data_spark.functions.ranks import ntile_from_rank, with_global_rank
+
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.sum(dec2("o_totalprice")).cast("double").alias("total_spend")
+    )
+    ranked = with_global_rank(
+        spend,
+        [F.col("total_spend").desc(), F.col("customer_id").asc()],
+        rank_col="__r",
+        total_col="__n",
+    )
+    r, n = F.col("__r"), F.col("__n")
+    return ranked.select(
+        "customer_id",
+        "total_spend",
+        ntile_from_rank(r, n, 10).alias("decile"),
+        F.round((r - 1) / (n - 1), 6).alias("pct_rank"),
+        F.round(r / n, 6).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Forward as-of join — first event strictly after an anchor.
 # ---------------------------------------------------------------------------

@@ -1130,6 +1130,39 @@ def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_value_gini_ranged", oracle=_GINI_ORACLE, tags=("events", "stats", "inequality", "scale"))
+def events_value_gini_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of ``events_value_gini`` — identical output and oracle,
+    no global sort. The exact twin ranks the per-user frame through an
+    unpartitioned row_number window (one task holds every user); here the
+    rank i comes from functions/ranks.py::with_global_rank
+    (repartitionByRange on the (x, user_id) total order + per-partition
+    row_number + broadcast offsets), and G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    reduces to one ordinary agg over the ranked frame — partial-aggregated
+    map-side like any sum. This is the Lorenz/trapezoid split the exact
+    twin's docstring promises: at 100 TB the heavy frame only ever moves
+    through the range shuffle.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("x")
+    )
+    from live_data_spark.functions.ranks import with_global_rank
+
+    ranked = with_global_rank(
+        per_user, [F.col("x").asc(), F.col("user_id").asc()], rank_col="i"
+    ).select(F.col("x").cast("double").alias("xd"), "i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("xd"), 2).alias("total_value"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("xd")) / (F.count(F.lit(1)) * F.sum("xd"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Audience overlap — Jaccard similarity between event-type user sets.
 # ---------------------------------------------------------------------------

@@ -196,3 +196,66 @@ def test_q19_or_predicate_factors_to_both_scans(spark, sf_dir):
     p_scan = next(s for s in scans if "p_partkey" in s)
     assert "l_quantity" in li_scan.split("DataFilters")[1], li_scan
     assert "p_brand" in p_scan.split("DataFilters")[1], p_scan
+
+
+def test_global_rank_matches_window_exactly(spark):
+    """with_global_rank + ntile_from_rank must reproduce Spark's own
+    unpartitioned row_number/ntile bit-for-bit — including ntile's uneven
+    leading-bucket sizes (n % buckets edge) and the n < buckets edge."""
+    from pyspark.sql import Window
+
+    from live_data_spark.functions.ranks import ntile_from_rank, with_global_rank
+
+    for n_rows, buckets in ((97, 10), (100, 10), (7, 10), (64, 8)):
+        df = spark.range(n_rows).select(
+            (F.col("id") * 37 % n_rows).alias("k"), F.col("id").alias("uid")
+        )
+        w = Window.orderBy(F.col("k").desc(), F.col("uid"))
+        expect = {
+            (r["k"], r["uid"]): (r["rn"], r["nt"])
+            for r in df.select(
+                "k", "uid", F.row_number().over(w).alias("rn"), F.ntile(buckets).over(w).alias("nt")
+            ).collect()
+        }
+        ranked = with_global_rank(
+            df, [F.col("k").desc(), F.col("uid").asc()], rank_col="r", total_col="n",
+            num_partitions=8,
+        )
+        got = {
+            (r["k"], r["uid"]): (r["r"], r["nt"])
+            for r in ranked.select(
+                "k", "uid", "r", ntile_from_rank(F.col("r"), F.col("n"), buckets).alias("nt")
+            ).collect()
+        }
+        assert got == expect, f"n={n_rows} buckets={buckets}"
+
+
+def test_ranged_twins_match_exact_twins(spark, sf_dir):
+    """The range-partitioned scale twins return exactly the exact twins'
+    rows (shared oracle is the driver's check; this is the in-repo pin)."""
+    for a, b in (
+        ("window_spend_deciles", "window_spend_deciles_ranged"),
+        ("events_value_gini", "events_value_gini_ranged"),
+    ):
+        cat = catalog()
+        cols = sorted(cat[a].spark(spark, sf_dir).columns)
+        ra = sorted(map(tuple, cat[a].spark(spark, sf_dir).select(cols).collect()))
+        rb = sorted(map(tuple, cat[b].spark(spark, sf_dir).select(cols).collect()))
+        assert ra == rb, (a, b)
+
+
+def test_ranged_twins_no_single_partition_data_path(spark, sf_dir):
+    """The whole point of the _ranged twins: the only SinglePartition
+    exchange allowed is the P-row offsets frame (counts-per-partition);
+    the customer/user frame itself must move through rangepartitioning."""
+    # allowed SinglePartition exchanges: the P-row offsets frame (both),
+    # plus gini's final scalar aggregate (reduces ~P partial rows to 1).
+    for name, allowed in (
+        ("window_spend_deciles_ranged", 1),
+        ("events_value_gini_ranged", 2),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "rangepartitioning" in plan, name
+        assert plan.count("Exchange SinglePartition") <= allowed, name
+    exact = _plan(spark, sf_dir, "window_spend_deciles")
+    assert "Exchange SinglePartition" in exact

@@ -319,15 +319,51 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert sorted(back.columns) == sorted(src.columns)
 
 
-def test_check_first_names_all_registered():
-    """_CHECK_FIRST drives the driver-verified catalog prefix; a typo'd or
-    stale name would silently fall out of the ordering."""
-    from live_data_spark.catalog import _CHECK_FIRST, catalog
+def test_check_order_policy_invariants():
+    """The ledger rotation policy drives the driver-verified catalog prefix
+    (the driver checks the first 50 entries). Pin the policy's invariants so
+    a regression can't silently starve an entry of its driver row again
+    (rounds 1-4 left 28 entries unchecked under the old static tuple)."""
+    from live_data_spark import ledger
+    from live_data_spark.catalog import catalog
 
     cat = catalog()
-    missing = [n for n in _CHECK_FIRST if n not in cat]
-    assert missing == []
-    assert list(cat)[: len(_CHECK_FIRST)] == list(_CHECK_FIRST)
+    names = list(cat)
+
+    # Every ledger name refers to a real catalog entry (typo guard).
+    for group in (ledger.RED, ledger.CHANGED_SINCE_CHECK, ledger.RECHECK_PRIORITY):
+        assert [n for n in group if n not in cat] == []
+    assert [n for n in ledger.LAST_CHECKED if n not in cat] == []
+
+    # Class boundaries: red < never-checked < changed-since < checked.
+    def cls(n):
+        if n in ledger.RED:
+            return 0
+        if n not in ledger.LAST_CHECKED:
+            return 1
+        if n in ledger.CHANGED_SINCE_CHECK:
+            return 2
+        return 3
+
+    classes = [cls(n) for n in names]
+    assert classes == sorted(classes), "catalog order violates ledger class order"
+
+    # Within the checked class, older evidence is re-verified first.
+    checked_rounds = [ledger.LAST_CHECKED[n] for n in names if cls(n) == 3]
+    assert checked_rounds == sorted(checked_rounds)
+
+    # Everything that has never had a passing driver row sits inside the
+    # 50-entry window the driver actually verifies.
+    window = set(names[:50])
+    must_cover = set(ledger.RED) | {n for n in names if n not in ledger.LAST_CHECKED} | set(
+        ledger.CHANGED_SINCE_CHECK
+    )
+    overflow = must_cover - window
+    assert overflow == set(), (
+        f"{len(overflow)} unverified entries fall outside the driver's 50-entry "
+        f"window: {sorted(overflow)} — too many new entries this round, or the "
+        f"ledger was not refreshed (scripts/update_ledger.py)"
+    )
 
 
 def test_orc_round_trip_pushdown(spark, sf_dir, tmp_path):
