@@ -746,26 +746,33 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_heavy_hitters_approx", oracle=None, tags=("events", "topk", "sketch"))
+@register("events_heavy_hitters_approx", oracle=_HH_ORACLE, tags=("events", "topk", "sketch"))
 def events_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based heavy hitters: ``approx_top_k`` (Spark 4), the
     one-pass mergeable summary that replaces the exact group-by at
-    100 TB — per-partition sketches merge on the driver side of a 1-row
-    aggregate instead of shuffling every distinct key.
+    100 TB — per-partition sketches merge into a 1-row aggregate
+    instead of shuffling every distinct key.
 
-    Rows-only for the driver (tie order inside the sketch is
-    unspecified, so rank isn't a stable contract); pytest pins that
-    with maxItemsTracked ≥ distinct-key count the returned (user, count)
-    pairs are exactly correct against the exact twin.
+    Shares the exact twin's oracle: the sketch is asked for 5× the
+    final k and that (tiny, driver-side-sized) candidate frame is
+    re-ranked with the oracle's exact (count desc, user_id) total
+    order — the standard determinism recipe for sketch top-k, since a
+    sketch's own tie order at the cut boundary is unspecified (observed:
+    rank-20/21 count ties at sf0.1 flip membership without it). Holds
+    whenever maxItemsTracked (65536) covers the distinct keys AND the
+    boundary tie group fits in the 5× slack; both pinned in pytest, and
+    at true 100 TB key cardinality the entry degrades to approximate —
+    which is its documented contract there.
     """
     e = load(spark, sf_dir, "events")
     topk = e.agg(
-        F.expr(f"approx_top_k(user_id, {_HH_TOP}, 65536)").alias("tk")
+        F.expr(f"approx_top_k(user_id, {_HH_TOP * 5}, 65536)").alias("tk")
     )
-    return topk.select(F.explode("tk").alias("x")).select(
+    cand = topk.select(F.explode("tk").alias("x")).select(
         F.col("x.item").alias("user_id"),
         F.col("x.count").alias("n_events"),
     )
+    return cand.orderBy(F.col("n_events").desc(), "user_id").limit(_HH_TOP)
 
 
 # ---------------------------------------------------------------------------
@@ -924,7 +931,7 @@ def events_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_rolling_dau_hll", oracle=None, tags=("events", "window", "distinct", "sketch"))
+@register("events_rolling_dau_hll", oracle=_DAU_ORACLE, tags=("events", "window", "distinct", "sketch"))
 def events_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling DAU/WAU via Apache DataSketches HLL — the documented
     100 TB swap for ``events_rolling_dau``: instead of fanning
@@ -934,11 +941,14 @@ def events_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~KB each) — distinct-counting becomes O(days), independent of user
     cardinality.
 
-    Rows-only for the driver (estimates are approximate by design);
-    tests/test_curation.py pins ≤2% relative error against the exact
-    twin at lgK=14. This is the sketch-ladder pattern from SCALE.md §7
-    made concrete: same output schema as the exact operator, one-line
-    swap at the call site.
+    Shares the exact twin's oracle: a DataSketches HLL at lgK=14 stays
+    in its exact (coupon) phase until cardinality far exceeds the
+    per-day/per-week actives at every checked SF, so the estimates are
+    exact integers there (verified 0 mismatches at sf0.01 AND sf0.1;
+    test_oracle_parity re-pins per run). Estimates round-cast to bigint
+    to match the oracle's count type. At true 100 TB actives the sketch
+    leaves coupon mode and the entry degrades to its ≤2%-error contract
+    (also pinned in tests/test_curation.py).
     """
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
@@ -950,10 +960,16 @@ def events_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = fan.join(F.broadcast(days), "anchor")
     return joined.groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day")).agg(
-        F.max(
-            F.when(F.col("d") == F.col("anchor"), F.expr("hll_sketch_estimate(sk)"))
-        ).alias("dau"),
-        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("wau_7d"),
+        F.round(
+            F.max(
+                F.when(F.col("d") == F.col("anchor"), F.expr("hll_sketch_estimate(sk)"))
+            )
+        )
+        .cast("bigint")
+        .alias("dau"),
+        F.round(F.expr("hll_sketch_estimate(hll_union_agg(sk, false))"))
+        .cast("bigint")
+        .alias("wau_7d"),
     )
 
 
