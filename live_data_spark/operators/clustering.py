@@ -77,11 +77,21 @@ def _assign_top_udf(centroids: np.ndarray, probes: int):
 
 
 def kmeans_fit(
-    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = N_ITERS,
+    history: list | None = None,
 ) -> np.ndarray:
     """Spherical k-means (cosine metric) over the embeddings table:
     ``iters`` Lloyd rounds from the deterministic min-vec_id init;
-    returns the k×d unit centroid matrix."""
+    returns the k×d unit centroid matrix.
+
+    If ``history`` is given, appends per-round (objective, sizes) built
+    from the already-collected k-row update state (no extra pass):
+    objective = Σ_j dot(vsum_j, c_j) = Σ_i |emb_i|·cos(emb_i, c_assigned)
+    — the weighted spherical objective both Lloyd steps maximize, so it
+    is non-decreasing round over round (pinned in tests)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
@@ -102,6 +112,12 @@ def kmeans_fit(
             )
             .collect()
         )
+        if history is not None:
+            obj = sum(
+                float(np.dot(np.array(r["vsum"], dtype=np.float64), centroids[r["cluster"]]))
+                for r in sums
+            )
+            history.append((obj, {r["cluster"]: r["n"] for r in sums}))
         nxt = centroids.copy()  # empty clusters keep their previous centroid
         for r in sums:
             v = np.array(r["vsum"], dtype=np.float64)

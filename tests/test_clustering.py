@@ -94,3 +94,42 @@ def test_semdedup_pairs_are_ordered_and_thresholded(spark, sf_dir):
     for r in rows:
         assert r["vec_id_1"] < r["vec_id_2"]
         assert r["cosine_sim"] >= SEMDEDUP_THRESHOLD - 1e-9
+
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_kmeans_sf01_objective_monotone_and_sizes_sane(spark):
+    """Scale-invariant pins at sf0.1 (the fixture SF parity tests can't
+    see scale-dependent drift): the weighted spherical objective must be
+    non-decreasing across Lloyd rounds — both steps maximize it, so a dip
+    means the assignment and update disagree about the metric — and the
+    final round must use every cluster without one swallowing the space
+    (uniform-random embeddings ⇒ no degenerate mega-cluster)."""
+    history = []
+    kmeans_fit(spark, SF01, history=history)
+    assert len(history) == N_ITERS
+    objs = [h[0] for h in history]
+    assert all(b >= a - 1e-9 for a, b in zip(objs, objs[1:])), objs
+
+    sizes = history[-1][1]
+    n_total = sum(sizes.values())
+    assert set(sizes) == set(range(K_CLUSTERS))  # no empty cluster survives
+    assert max(sizes.values()) <= 0.5 * n_total, sizes
+
+
+def test_semdedup_sf01_precision_and_recall_floor(spark):
+    """SemDeDup at sf0.1: precision stays 1.0 by construction (every
+    emitted pair re-scored exactly — check against the exact twin's pair
+    set), and the top-2 soft assignment must keep recall above the floor
+    even as cluster boundaries move with 4x the points."""
+    sem = {
+        (r["vec_id_1"], r["vec_id_2"]) for r in semdedup_pairs(spark, SF01).collect()
+    }
+    exact = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in embedding_neardup_pairs(spark, SF01).collect()
+    }
+    assert sem <= exact  # precision 1.0
+    assert exact, "exact twin returned no pairs at sf0.1 — threshold drifted"
+    assert len(sem) / len(exact) >= 0.5, (len(sem), len(exact))
