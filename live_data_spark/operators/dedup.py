@@ -245,7 +245,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-scanning and re-exploding the corpus for the verify
     # branch (measured 30% off the whole query at sf0.1). The 64 seeded
     # min-aggregates stay in whole-stage codegen and map-side-combine to
-    # one 64-long row per doc.
+    # one 64-long row per doc. Explicitly persisting the shared shingle
+    # frame instead was measured 1.7× SLOWER end-to-end (2.0 s → 3.5 s
+    # best-of-3 at sf0.1): the cache write materializes the exploded rows
+    # that exchange reuse never stores — so the subtree stays unpersisted.
     ex = shingle_rows(spark, sf_dir)
     sig = ex.groupBy("doc_id").agg(
         F.array(*[F.min(F.xxhash64("s", F.lit(i))) for i in range(NUM_HASHES)]).alias("sig")

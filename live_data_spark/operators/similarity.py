@@ -222,6 +222,7 @@ _NEARDUP_LSH_RADIUS = 2  # probe all buckets within 2 sign-bit flips
 @register(
     "embedding_neardup_lsh",
     oracle=_NEARDUP_ORACLE,
+    headline=True,  # top-3 warm cost among non-headline entries (r5 sweep)
     tags=("similarity", "dedup"),
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
