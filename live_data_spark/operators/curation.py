@@ -578,3 +578,47 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — hash-stratified eval carve-out.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+FROM assigned GROUP BY split, lang
+"""
+
+
+@register("stratified_eval_split", oracle=_SPLIT_ORACLE, tags=("text", "sampling", "pipeline"))
+def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hash:
+    the first md5 byte of the doc_id partitions docs ~230/13/13 over 256
+    (≈90/5/5) — the split every training pipeline needs to be STABLE
+    across reruns, engines, and corpus growth (a doc's split never
+    changes when other docs arrive, unlike percentile- or rand()-based
+    carve-outs). Reported per (split, lang) so stratification drift is
+    visible — a split that starves a language's eval set shows up as a
+    missing/thin row.
+
+    Pure map-side classification + one aggregate; the md5 prefix
+    compares as a lowercase hex STRING on both engines, so the rule is
+    engine-exact with no float boundary anywhere. At 100 TB this is the
+    cheapest query in the pipeline — one pass, no wide rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )

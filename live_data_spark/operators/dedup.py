@@ -610,3 +610,140 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Containment — sub-document duplication (one doc inside another).
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = (
+    _SHINGLE_CTE
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         count(*) AS n_common, any_value(a.n) AS n1, any_value(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       round(n_common / least(n1, n2), 4) AS containment
+FROM pairs
+WHERE n_common / least(n1, n2) >= 0.8
+"""
+)
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram containment pairs (threshold 0.8): C(A,B) =
+    |A∩B| / min(|A|,|B|) — the sub-document axis Jaccard misses. A
+    boilerplate page embedded in a 100× longer document has Jaccard ≈
+    0.01 but containment ≈ 1.0; quote-inclusion, scraped-page wrappers,
+    and prompt-template reuse all surface here first. Standard companion
+    to resemblance in the shingling literature (Broder's containment).
+
+    Same inverted-index shape as ``dedup_ngram_jaccard`` but WITHOUT the
+    size-ratio prune — containment's entire point is size-skewed pairs,
+    so that filter would be lossy here. This is the exact ground-truth
+    tier; at 100 TB the candidate step swaps to the MinHash bands
+    (containment sketches estimate C from the same signatures via
+    J·(n1+n2)/(1+J)/min formula, so no new sketch type is needed).
+    """
+    ex = shingle_rows(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    exn = ex.join(F.broadcast(sizes), "doc_id")
+    a, b = exn.alias("a"), exn.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n").alias("n1"),
+            F.first("b.n").alias("n2"),
+        )
+    )
+    cont = F.col("n_common") / F.least("n1", "n2")
+    return pairs.where(cont >= 0.8).select(
+        "doc_id_1", "doc_id_2", F.round(cont, 4).alias("containment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Cascade accounting — corpus size through the dedup funnel.
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = (
+    _SHINGLE_CTE
+    + r"""
+, fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), keep1 AS (
+  SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         count(*) AS n_common, any_value(a.n) AS n1, any_value(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), removed AS (
+  SELECT DISTINCT p.doc_id_2 AS doc_id
+  FROM pairs p
+  JOIN keep1 s1 ON s1.doc_id = p.doc_id_1
+  JOIN keep1 s2 ON s2.doc_id = p.doc_id_2
+  WHERE p.n_common / (p.n1 + p.n2 - p.n_common) >= 0.8
+)
+SELECT 'raw' AS stage, count(*) AS n_docs FROM documents
+UNION ALL
+SELECT 'after_exact', count(*) FROM keep1
+UNION ALL
+SELECT 'after_neardup', (SELECT count(*) FROM keep1) - count(*) FROM removed
+"""
+)
+
+
+@register("corpus_dedup_cascade", oracle=_CASCADE_ORACLE, tags=("dedup", "curation"))
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus size through the dedup funnel: raw → after exact dedup →
+    after near-dup removal — the accounting row every curation run
+    reports ("dedup removed X% of the corpus") and the cheapest
+    regression alarm when a pipeline change silently collapses or stops
+    collapsing duplicates.
+
+    Keep-first policy at both rungs: exact keeps min doc_id per
+    fingerprint; near-dup then removes any surviving doc that appears as
+    the LARGER id of a ≥0.8-Jaccard pair whose partner also survived
+    (single-pass approximation of the full cluster collapse —
+    ``dedup_survivors`` is the transitive version; this one is
+    join-expressible on both engines, hence oracle-checkable). All three
+    stage counts are tiny 1-row aggregates unioned together; the only
+    heavy lifting is the same fingerprint and pair subtrees the other
+    rungs already use.
+    """
+    d = load(spark, sf_dir, "documents")
+    keep1 = dedup_exact(spark, sf_dir).select(F.col("keep_doc_id").alias("doc_id"))
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    removed = (
+        pairs.join(keep1.select(F.col("doc_id").alias("doc_id_1")), "doc_id_1")
+        .join(keep1.select(F.col("doc_id").alias("doc_id_2")), "doc_id_2")
+        .select("doc_id_2")
+        .distinct()
+    )
+    raw = d.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("raw").alias("stage"), "n_docs"
+    )
+    after_exact = keep1.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("after_exact").alias("stage"), "n_docs"
+    )
+    after_near = (
+        keep1.agg(F.count(F.lit(1)).alias("n_keep"))
+        .crossJoin(removed.agg(F.count(F.lit(1)).alias("n_removed")))
+        .select(
+            F.lit("after_neardup").alias("stage"),
+            (F.col("n_keep") - F.col("n_removed")).alias("n_docs"),
+        )
+    )
+    return raw.unionByName(after_exact).unionByName(after_near)

@@ -683,3 +683,81 @@ def embedding_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("label", "vec_id", "rnk", F.round("cos", 4).alias("cosine_to_centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA — norm distribution + outlier accounting per label.
+# ---------------------------------------------------------------------------
+
+_NORM_STATS_ORACLE = """
+WITH dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS dim
+), ex AS (
+  SELECT e.vec_id, e.label, cast(e.embedding[d.dim] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims d
+), norms AS (
+  SELECT vec_id, any_value(label) AS label,
+         sqrt(cast(sum(cast(x * x AS DECIMAL(18,10))) AS DOUBLE)) AS nrm
+  FROM ex GROUP BY vec_id
+), stats AS (
+  SELECT label, count(*) AS n_vecs,
+         cast(sum(cast(nrm AS DECIMAL(18,10))) AS DOUBLE) AS s1,
+         cast(sum(cast(nrm * nrm AS DECIMAL(18,10))) AS DOUBLE) AS s2
+  FROM norms GROUP BY label
+)
+SELECT s.label, s.n_vecs,
+       round(s.s1 / s.n_vecs, 4) AS mean_norm,
+       round(sqrt((s.s2 - s.s1 * s.s1 / s.n_vecs) / (s.n_vecs - 1)), 4) AS std_norm,
+       count(*) FILTER (
+         WHERE n.nrm > s.s1 / s.n_vecs
+                       + 2 * sqrt((s.s2 - s.s1 * s.s1 / s.n_vecs) / (s.n_vecs - 1))
+       ) AS n_outliers_2sigma
+FROM stats s JOIN norms n USING (label)
+GROUP BY s.label, s.n_vecs, s.s1, s.s2
+"""
+
+
+@register("embedding_norm_stats", oracle=_NORM_STATS_ORACLE, tags=("similarity", "vector", "quality"))
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA per label: vector-norm mean/std and the count of
+    >2σ norm outliers — the standard first-pass screen for a broken
+    encoder batch (zero/exploding norms) or mislabeled shards before
+    any similarity work trusts the vectors.
+
+    Determinism recipe (same as ``embedding_quantize_stats``): every
+    cross-row float sum runs in DECIMAL so engine summation order can't
+    move a digit; each vector's norm is an exact decimal Σx² (posexplode
+    + group, not a fold over the array — fold order inside list_sum is
+    engine-private); mean/std derive from (Σ, Σ², n) by identical double
+    arithmetic on identical operands. The outlier cutoff therefore
+    compares bit-identical doubles on both engines. One explode pass,
+    two small aggregates, one broadcast join — nothing wider than
+    |labels| rows after the first shuffle.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    ex = e.select("vec_id", "label", F.explode("emb").alias("x"))
+    norms = ex.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(18,10)")).cast("double")).alias(
+            "nrm"
+        ),
+    )
+    stats = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("nrm").cast("decimal(18,10)")).cast("double").alias("s1"),
+        F.sum((F.col("nrm") * F.col("nrm")).cast("decimal(18,10)")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_vecs")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_vecs")) / (F.col("n_vecs") - 1)
+    joined = norms.join(F.broadcast(stats), "label")
+    return joined.groupBy("label", "n_vecs", "s1", "s2").agg(
+        F.count(F.when(F.col("nrm") > mean + 2 * F.sqrt(var), 1)).alias("n_outliers_2sigma")
+    ).select(
+        "label",
+        "n_vecs",
+        F.round(mean, 4).alias("mean_norm"),
+        F.round(F.sqrt(var), 4).alias("std_norm"),
+        "n_outliers_2sigma",
+    )

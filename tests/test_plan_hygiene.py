@@ -40,6 +40,7 @@ BNLJ_OK: set[str] = {
     "basket_part_pairs",  # 1-row total-order-count scalar
     "ann_cosine_topk",  # exact brute-force tier (broadcast query set)
     "ann_ivf_flat",  # centroid assignment compare (by design)
+    "corpus_dedup_cascade",  # 1-row survivor-count x 1-row removed-count
 }
 
 ALL = sorted(catalog())
