@@ -751,3 +751,97 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal — the in-corpus perplexity proxy.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM toks
+), bi AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx
+), bc AS (
+  SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2
+), uc AS (
+  SELECT w1, count(*) AS cu FROM bi GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT x) AS nv FROM (SELECT unnest(w) AS x FROM toks)
+), scored AS (
+  SELECT b.doc_id,
+         cast(floor(ln((bc.cb + 1) / cast(uc.cu + v.nv AS DOUBLE)) * 100000000 + 0.5)
+              AS BIGINT) AS q
+  FROM bi b
+  JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN uc ON uc.w1 = b.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(-(sum(q) / 100000000.0) / count(*), 4) AS mean_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_surprisal", oracle=_SURPRISAL_ORACLE, tags=("text", "quality", "lm"))
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus' own add-one-
+    smoothed bigram model: −(1/n)·Σ ln P(w_i | w_{i−1}) — the perplexity
+    proxy every quality-filtering recipe ranks on (CCNet/Gopher use a
+    trained LM; the in-corpus bigram model is the dependency-free tier
+    that needs no model artifact). Template-like repetitive docs score
+    low, token-salad docs score high; both tails are filter candidates.
+
+    Plan: bigram rows via the integer-sequence explode (same codegen
+    shape as shingle_rows), then bigram and context counts as two
+    aggregates over that one exploded frame, vocab as a 1-row distinct
+    scalar, and one join back. The count tables are Zipf-shaped but the
+    join is one-row-per-bigram-token — AQE skew splitting handles the
+    hot head. Engine determinism: each ln() is quantized to 1e-8 by
+    floor(x·1e8 + 0.5) INTEGER arithmetic before the per-doc sum
+    (identical doubles → identical integers on both engines — the
+    SKILL.md half-boundary rule), so the summed value is exact and
+    order-free.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(normalized_text("text"), " ")
+    bi = (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.when(
+                    F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = (
+        d.select(F.explode(w).alias("x")).agg(F.countDistinct("x").alias("nv"))
+    )
+    logp = F.ln((F.col("cb") + 1) / (F.col("cu") + F.col("nv")).cast("double"))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(logp * 100000000 + 0.5).cast("bigint").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-(F.sum("q") / 100000000.0) / F.count(F.lit(1)), 4).alias("mean_surprisal"),
+    )

@@ -41,6 +41,7 @@ BNLJ_OK: set[str] = {
     "ann_cosine_topk",  # exact brute-force tier (broadcast query set)
     "ann_ivf_flat",  # centroid assignment compare (by design)
     "corpus_dedup_cascade",  # 1-row survivor-count x 1-row removed-count
+    "text_bigram_surprisal",  # 1-row vocab-size scalar broadcast
 }
 
 ALL = sorted(catalog())
