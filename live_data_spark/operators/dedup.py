@@ -647,9 +647,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index shape as ``dedup_ngram_jaccard`` but WITHOUT the
     size-ratio prune — containment's entire point is size-skewed pairs,
     so that filter would be lossy here. This is the exact ground-truth
-    tier; at 100 TB the candidate step swaps to the MinHash bands
-    (containment sketches estimate C from the same signatures via
-    J·(n1+n2)/(1+J)/min formula, so no new sketch type is needed).
+    tier. Scale caveat, stated precisely: MinHash J-bands only RECALL a
+    containment pair when its Jaccard is also high (P(band collision) is
+    a function of J, not C — a small doc inside a 100× larger one has
+    C ≈ 1 but J ≈ 0.01 and never collides), so the 100 TB candidate
+    step needs a C-sensitive scheme: partition the longer doc into
+    windows of the shorter doc's size band and MinHash-band each window
+    (turns high-C/low-J into high-J window pairs), with C estimated from
+    signature agreement via Ĉ = Ĵ·(n1+n2)/((1+Ĵ)·min). On corpora whose
+    near-dups are same-scale (this testdata: every C≥0.8 pair is also
+    J≥0.8 at both SFs, verified), plain ``dedup_minhash`` bands suffice.
     """
     ex = shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
