@@ -319,3 +319,28 @@ def test_compression_ratio_matches_zlib(spark, sf_dir):
         want = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 4)
         assert rows[doc_id] == pytest.approx(want, abs=1e-9), doc_id
     assert all(0.0 < v <= 1.2 for v in rows.values())
+
+
+def test_eval_split_assignment_stable_under_corpus_growth(spark, sf_dir):
+    """The claimed property of hash-based splits: a document's
+    train/val/test assignment depends only on its own id — filtering or
+    growing the corpus never moves a doc between splits (percentile- or
+    rand()-based carve-outs break this). Also sanity-check the ~90/5/5
+    mass split."""
+    from live_data_spark.catalog import load
+
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+    full = {r["doc_id"]: r["s"] for r in d.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r["doc_id"]: r["s"]
+        for r in d.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+    n = len(full)
+    frac_train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.84 <= frac_train <= 0.95, frac_train

@@ -80,3 +80,37 @@ def test_no_false_pairs_across_bases(spark, corpus_dir):
     out = catalog()["dedup_minhash"].spark(spark, corpus_dir).collect()
     for r in out:
         assert r["doc_id_1"] // 3 == r["doc_id_2"] // 3, r
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark, sf_dir, monkeypatch):
+    """The axis containment exists for: doc A verbatim inside a much longer
+    doc B has C(A,B) = 1 (every 3-gram of A appears in B) but Jaccard
+    ~|A|/|B| — far below any dedup threshold. The testdata's planted dups
+    are same-scale, so this hand-built case is the only coverage of the
+    size-skewed semantics."""
+    import live_data_spark.operators.dedup as dd
+
+    inner = " ".join(f"core{i}" for i in range(30))
+    outer = (
+        " ".join(f"pre{i}" for i in range(60))
+        + " " + inner + " "
+        + " ".join(f"post{i}" for i in range(60))
+    )
+    unrelated = " ".join(f"other{i}" for i in range(40))
+    fake = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, unrelated)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(dd, "load", lambda _s, _d, _t: fake)
+
+    cont = {
+        (r["doc_id_1"], r["doc_id_2"]): r["containment"]
+        for r in dd.dedup_containment(spark, sf_dir).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0  # A fully inside B
+    assert len(cont) == 1  # unrelated doc pairs with nothing
+
+    jacc = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dd.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert (1, 2) not in jacc  # J ≈ 0.19 — invisible to the Jaccard rung
