@@ -845,3 +845,55 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-(F.sum("q") / 100000000.0) / F.count(F.lit(1)), 4).alias("mean_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish pre-tokenization — regex token counts, not chars/4 estimates.
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, RE2-safe (no lookahead, which DuckDB's RE2
+# lacks): contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, whitespace runs. Alternation order matters and is
+# identical on both engines (leftmost-first semantics verified equal).
+_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+|\s+"
+
+_PRETOKEN_ORACLE = rf"""
+WITH m AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_extract_all(lower(text), '{_PRETOKEN_RE.replace("'", "''")}'),
+                     x -> trim(x) <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_pretokens,
+       round(n_chars / cast(len(toks) AS DOUBLE), 4) AS chars_per_token
+FROM m
+"""
+
+
+@register("text_pretokenize_count", oracle=_PRETOKEN_ORACLE, tags=("text", "tokenizer"))
+def text_pretokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count under a GPT-2-style pre-tokenizer regex —
+    the BPE-ish tier between whitespace splitting and a real merge-table
+    tokenizer (which needs artifacts this container doesn't ship; see
+    ``text_token_count`` for the chars/4 estimate). Contractions, digit
+    runs, and punctuation runs split the way byte-pair pre-tokenization
+    does, so budget math (packing, source caps, mix planning) lands much
+    closer to true BPE counts than whitespace does. chars-per-token is
+    the packing planner's density signal.
+
+    One regexp_extract_all per row — map-only, stays in codegen, no
+    explode. The pattern is RE2-safe (DuckDB) AND Java-regex-identical
+    (Spark): no lookahead, explicit classes only; cross-engine equality
+    of match counts is exactly what the oracle hash verifies.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.expr(f'regexp_extract_all(lower(text), "{_PRETOKEN_RE}", 0)'),
+        lambda x: F.trim(x) != "",
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_pretokens"),
+        F.round(F.length("text") / F.size(toks).cast("double"), 4).alias("chars_per_token"),
+    )
