@@ -897,3 +897,90 @@ def text_pretokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_pretokens"),
         F.round(F.length("text") / F.size(toks).cast("double"), 4).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints — rolling-hash document fingerprinting (MOSS).
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5  # char k-gram size
+WINNOW_W = 4  # hashes per winnowing window
+
+_WINNOW_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(length(txt) - {WINNOW_K} + 1, 0))) AS i,
+         txt
+  FROM t
+), hashed AS (
+  SELECT doc_id, i, substr(md5(substr(txt, i, {WINNOW_K})), 1, 8) AS h FROM grams
+), mins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS mh
+  FROM hashed
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(DISTINCT CASE WHEN i >= {WINNOW_W} THEN mh END) AS n_fingerprints,
+       round(count(DISTINCT CASE WHEN i >= {WINNOW_W} THEN mh END)
+             / cast(count(*) AS DOUBLE), 4) AS density
+FROM mins GROUP BY doc_id
+"""
+
+
+@register("text_winnow_fingerprints", oracle=_WINNOW_ORACLE, tags=("text", "dedup", "fingerprint"))
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    scheme): hash every char 5-gram, keep the minimum of each sliding
+    window of 4 hashes, dedupe — the selected minima are the document's
+    fingerprint set, with the winnowing guarantee that any shared
+    substring of length ≥ k+w−1 contributes at least one SHARED
+    fingerprint. The per-doc profile here (fingerprint count + density)
+    is the indexing-cost planner; the fingerprint set itself is what a
+    plagiarism/overlap index would invert, complementing
+    ``text_fingerprint``'s whole-doc hash (exact dup only) and the word
+    3-gram rungs (word-boundary-sensitive).
+
+    Engine-exact by construction: the "rolling hash" is
+    substr(md5(gram), 1, 8) — identical hex STRINGS on both engines, and
+    lexicographic min over hex equals numeric min, so no numeric-hash
+    dialect is needed. The window min partitions by doc (never global);
+    grams stay in codegen via the integer-sequence explode.
+    """
+    from live_data_spark.operators.dedup import spread
+
+    d = spread(load(spark, sf_dir, "documents"))
+    txt = normalized_text("text")
+    grams = (
+        d.select("doc_id", txt.alias("txt"))
+        .select(
+            "doc_id",
+            "txt",
+            F.explode(
+                F.when(
+                    F.length("txt") >= WINNOW_K,
+                    F.sequence(F.lit(1), F.length("txt") - WINNOW_K + 1),
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.substring(
+                F.md5(F.col("txt").substr(F.col("i"), F.lit(WINNOW_K))), 1, 8
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(WINNOW_W - 1), 0)
+    mins = grams.select("doc_id", "i", F.min("h").over(win).alias("mh"))
+    fp = F.countDistinct(F.when(F.col("i") >= WINNOW_W, F.col("mh")))
+    return mins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        fp.alias("n_fingerprints"),
+        F.round(fp / F.count(F.lit(1)).cast("double"), 4).alias("density"),
+    )
