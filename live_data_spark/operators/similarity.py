@@ -246,6 +246,16 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate pairs join bucket-to-bucket (one shuffle on
     (table, bucket)), dedup on the unordered pair key, then one exact
     cosine per surviving candidate.
+
+    Bench-reading note: at sf0.1 this is SLOWER than the exact blocked-
+    matmul twin (~3.6 s vs ~0.5 s) and that is expected, not a defect —
+    with only 2^5 buckets the radius-2 probe set covers half the bucket
+    space, so candidates ≈ all pairs while paying LSH overhead, and the
+    exact twin's dense BLAS wins at small n. Plane count grows with
+    log2(n), so the probe fraction collapses as n grows (n = 10⁶ →
+    ~0.7% of buckets probed); the crossover where this tier wins is
+    n ≈ 10⁵ at 64 dims. The entry is benched at this SF precisely to
+    keep its cost visible, not because small n is its regime.
     """
     import math
 

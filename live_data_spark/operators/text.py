@@ -866,7 +866,8 @@ WITH m AS (
 )
 SELECT doc_id,
        len(toks) AS n_pretokens,
-       round(n_chars / cast(len(toks) AS DOUBLE), 4) AS chars_per_token
+       CASE WHEN len(toks) > 0
+            THEN round(n_chars / cast(len(toks) AS DOUBLE), 4) END AS chars_per_token
 FROM m
 """
 
@@ -892,10 +893,16 @@ def text_pretokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f'regexp_extract_all(lower(text), "{_PRETOKEN_RE}", 0)'),
         lambda x: F.trim(x) != "",
     )
+    n = F.size(toks).cast("bigint")
+    # empty/null docs: NULL density, not DIVIDE_BY_ZERO (ANSI mode aborts
+    # the whole job on one empty doc otherwise — found by the null-
+    # robustness test; the oracle carries the same CASE guard)
     return d.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_pretokens"),
-        F.round(F.length("text") / F.size(toks).cast("double"), 4).alias("chars_per_token"),
+        n.alias("n_pretokens"),
+        F.when(n > 0, F.round(F.length("text") / n.cast("double"), 4)).alias(
+            "chars_per_token"
+        ),
     )
 
 

@@ -111,3 +111,50 @@ def test_contamination_eval_side_broadcasts(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_text_operators_survive_null_empty_short_docs(spark, sf_dir, monkeypatch):
+    """Production corpora contain null, empty, and sub-shingle-length
+    texts; the driver testdata has none, so nothing else exercises these
+    paths. Contract: no operator crashes, shingle-based operators drop
+    degenerate docs (no shingles → no rows), and map-only scorers emit a
+    row per doc with sane values."""
+    import live_data_spark.operators.dedup as dd
+    import live_data_spark.operators.text as tx
+
+    rows = [
+        (1, None, "en", "s", 0),
+        (2, "", "en", "s", 0),
+        (3, "one two", "en", "s", 7),  # shorter than one 3-gram shingle
+        (4, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46),
+    ]
+    fake = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    for mod in (dd, tx):
+        monkeypatch.setattr(mod, "load", lambda _s, _d, _t: fake)
+
+    # shingle pipeline: docs 1-3 have no 3-gram shingles → only doc 4 rows
+    sh = dd.shingle_rows(spark, sf_dir)
+    assert set(r["doc_id"] for r in sh.select("doc_id").distinct().collect()) == {4}
+
+    # pair rungs: run clean and return nothing (single real doc)
+    assert dd.dedup_ngram_jaccard(spark, sf_dir).count() == 0
+    assert dd.dedup_containment(spark, sf_dir).count() == 0
+    assert dd.dedup_containment_minhash(spark, sf_dir).count() == 0
+    assert dd.dedup_minhash(spark, sf_dir).count() == 0
+
+    # exact dedup fingerprints every row, null text included
+    fps = dd.dedup_exact(spark, sf_dir)
+    assert fps.agg(F.sum("n_copies")).first()[0] in (3, 4)  # null fp may drop or group
+
+    # map-only scorers: one row per non-null doc, no exceptions
+    tok = {r["doc_id"]: r["n_tokens"] for r in tx.text_token_count(spark, sf_dir).collect()}
+    assert tok[3] == 2 and tok[4] == 8
+    pre = {r["doc_id"]: r["n_pretokens"] for r in tx.text_pretokenize_count(spark, sf_dir).collect()}
+    assert pre[4] > 0
+    winnow = {r["doc_id"]: r["n_fingerprints"] for r in tx.text_winnow_fingerprints(spark, sf_dir).collect()}
+    assert winnow[4] > 0
+    # surprisal: doc 3 has one bigram, doc 4 has seven
+    surp = {r["doc_id"]: r["n_bigrams"] for r in tx.text_bigram_surprisal(spark, sf_dir).collect()}
+    assert surp.get(3) == 1 and surp.get(4) == 7
