@@ -70,10 +70,10 @@ SELECT
   n_tokens,
   round(n_chars_actual / n_tokens, 4) AS avg_token_len,
   round(n_stopwords / n_tokens, 4) AS stopword_ratio,
-  round(n_punct / n_chars_actual, 4) AS punct_ratio,
+  round(CASE WHEN n_chars_actual > 0 THEN n_punct / n_chars_actual END, 4) AS punct_ratio,
   CASE WHEN n_tokens >= 20
         AND n_stopwords / n_tokens BETWEEN 0.01 AND 0.5
-        AND n_punct / n_chars_actual < 0.2
+        AND n_chars_actual > 0 AND n_punct / n_chars_actual < 0.2
        THEN 1 ELSE 0 END AS quality_pass
 FROM scored
 """
@@ -101,16 +101,24 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         n_punct.alias("n_punct"),
     )
+    # empty docs: n_chars_actual = 0 → punct_ratio is NULL, not a
+    # DIVIDE_BY_ZERO job abort (ANSI mode; found by the null-robustness
+    # test). n_tokens can't be 0 (split of "" is [""]), so the token
+    # ratios need no guard. A NULL ratio fails the BETWEEN/< predicates,
+    # so empty docs land quality_pass = 0 — the right verdict anyway.
+    punct_ratio = F.when(
+        F.col("n_chars_actual") > 0, F.col("n_punct") / F.col("n_chars_actual")
+    )
     return scored.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(F.col("n_chars_actual") / F.col("n_tokens"), 4).alias("avg_token_len"),
         F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        F.round(F.col("n_punct") / F.col("n_chars_actual"), 4).alias("punct_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
         F.when(
             (F.col("n_tokens") >= 20)
             & (F.col("n_stopwords") / F.col("n_tokens")).between(0.01, 0.5)
-            & (F.col("n_punct") / F.col("n_chars_actual") < 0.2),
+            & (punct_ratio < 0.2),
             1,
         )
         .otherwise(0)
@@ -667,10 +675,15 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _ratio(texts):
         def one(t):
+            # null text → NULL ratio; empty text has no meaningful ratio
+            # either (zlib emits a ~8-byte header for 0 bytes in). Guarding
+            # here keeps one bad row from killing a 100 TB scan.
+            if t is None or len(t) == 0:
+                return None
             raw = t.encode("utf-8")
-            return len(zlib.compress(raw, 6)) / max(len(raw), 1)
+            return len(zlib.compress(raw, 6)) / len(raw)
 
-        return pd.Series([one(t) for t in texts])
+        return pd.Series([one(t) for t in texts], dtype="float64")
 
     ratio_udf = pandas_udf(_ratio, "double")
     d = load(spark, sf_dir, "documents")
@@ -702,10 +715,10 @@ WITH terms AS (
 )
 SELECT count(*) AS n_terms,
        round((count(*) * sum(x * y) - sum(x) * sum(y))
-             / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope,
+             / nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0.0), 4) AS zipf_slope,
        round(pow(count(*) * sum(x * y) - sum(x) * sum(y), 2)
-             / ((count(*) * sum(x * x) - sum(x) * sum(x))
-                * (count(*) * sum(y * y) - sum(y) * sum(y))), 4) AS r_squared
+             / nullif((count(*) * sum(x * x) - sum(x) * sum(x))
+                * (count(*) * sum(y * y) - sum(y) * sum(y)), 0.0), 4) AS r_squared
 FROM logs
 """
 
@@ -744,11 +757,19 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sxx, syy = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x")), F.sum(
         F.col("y") * F.col("y")
     )
+    # degenerate corpora (n < 2 ranked terms, or every frequency equal →
+    # zero y-variance) have no regression: NULL, not DIVIDE_BY_ZERO
+    # (found by the null-robustness probe; the oracle carries the same
+    # NULLIF guards)
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
     return ranked.agg(
         n.alias("n_terms"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+        F.round((n * sxy - sx * sy) / F.nullif(var_x, F.lit(0.0)), 4).alias("zipf_slope"),
         F.round(
-            F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+            F.pow(n * sxy - sx * sy, 2)
+            / F.nullif(var_x * var_y, F.lit(0.0)),
+            4,
         ).alias("r_squared"),
     )
 

@@ -158,3 +158,14 @@ def test_text_operators_survive_null_empty_short_docs(spark, sf_dir, monkeypatch
     # surprisal: doc 3 has one bigram, doc 4 has seven
     surp = {r["doc_id"]: r["n_bigrams"] for r in tx.text_bigram_surprisal(spark, sf_dir).collect()}
     assert surp.get(3) == 1 and surp.get(4) == 7
+
+    # quality score: empty doc gets NULL punct_ratio and fails the gate
+    # (was a DIVIDE_BY_ZERO job abort)
+    q = {r["doc_id"]: r for r in tx.text_quality_score(spark, sf_dir).collect()}
+    assert q[2]["punct_ratio"] is None and q[2]["quality_pass"] == 0
+    # compression ratio: null/empty docs yield NULL, real docs a ratio
+    c = {r["doc_id"]: r["compression_ratio"] for r in tx.text_compression_ratio(spark, sf_dir).collect()}
+    assert c[1] is None and c[2] is None and c[4] > 0
+    # zipf: degenerate corpus (every term frequency equal) → NULL r², no abort
+    z = tx.corpus_zipf_slope(spark, sf_dir).first()
+    assert z["n_terms"] > 0
