@@ -717,9 +717,12 @@ WITH dims AS (
 )
 SELECT s.label, s.n_vecs,
        round(s.s1 / s.n_vecs, 4) AS mean_norm,
-       round(sqrt((s.s2 - s.s1 * s.s1 / s.n_vecs) / (s.n_vecs - 1)), 4) AS std_norm,
+       round(CASE WHEN s.n_vecs > 1
+                  THEN sqrt((s.s2 - s.s1 * s.s1 / s.n_vecs) / (s.n_vecs - 1)) END,
+             4) AS std_norm,
        count(*) FILTER (
-         WHERE n.nrm > s.s1 / s.n_vecs
+         WHERE s.n_vecs > 1
+           AND n.nrm > s.s1 / s.n_vecs
                        + 2 * sqrt((s.s2 - s.s1 * s.s1 / s.n_vecs) / (s.n_vecs - 1))
        ) AS n_outliers_2sigma
 FROM stats s JOIN norms n USING (label)
@@ -760,7 +763,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("nrm") * F.col("nrm")).cast("decimal(18,10)")).cast("double").alias("s2"),
     )
     mean = F.col("s1") / F.col("n_vecs")
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_vecs")) / (F.col("n_vecs") - 1)
+    # single-vector labels: sample variance is undefined (n-1 = 0) →
+    # NULL std and zero outliers instead of a DIVIDE_BY_ZERO job abort
+    var = F.when(
+        F.col("n_vecs") > 1,
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_vecs")) / (F.col("n_vecs") - 1),
+    )
     joined = norms.join(F.broadcast(stats), "label")
     return joined.groupBy("label", "n_vecs", "s1", "s2").agg(
         F.count(F.when(F.col("nrm") > mean + 2 * F.sqrt(var), 1)).alias("n_outliers_2sigma")

@@ -126,3 +126,22 @@ def test_pq_adc_recall_and_exactness(spark, sf_dir, exact_topk):
     # deterministic end-to-end (hash-ordered sample, no RNG anywhere)
     again = {(r["query_id"], r["neighbor_id"]) for r in catalog()["ann_pq_adc"].spark(spark, sf_dir).collect()}
     assert got == again
+
+
+def test_norm_stats_single_vector_label_no_abort(spark, sf_dir, monkeypatch):
+    """A label with ONE vector makes the sample variance undefined
+    (n-1 = 0); the operator must yield NULL std and zero outliers, not a
+    DIVIDE_BY_ZERO job abort (found by the degenerate-input probe; the
+    driver testdata never has singleton labels)."""
+    import live_data_spark.operators.similarity as sim
+
+    rows = [(i, [float((i * 7 + j) % 13) / 13 for j in range(8)], 0) for i in range(12)]
+    rows.append((99, [0.5] * 8, 7))
+    fake = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(sim, "load", lambda _s, _d, _t: fake)
+
+    out = {r["label"]: r for r in sim.embedding_norm_stats(spark, sf_dir).collect()}
+    assert out[7]["n_vecs"] == 1
+    assert out[7]["std_norm"] is None
+    assert out[7]["n_outliers_2sigma"] == 0
+    assert out[0]["std_norm"] is not None  # multi-vector label unaffected
