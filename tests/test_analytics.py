@@ -259,3 +259,29 @@ def test_ranged_twins_no_single_partition_data_path(spark, sf_dir):
         assert plan.count("Exchange SinglePartition") <= allowed, name
     exact = _plan(spark, sf_dir, "window_spend_deciles")
     assert "Exchange SinglePartition" in exact
+
+
+def test_ntile_from_rank_exhaustive_grid(spark):
+    """Exhaustive closed-form check: for every n in 1..120 and bucket
+    count in {1,2,3,5,8,10,16}, ntile_from_rank must equal the ANSI
+    definition (first n%b tiles hold n//b+1 rows) at EVERY rank — one
+    Spark job over the whole ~60k-row grid, so the uneven-bucket edge
+    can't hide between the spot cases the window-equality test uses."""
+    from live_data_spark.functions.ranks import ntile_from_rank
+
+    rows = []
+    for n in range(1, 121):
+        for b in (1, 2, 3, 5, 8, 10, 16):
+            q, rem = divmod(n, b)
+            for r in range(1, n + 1):
+                big = rem * (q + 1)
+                exp = -(-r // (q + 1)) if r <= big else rem + -(-(r - big) // max(q, 1))
+                rows.append((n, b, r, exp))
+    df = spark.createDataFrame(rows, "n long, b int, r long, expected int")
+    # evaluate per-bucket-count (ntile_from_rank takes buckets as a python int)
+    for b in (1, 2, 3, 5, 8, 10, 16):
+        sub = df.where(F.col("b") == b)
+        bad = sub.where(
+            ntile_from_rank(F.col("r"), F.col("n"), b) != F.col("expected")
+        ).count()
+        assert bad == 0, f"buckets={b}: {bad} mismatching ranks"
