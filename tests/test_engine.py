@@ -435,3 +435,57 @@ def test_store_failures_persists_full_violation_set(spark, tmp_path):
     proj2.add_test(unique("ok", "v"))
     [res2] = proj2.run_tests(store_failures=True)
     assert res2.passed and res2.failures_path is None
+
+
+def test_update_ledger_script_regenerates_consistently(tmp_path, monkeypatch):
+    """scripts/update_ledger.py rewrites the LAST_CHECKED literal each
+    round; a regex slip there would silently wreck the rotation policy.
+    Run collect() against the real CORRECTNESS files and the rewrite
+    against a copy of ledger.py, then import the copy and check it agrees
+    with collect()."""
+    import importlib.util
+    import shutil
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "update_ledger", repo / "scripts" / "update_ledger.py"
+    )
+    ul = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ul)
+
+    last_ok, last_red = ul.collect()
+    # the two historical reds must be red in r01 and (per current files)
+    # green nowhere before r05
+    assert last_red.get("q12_late_shipment_priority", 0) >= 1
+    assert last_red.get("corpus_pipeline_stats", 0) >= 1
+    # every currently-ledgered name must be justified by a driver row
+    from live_data_spark import ledger
+
+    for name, rnd in ledger.LAST_CHECKED.items():
+        assert last_ok.get(name) == rnd, name
+
+    # rewrite against a COPY, then import the copy and compare
+    work = tmp_path / "ledger.py"
+    shutil.copy(repo / "live_data_spark" / "ledger.py", work)
+    monkeypatch.setattr(ul, "LEDGER", work)
+    src = work.read_text()
+    import re
+
+    body = "".join(
+        f'    "{n}": {r},\n' for n, r in sorted(last_ok.items(), key=lambda kv: (kv[1], kv[0]))
+    )
+    new_src, n_subs = re.subn(
+        r"(LAST_CHECKED: dict\[str, int\] = \{\n).*?(\})",
+        r"\g<1>" + body + r"\g<2>",
+        src,
+        flags=re.S,
+    )
+    assert n_subs == 1
+    work.write_text(new_src)
+    spec2 = importlib.util.spec_from_file_location("ledger_copy", work)
+    copy = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(copy)
+    assert copy.LAST_CHECKED == last_ok
+    assert copy.check_order(list(copy.LAST_CHECKED)[:5])  # callable survives rewrite
