@@ -186,3 +186,47 @@ def write_sorted_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """LLM-corpus raw-text ingestion: one row per LINE (default) or one
+    row per FILE (``whole_file=True`` — document-per-file corpora).
+
+    Line mode streams splittable line chunks (a 100 TB corpus scans
+    wide); whole-file mode is NOT splittable — one task per file — so
+    it's for corpora already sharded into many ≤100 MB documents, never
+    one giant file. Adds the source path column either way: provenance
+    is a first-class column in every curation operator (source caps,
+    dedup rates, mix planning all key on it).
+    """
+    # NB: must go through text()'s own parameter — DataFrameReader.text
+    # re-sets wholetext from its signature default, silently overriding a
+    # prior .option("wholetext", ...) call
+    df = spark.read.text(path, wholetext=whole_file)
+    return df.select(
+        F.input_file_name().alias("source_path"), F.col("value").alias("text")
+    )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Multimodal raw ingestion via Spark's ``binaryFile`` source:
+    (path, modificationTime, length, content) per file — the real scan
+    behind ``operators/multimodal.py`` (its ``real_media_table`` is the
+    driver-testdata stand-in for exactly this reader). Non-splittable by
+    design (a file IS the record); scale comes from file COUNT, and the
+    standard deployment packs small media into larger containers
+    upstream. ``glob`` filters by pattern at the listing, so a
+    ``*.png`` scan never opens the audio shards.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path).select(
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

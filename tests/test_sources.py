@@ -155,3 +155,42 @@ def test_corrupt_parquet_file_isolated(spark, sf_dir, tmp_path):
         spark.read.option("ignoreCorruptFiles", True).parquet(str(out)).count()
     )
     assert clean == 20
+
+
+def test_text_corpus_line_and_wholefile_modes(spark, tmp_path):
+    """Line mode: one row per line, splittable. Whole-file mode: one row
+    per file (document-per-file corpora). Both carry source provenance."""
+    from live_data_spark.sources.files import read_text_corpus
+
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("solo document body\nsecond line\n")
+
+    lines = read_text_corpus(spark, str(tmp_path)).collect()
+    assert sorted(r["text"] for r in lines) == [
+        "line one", "line two", "second line", "solo document body",
+    ]
+    assert all(r["source_path"].endswith((".txt",)) for r in lines)
+
+    docs = read_text_corpus(spark, str(tmp_path), whole_file=True).collect()
+    assert len(docs) == 2
+    by_file = {r["source_path"].rsplit("/", 1)[-1]: r["text"] for r in docs}
+    assert by_file["a.txt"] == "line one\nline two\n"
+
+
+def test_binary_files_reader_and_glob_filter(spark, tmp_path):
+    """binaryFile ingestion returns exact bytes; the glob filter prunes at
+    the listing so non-matching files are never read."""
+    from live_data_spark.sources.files import read_binary_files
+
+    payload = bytes(range(256))
+    (tmp_path / "img0.png").write_bytes(payload)
+    (tmp_path / "img1.png").write_bytes(payload[:100])
+    (tmp_path / "clip.wav").write_bytes(b"RIFFxxxx")
+
+    allf = read_binary_files(spark, str(tmp_path))
+    assert allf.count() == 3
+    png = read_binary_files(spark, str(tmp_path), glob="*.png").collect()
+    assert len(png) == 2
+    got = {r["source_path"].rsplit("/", 1)[-1]: bytes(r["payload"]) for r in png}
+    assert got["img0.png"] == payload
+    assert {r["n_bytes"] for r in png} == {256, 100}
