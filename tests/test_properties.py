@@ -119,3 +119,43 @@ def test_deterministic_sample_bucket_model(spark, keys):
     got = sorted(r["k"] for r in deterministic_sample(df, "k", pct=37).collect())
     want = sorted(k for k in keys if (k % 100003) * 2654435761 % 100 < 37)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=-50, max_value=50), st.integers(min_value=0, max_value=10**6)),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_global_rank_property_matches_window(spark, rows, nparts):
+    """with_global_rank over arbitrary (key, uid) frames — duplicate keys,
+    negative keys, skewed distributions, any partition count — must equal
+    the unpartitioned row_number window on the same (key desc, uid) total
+    order, and the attached total must equal the frame size."""
+    from pyspark.sql import Window
+
+    from live_data_spark.functions.ranks import with_global_rank
+
+    df = spark.createDataFrame(rows, "k long, uid long")
+    expect = {
+        r["uid"]: r["rn"]
+        for r in df.select(
+            "uid",
+            F.row_number()
+            .over(Window.orderBy(F.col("k").desc(), F.col("uid")))
+            .alias("rn"),
+        ).collect()
+    }
+    ranked = with_global_rank(
+        df,
+        [F.col("k").desc(), F.col("uid").asc()],
+        rank_col="r",
+        total_col="n",
+        num_partitions=nparts,
+    ).collect()
+    assert {r["uid"]: r["r"] for r in ranked} == expect
+    assert all(r["n"] == len(rows) for r in ranked)
