@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -439,3 +440,86 @@ def landing_append_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def heavy_hitter_tracker(
+    events: DataFrame, capacity: int = 64, shards: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters: a sharded SpaceSaving sketch across
+    micro-batches — the streaming twin of ``events_heavy_hitters_approx``
+    (whose one-shot approx_top_k can't accumulate over an unbounded
+    stream). Users hash into ``shards`` groups; each group's state is its
+    own capacity-``capacity`` SpaceSaving summary (item, est, err
+    triples). Sharding keeps every user's count complete within ONE
+    shard (no cross-shard merge error) while the per-shard state stays
+    bounded at O(capacity) — total state is shards·capacity rows no
+    matter how many distinct users the stream sees, which is the whole
+    point versus the exact per-user counter (O(users) state).
+
+    SpaceSaving guarantees per emitted row: true_count ≤ est_count and
+    est_count − max_err ≤ true_count; with capacity ≥ distinct users per
+    shard the sketch degenerates to exact counts (err 0) — both pinned
+    in tests, plus checkpoint-restart survival. Eviction picks the
+    (est, user_id)-minimal entry so replays are deterministic. Global
+    top-k = a trivial batch rollup over the shards·capacity output rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("user_id", LongType()),
+            StructField("est_count", LongType()),
+            StructField("max_err", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("users", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("errs", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            users, counts, errs = state.get
+            sketch = {u: [c, e] for u, c, e in zip(users, counts, errs)}
+        else:
+            sketch = {}
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                u = int(u)
+                if u in sketch:
+                    sketch[u][0] += 1
+                elif len(sketch) < capacity:
+                    sketch[u] = [1, 0]
+                else:
+                    # evict the (est, id)-minimal entry; inherit its count
+                    # as this item's overestimate bound (classic SpaceSaving)
+                    mu = min(sketch, key=lambda k: (sketch[k][0], k))
+                    mc = sketch[mu][0]
+                    del sketch[mu]
+                    sketch[u] = [mc + 1, mc]
+        items = sorted(sketch.items())
+        state.update(
+            (
+                [u for u, _ in items],
+                [ce[0] for _, ce in items],
+                [ce[1] for _, ce in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "user_id": [u for u, _ in items],
+                "est_count": [ce[0] for _, ce in items],
+                "max_err": [ce[1] for _, ce in items],
+            }
+        )
+
+    sharded = events.withColumn("shard", F.pmod(F.col("user_id"), F.lit(shards)))
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -402,3 +402,67 @@ def test_events_operators_survive_degenerate_streams(spark, sf_dir, monkeypatch)
         fn(spark, sf_dir).collect()  # must not raise
         ran += 1
     assert ran >= 25  # the whole batch events surface actually ran
+
+
+def test_heavy_hitter_tracker_exact_when_capacity_fits_and_survives_restart(spark, tmp_path):
+    """Sharded SpaceSaving twin: with capacity >= users per shard the
+    sketch must equal exact per-user counts (err 0), accumulate ACROSS
+    AvailableNow restarts via the checkpoint, and keep shard = user % 8."""
+    src = tmp_path / "hh"
+    ckpt = str(tmp_path / "hh_ckpt")
+    sink = str(tmp_path / "hh_out")
+    src.mkdir()
+
+    batch1 = _mk_events(spark, [(m, m % 5, "click", 1.0) for m in range(25)])
+    batch1.write.parquet(str(src / "b1"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    jobs.run_available_now_update(jobs.heavy_hitter_tracker(stream), sink, ckpt)
+
+    batch2 = _mk_events(spark, [(m + 100, 1, "click", 1.0) for m in range(7)])
+    batch2.write.parquet(str(src / "b2"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    jobs.run_available_now_update(jobs.heavy_hitter_tracker(stream), sink, ckpt)
+
+    latest = (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(F.max("est_count").alias("est"), F.max("max_err").alias("err"))
+        .collect()
+    )
+    got = {r["user_id"]: (r["est"], r["err"]) for r in latest}
+    assert got == {0: (5, 0), 1: (12, 0), 2: (5, 0), 3: (5, 0), 4: (5, 0)}
+    shards = {
+        (r["user_id"], r["shard"]) for r in spark.read.parquet(sink).collect()
+    }
+    assert all(s == u % 8 for u, s in shards)
+
+
+def test_heavy_hitter_tracker_eviction_bounds(spark, tmp_path):
+    """Under capacity pressure the SpaceSaving invariants must hold for
+    every emitted row: true <= est and est - err <= true, with state
+    bounded at capacity entries per shard."""
+    src = tmp_path / "hhe"
+    src.mkdir()
+    # one shard (all users even), 6 distinct users, capacity 3
+    rows = []
+    minute = 0
+    for u, n in ((2, 30), (4, 20), (6, 10), (8, 3), (10, 2), (12, 1)):
+        for _ in range(n):
+            rows.append((minute, u, "click", 1.0))
+            minute += 1
+    _mk_events(spark, rows).write.parquet(str(src / "b1"))
+    stream = jobs.read_events_stream(spark, f"{src}/*")
+    sink = str(tmp_path / "hhe_out")
+    jobs.run_available_now_update(
+        jobs.heavy_hitter_tracker(stream, capacity=3, shards=1), sink, str(tmp_path / "hhe_ckpt")
+    )
+    true = {2: 30, 4: 20, 6: 10, 8: 3, 10: 2, 12: 1}
+    out = spark.read.parquet(sink).collect()
+    assert 0 < len(out) <= 3
+    for r in out:
+        t = true[r["user_id"]]
+        assert t <= r["est_count"], r
+        assert r["est_count"] - r["max_err"] <= t, r
+    # the two dominant users must survive eviction
+    kept = {r["user_id"] for r in out}
+    assert {2, 4} <= kept
