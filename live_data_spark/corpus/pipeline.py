@@ -60,7 +60,10 @@ def stage_documents(d: DataFrame) -> DataFrame:
         F.when(
             (n_tokens >= 20)
             & ((n_stop / n_tokens).between(0.01, 0.5) | (F.col("lang") != "en"))
-            & (n_punct / n_chars < 0.2),
+            # empty doc → NULL ratio (fails the predicate) instead of a
+            # DIVIDE_BY_ZERO job abort under ANSI mode; n_tokens can't be
+            # 0 (split of "" is [""]), so only the chars ratio needs it
+            & (F.when(n_chars > 0, n_punct / n_chars) < 0.2),
             1,
         )
         .otherwise(0)

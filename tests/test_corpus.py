@@ -67,3 +67,47 @@ def test_manifest_exports_full_graph(spark, sf_dir, tmp_path):
     assert "source:testdata.documents" in models["stg_documents"]["depends_on"]
     assert len(m["tests"]) == 7
     assert any(s["table"] == "documents" for s in m["sources"])
+
+
+def test_raw_text_ingestion_to_curated_corpus_end_to_end(spark, tmp_path):
+    """The full LLM-ingest story on library pieces alone: raw .txt shards →
+    read_text_corpus (doc-per-file) → stage (normalize/fingerprint/
+    quality) → gate → exact dedup → rollup — including an EMPTY file and
+    a duplicated document, the two real-corpus shapes the parquet
+    testdata never exercises (the empty file previously aborted
+    stage_documents with DIVIDE_BY_ZERO)."""
+    from live_data_spark.corpus.pipeline import (
+        corpus_rollup,
+        exact_dedup,
+        quality_gate,
+        stage_documents,
+    )
+    from live_data_spark.sources.files import read_text_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and runs on with " * 3).strip()
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "doc_a.txt").write_text(good)
+    (raw / "doc_b.txt").write_text(good)  # exact duplicate → deduped
+    (raw / "doc_c.txt").write_text("too short")  # fails the 20-token gate
+    (raw / "doc_d.txt").write_text(" \n ")  # whitespace-only shard: zero
+    # chars after normalization — previously a DIVIDE_BY_ZERO abort
+    (raw / "doc_e.txt").write_text("")  # fully empty file: the text source
+    # emits NO row for it (reader semantics, pinned here)
+
+    docs = read_text_corpus(spark, str(raw), whole_file=True).select(
+        F.xxhash64("source_path").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("crawl").alias("source"),
+        "text",
+    )
+    staged = stage_documents(docs)
+    assert staged.count() == 4  # 4 rows: empty FILE yields none, ws-only does
+
+    curated = exact_dedup(quality_gate(staged))
+    out = curated.collect()
+    assert len(out) == 1  # dup collapsed, short + empty gated out
+    assert out[0]["n_tokens"] == 39
+
+    roll = corpus_rollup(curated).collect()
+    assert len(roll) == 1 and roll[0]["n_docs"] == 1 and roll[0]["total_tokens"] == 39
