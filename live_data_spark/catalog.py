@@ -71,7 +71,8 @@ def catalog() -> dict[str, QuerySpec]:
 
     from live_data_spark.ledger import check_order
 
-    return {n: _REGISTRY[n] for n in check_order(_REGISTRY)}
+    has_oracle = {n: s.oracle is not None for n, s in _REGISTRY.items()}
+    return {n: _REGISTRY[n] for n in check_order(_REGISTRY, has_oracle)}
 
 
 # events.parquet stores ts as INT64 TIMESTAMP(NANOS) — Spark has no nanosecond

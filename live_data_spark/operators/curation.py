@@ -592,7 +592,8 @@ WITH assigned AS (
               ELSE 'test' END AS split
   FROM documents
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+SELECT split, lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS n_chars_total
 FROM assigned GROUP BY split, lang
 """
 

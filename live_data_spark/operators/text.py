@@ -882,7 +882,7 @@ _PRETOKEN_ORACLE = rf"""
 WITH m AS (
   SELECT doc_id, length(text) AS n_chars,
          list_filter(regexp_extract_all(lower(text), '{_PRETOKEN_RE.replace("'", "''")}'),
-                     x -> trim(x) <> '') AS toks
+                     x -> NOT regexp_full_match(x, '\s+')) AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -910,9 +910,14 @@ def text_pretokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     of match counts is exactly what the oracle hash verifies.
     """
     d = load(spark, sf_dir, "documents")
+    # Column API, NOT F.expr: a double-quoted SQL literal goes through
+    # Spark's string-escape processing, which eats the backslashes in
+    # \s and silently runs a different pattern than the oracle.
+    # The whitespace filter is a full \s+ match, not trim()!='': SQL trim
+    # strips only spaces, so a tab/newline-run token would survive it.
     toks = F.filter(
-        F.expr(f'regexp_extract_all(lower(text), "{_PRETOKEN_RE}", 0)'),
-        lambda x: F.trim(x) != "",
+        F.regexp_extract_all(F.lower("text"), F.lit(_PRETOKEN_RE), F.lit(0)),
+        lambda x: ~x.rlike(r"^\s+$"),
     )
     n = F.size(toks).cast("bigint")
     # empty/null docs: NULL density, not DIVIDE_BY_ZERO (ANSI mode aborts

@@ -25,18 +25,27 @@ REPO = Path(__file__).resolve().parent.parent
 LEDGER = REPO / "live_data_spark" / "ledger.py"
 
 
-def collect() -> tuple[dict[str, int], dict[str, int]]:
-    last_ok: dict[str, int] = {}
+def collect() -> tuple[dict[str, tuple[int, str]], dict[str, int]]:
+    """last_ok: name -> (round, kind) of the MOST RECENT green row, where
+    kind is 'hash' (oracle hash-matched) or 'rows' (rows-only check ran).
+    The kind travels into ledger.LAST_CHECKED so check_order can treat
+    stale rows-only evidence on a since-promoted oracle entry as
+    never-checked (no manual CHANGED_SINCE_CHECK append needed)."""
+    last_ok: dict[str, tuple[int, str]] = {}
     last_red: dict[str, int] = {}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
         rnd = int(m.group(1))
         for name, row in json.loads(f.read_text()).items():
-            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
-            if ok:
-                last_ok[name] = max(last_ok.get(name, 0), rnd)
+            if row.get("hash_match") is True:
+                kind = "hash"
+            elif row.get("err") == "no_oracle":
+                kind = "rows"
             else:
                 last_red[name] = max(last_red.get(name, 0), rnd)
+                continue
+            if name not in last_ok or rnd >= last_ok[name][0]:
+                last_ok[name] = (rnd, kind)
     return last_ok, last_red
 
 
@@ -44,9 +53,12 @@ def main() -> int:
     last_ok, last_red = collect()
 
     src = LEDGER.read_text()
-    body = "".join(f'    "{n}": {r},\n' for n, r in sorted(last_ok.items(), key=lambda kv: (kv[1], kv[0])))
+    body = "".join(
+        f'    "{n}": ({r}, "{k}"),\n'
+        for n, (r, k) in sorted(last_ok.items(), key=lambda kv: (kv[1][0], kv[0]))
+    )
     new_src, n_subs = re.subn(
-        r"(LAST_CHECKED: dict\[str, int\] = \{\n).*?(\})",
+        r"(LAST_CHECKED: dict\[str, tuple\[int, str\]\] = \{\n).*?(\})",
         r"\g<1>" + body + r"\g<2>",
         src,
         flags=re.S,
@@ -57,9 +69,10 @@ def main() -> int:
     LEDGER.write_text(new_src)
     print(f"LAST_CHECKED rewritten: {len(last_ok)} entries")
 
+    sys.path.insert(0, str(REPO))  # `python scripts/update_ledger.py` puts scripts/, not the repo, on sys.path
     from live_data_spark import ledger  # noqa: E402  (import after rewrite is fine: values below come from collect())
 
-    still_red = [n for n, r in last_red.items() if last_ok.get(n, 0) < r]
+    still_red = [n for n, r in last_red.items() if last_ok.get(n, (0, ""))[0] < r]
     clear_changed = [n for n in ledger.CHANGED_SINCE_CHECK if n in last_ok]
     clear_red = [n for n in ledger.RED if n not in still_red and n in last_ok]
     if still_red:

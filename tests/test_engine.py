@@ -336,10 +336,16 @@ def test_check_order_policy_invariants():
     assert [n for n in ledger.LAST_CHECKED if n not in cat] == []
 
     # Class boundaries: red < never-checked < changed-since < checked.
+    # "Never checked" includes stale-kind evidence: a rows-only record on
+    # an entry that now has an oracle (promoted since its last check).
+    def never_checked(n):
+        rec = ledger.LAST_CHECKED.get(n)
+        return rec is None or (rec[1] == "rows" and cat[n].oracle is not None)
+
     def cls(n):
         if n in ledger.RED:
             return 0
-        if n not in ledger.LAST_CHECKED:
+        if never_checked(n):
             return 1
         if n in ledger.CHANGED_SINCE_CHECK:
             return 2
@@ -349,13 +355,13 @@ def test_check_order_policy_invariants():
     assert classes == sorted(classes), "catalog order violates ledger class order"
 
     # Within the checked class, older evidence is re-verified first.
-    checked_rounds = [ledger.LAST_CHECKED[n] for n in names if cls(n) == 3]
+    checked_rounds = [ledger.LAST_CHECKED[n][0] for n in names if cls(n) == 3]
     assert checked_rounds == sorted(checked_rounds)
 
     # Everything that has never had a passing driver row sits inside the
     # 50-entry window the driver actually verifies.
     window = set(names[:50])
-    must_cover = set(ledger.RED) | {n for n in names if n not in ledger.LAST_CHECKED} | set(
+    must_cover = set(ledger.RED) | {n for n in names if never_checked(n)} | set(
         ledger.CHANGED_SINCE_CHECK
     )
     overflow = must_cover - window
@@ -456,15 +462,17 @@ def test_update_ledger_script_regenerates_consistently(tmp_path, monkeypatch):
     spec.loader.exec_module(ul)
 
     last_ok, last_red = ul.collect()
-    # the two historical reds must be red in r01 and (per current files)
-    # green nowhere before r05
+    # the historical red classes must be visible in the raw rows: the two
+    # r01 type-artifact reds and the r05 one (stratified_eval_split).
     assert last_red.get("q12_late_shipment_priority", 0) >= 1
     assert last_red.get("corpus_pipeline_stats", 0) >= 1
-    # every currently-ledgered name must be justified by a driver row
+    assert last_red.get("stratified_eval_split", 0) >= 5
+    # every currently-ledgered name must be justified by a driver row,
+    # with the evidence kind carried through (hash beats rows-only).
     from live_data_spark import ledger
 
-    for name, rnd in ledger.LAST_CHECKED.items():
-        assert last_ok.get(name) == rnd, name
+    for name, rec in ledger.LAST_CHECKED.items():
+        assert last_ok.get(name) == rec, name
 
     # rewrite against a COPY, then import the copy and compare
     work = tmp_path / "ledger.py"
@@ -474,10 +482,11 @@ def test_update_ledger_script_regenerates_consistently(tmp_path, monkeypatch):
     import re
 
     body = "".join(
-        f'    "{n}": {r},\n' for n, r in sorted(last_ok.items(), key=lambda kv: (kv[1], kv[0]))
+        f'    "{n}": ({r}, "{k}"),\n'
+        for n, (r, k) in sorted(last_ok.items(), key=lambda kv: (kv[1][0], kv[0]))
     )
     new_src, n_subs = re.subn(
-        r"(LAST_CHECKED: dict\[str, int\] = \{\n).*?(\})",
+        r"(LAST_CHECKED: dict\[str, tuple\[int, str\]\] = \{\n).*?(\})",
         r"\g<1>" + body + r"\g<2>",
         src,
         flags=re.S,

@@ -74,6 +74,35 @@ def test_oracle_parity(spark, sf_dir, name):
     )
 
 
+# Types whose driver-side stringification is bit-identical to the Spark
+# result's. Anything else — above all HUGEINT (DuckDB's default sum()
+# output over BIGINT) and DECIMAL — has produced hash-only mismatches
+# three times (q12 + corpus_pipeline_stats in r1, stratified_eval_split
+# in r5): values equal, hashes differ. This guard retires the class: a
+# new oracle whose plan types a column outside this set fails here, at
+# authoring time, instead of in the driver's CORRECTNESS gate.
+_ORACLE_TYPE_ALLOWLIST = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+}
+
+
+def test_oracle_output_types_driver_safe(sf_dir):
+    con = duck_connection(sf_dir)
+    offenders = []
+    for name, spec in catalog().items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)  # plans only; no execution needed
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if typ not in _ORACLE_TYPE_ALLOWLIST:
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle columns typed outside the driver-hash-safe set "
+        "(wrap sums in cast(... AS BIGINT) etc.): " + "; ".join(offenders)
+    )
+
+
 def test_every_query_runs(spark, sf_dir):
     """Rows-only entries (no oracle) must still execute and return a schema."""
     for name, spec in catalog().items():

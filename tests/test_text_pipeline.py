@@ -169,3 +169,40 @@ def test_text_operators_survive_null_empty_short_docs(spark, sf_dir, monkeypatch
     # zipf: degenerate corpus (every term frequency equal) → NULL r², no abort
     z = tx.corpus_zipf_slope(spark, sf_dir).first()
     assert z["n_terms"] > 0
+
+
+def test_pretokenize_matches_python_re_on_adversarial_text(spark, tmp_path):
+    """Pin the pre-tokenizer against Python's `re` on text classes absent
+    from the generated corpus: punct-whitespace-punct runs, tabs/newlines
+    adjacent to punctuation, contractions, digit runs. This is the fixture
+    that would have caught the F.expr escape-processing bug (a
+    double-quoted SQL literal stripped the backslash from \\s, silently
+    running a different regex than documented — 'a !  ! b' counted 3
+    tokens instead of 4)."""
+    import re
+
+    from live_data_spark.operators import text as t
+
+    texts = [
+        "a !  ! b",            # punct / whitespace / punct — the killer case
+        "x .\t. y",            # tab between punctuation runs
+        "line1\n\n!? line2",   # newlines adjacent to punct run
+        "don't we'll they've", # contraction suffixes split off
+        "abc123 456def",       # letter/digit boundary
+        "   leading spaces",
+        "!!!",
+    ]
+    docs = spark.createDataFrame(
+        [(i, s, "en", "s", len(s)) for i, s in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r["n_pretokens"]
+        for r in t.text_pretokenize_count(spark, str(tmp_path)).collect()
+    }
+    pat = re.compile(t._PRETOKEN_RE)
+    for i, s in enumerate(texts):
+        want = sum(1 for m in pat.findall(s.lower()) if m.strip())
+        assert got[i] == want, f"doc {i!r} ({s!r}): spark={got[i]} re={want}"
