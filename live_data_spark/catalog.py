@@ -16,8 +16,10 @@ Determinism conventions (so order-insensitive value hashes match):
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path as _Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -96,3 +98,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             df = df.withColumn("ts", F.expr(_EVENTS_TS_NTZ))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+@_functools.lru_cache(maxsize=128)
+def table_rowcount(sf_dir: str, table: str) -> int:
+    """Row count from parquet FOOTER metadata — a driver-side file-stat
+    read, not a Spark job. Used to size data-dependent plan parameters
+    (LSH plane counts, bucket fan-outs) without an eager ``df.count()``
+    pass over the table: on a 100 TB table that eager count is a full
+    extra scan per query build, while footers are O(files) metadata.
+    Handles both a single ``{table}.parquet`` file and a directory of
+    part-files (Spark's layout)."""
+    import pyarrow.parquet as pq
+
+    path = _Path(sf_dir) / f"{table}.parquet"
+    files = [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
+    return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)

@@ -766,7 +766,14 @@ CONT_HASHES = 32
 CONT_BAND = 4  # → 8 bands of 4
 
 
-@register("dedup_containment_minhash", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+# Rows-only by design: band recall is PROBABILISTIC (a C>=0.8 pair that
+# escapes all 8 band collisions is the algorithm working as documented,
+# not a bug), so sharing the exact tier's oracle would turn an expected
+# recall miss on some future corpus into a red driver row. Precision is
+# exact (survivors re-verify on full shingle sets); the recall floor vs
+# dedup_containment is pinned in tests/test_dedup.py at sf0.01 AND sf0.1,
+# matching the posture of every other approximate tier in the repo.
+@register("dedup_containment_minhash", oracle=None, tags=("dedup",))
 def dedup_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment pairs via WINDOWED MinHash banding + exact verify —
     the scale rung ``dedup_containment``'s docstring promises. Plain

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from live_data_spark.catalog import load, register
+from live_data_spark.catalog import load, register, table_rowcount
 
 N_QUERIES = 10  # vec_id < 10 form the demo query set
 TOP_K = 5
@@ -162,7 +162,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
-    n = e.count()  # metadata-only parquet count; sizes the block grid
+    n = table_rowcount(sf_dir, "embeddings")  # parquet-footer count; sizes the block grid
     n_blocks = max(1, math.ceil(n / _BLOCK_TARGET))
 
     rep = e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")).select(
@@ -260,7 +260,10 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
-    n = e.count()
+    # plane count from parquet-footer metadata, NOT an eager e.count():
+    # building this plan must not run a Spark job (was the one eager
+    # action in a hot query path — a full extra table pass per build).
+    n = table_rowcount(sf_dir, "embeddings")
     n_dims = 64
     n_planes = max(4, int(math.ceil(math.log2(max(n / TARGET_BUCKET_SIZE, 2.0)))))
 
@@ -403,7 +406,7 @@ def ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
-    n = e.count()
+    n = table_rowcount(sf_dir, "embeddings")  # footer metadata, no Spark job
     k_lists = max(4, int(math.isqrt(n)))
     nprobe = max(2, k_lists // 4)
 
@@ -471,7 +474,9 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
-    n = e.count()
+    # footer-metadata count — no Spark job at plan-build time (see
+    # embedding_neardup_lsh note)
+    n = table_rowcount(sf_dir, "embeddings")
     n_dims = 64
     n_planes = max(4, int(math.ceil(math.log2(max(n / TARGET_BUCKET_SIZE, 2.0)))))
 
@@ -846,7 +851,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
-    refine = max(PQ_REFINE_MIN, e.count() // PQ_REFINE_FRAC)
+    refine = max(PQ_REFINE_MIN, table_rowcount(sf_dir, "embeddings") // PQ_REFINE_FRAC)
 
     sample_rows = (
         e.select(F.xxhash64("vec_id").alias("h"), "emb").orderBy("h").limit(PQ_SAMPLE).collect()

@@ -149,3 +149,32 @@ def test_windowed_minhash_containment_catches_embedded_doc(spark, sf_dir, monkey
         for r in dd.dedup_minhash(spark, sf_dir).collect()
     }
     assert (1, 2) not in plain  # J ≈ 0.14 — whole-doc bands can't see it
+
+
+SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.01", SF01])
+def test_containment_minhash_recall_floor_vs_exact(spark, sfd):
+    """The windowed-MinHash rung is rows-only for the driver (band recall
+    is probabilistic), so THIS is its correctness contract: precision
+    exactly 1 against the exact tier (survivors re-verify on full shingle
+    sets — any extra pair is a bug, not noise) and recall ≥ 0.8 on the
+    C≥0.8 band at both sf0.01 and sf0.1 (scale moves window alignment and
+    bucket occupancy, which the fixture-doc test can't see)."""
+    import live_data_spark.operators.dedup as dd
+
+    approx = {
+        (r["doc_id_1"], r["doc_id_2"]): r["containment"]
+        for r in dd.dedup_containment_minhash(spark, sfd).collect()
+    }
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"]): r["containment"]
+        for r in dd.dedup_containment(spark, sfd).collect()
+    }
+    assert exact, f"exact containment empty at {sfd} — threshold drifted"
+    assert set(approx) <= set(exact), "precision < 1: rung emitted a non-pair"
+    for k, v in approx.items():
+        assert v == exact[k], (k, v, exact[k])  # exact re-verify ⇒ same values
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} at {sfd} ({len(approx)}/{len(exact)})"

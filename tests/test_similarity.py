@@ -145,3 +145,22 @@ def test_norm_stats_single_vector_label_no_abort(spark, sf_dir, monkeypatch):
     assert out[7]["std_norm"] is None
     assert out[7]["n_outliers_2sigma"] == 0
     assert out[0]["std_norm"] is not None  # multi-vector label unaffected
+
+
+def test_pq_adc_sf01_recall_floor(spark):
+    """PQ-ADC at sf0.1 (2000 vectors, 4× the fixture SF): recall@5 vs the
+    brute-force twin must clear 0.5 even though uniform-random vectors are
+    PQ's worst case (measured 0.58 — the refine fraction, not the codebook,
+    is the knob if this slips). Scale pin mirrors the kmeans/SemDeDup sf0.1
+    invariants: codebook training and refine sizing both depend on n."""
+    sfd = "/root/testdata/sf0.1"
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog()["ann_cosine_topk"].spark(spark, sfd).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog()["ann_pq_adc"].spark(spark, sfd).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f}"
