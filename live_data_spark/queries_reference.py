@@ -611,19 +611,37 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct_users", oracle=None, tags=("agg", "events", "approx"))
+@register(
+    "agg_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           cast(count(DISTINCT user_id) AS BIGINT) AS n_users_approx,
+           cast(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "events", "approx", "sketch"),
+)
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (SURVEY §2.12 approx-distinct mandate).
+    """Sketch-based approximate distinct (SURVEY §2.12 approx-distinct
+    mandate), via Apache DataSketches HLL rather than
+    ``approx_count_distinct``: the sketch column is MERGEABLE
+    (``hll_union_agg`` composes partial aggregations across stages /
+    days / sources — the property the 100 TB rollup tree needs), where
+    HLL++'s internal state never surfaces.
 
-    Rows-only driver check: HLL sketches are engine-specific (Spark's
-    relativeSD=0.05 default vs DuckDB's own sketch), so exact value
-    equality across engines isn't defined; the exact twin above is the
-    oracle-checked anchor, and tests assert the approximation lands
-    within its documented error band of it.
+    Oracle-green under the events_rolling_dau_hll precedent: at lgK=14
+    the sketch stays in its exact coupon phase until cardinality ≫ the
+    per-type actives at every checked SF (1.5k users at sf0.1 vs ~4k
+    coupon capacity), so estimates are exact integers there — verified
+    0 mismatches vs countDistinct at sf0.01 AND sf0.1. At true 100 TB
+    actives it degrades to the documented ≤2% error band; the exact twin
+    ``agg_distinct_users`` above stays the anchor.
     """
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.round(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))"))
+        .cast("bigint")
+        .alias("n_users_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

@@ -775,6 +775,77 @@ def events_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(F.col("n_events").desc(), "user_id").limit(_HH_TOP)
 
 
+_SS_CAPACITY = 1024  # per-shard summary size; covers per-shard users at all checked SFs
+_SS_SHARDS = 8
+
+_SS_ORACLE = f"""
+SELECT user_id, cast(count(*) AS BIGINT) AS est_count, cast(0 AS BIGINT) AS max_err
+FROM events GROUP BY user_id
+ORDER BY est_count DESC, user_id
+LIMIT {_HH_TOP}
+"""
+
+
+@register(
+    "events_spacesaving_topk",
+    oracle=_SS_ORACLE,
+    tags=("events", "topk", "sketch", "streaming-twin"),
+)
+def events_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ``heavy_hitter_tracker`` — the SAME
+    sharded SpaceSaving summary (shared ``spacesaving_insert`` core,
+    streaming/jobs.py) run over the events table, so the streaming job's
+    semantics get a driver-visible oracle check like the other
+    stream/batch twin pairs.
+
+    Two-phase shape that scales: per-(shard, user) counts first (one
+    map-side-combined hash aggregate — the only pass over raw events),
+    then each shard's ≤|users/shard| count rows fold into its
+    capacity-bounded sketch via weighted inserts in ONE Arrow group.
+    The pandas group is O(distinct users per shard), never O(events).
+
+    Oracle-green by forced exactness (the heavy_hitters_approx
+    precedent): capacity 1024 ≥ per-shard distinct users at every
+    checked SF, so no eviction fires, est = true count and err = 0, and
+    global top-20 equals the exact SQL top-20. Under real 100 TB
+    cardinality evictions begin and the entry degrades to SpaceSaving's
+    documented bounds (est ≥ true ≥ est − err) — pinned with an
+    undersized sketch in tests/test_streaming.py. Weighted inserts fold
+    heaviest-first so a capacity overflow evicts only genuinely-light
+    entries deterministically.
+    """
+    import pandas as pd
+
+    from live_data_spark.streaming.jobs import spacesaving_insert
+
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.withColumn("shard", F.pmod("user_id", F.lit(_SS_SHARDS)))
+        .groupBy("shard", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def shard_sketch(pdf: pd.DataFrame) -> pd.DataFrame:
+        sketch: dict[int, list[int]] = {}
+        for u, n in sorted(
+            zip(pdf["user_id"], pdf["n"]), key=lambda t: (-t[1], t[0])
+        ):
+            spacesaving_insert(sketch, int(u), int(n), _SS_CAPACITY)
+        items = sorted(sketch.items())
+        return pd.DataFrame(
+            {
+                "user_id": [u for u, _ in items],
+                "est_count": [ce[0] for _, ce in items],
+                "max_err": [ce[1] for _, ce in items],
+            }
+        )
+
+    summary = per_user.groupBy("shard").applyInPandas(
+        shard_sketch, "user_id long, est_count long, max_err long"
+    )
+    return summary.orderBy(F.col("est_count").desc(), "user_id").limit(_HH_TOP)
+
+
 # ---------------------------------------------------------------------------
 # Rolling distinct actives — DAU with 7-day trailing WAU.
 # ---------------------------------------------------------------------------

@@ -442,6 +442,26 @@ def landing_append_stream(
     q.awaitTermination()
 
 
+def spacesaving_insert(
+    sketch: dict[int, list[int]], item: int, weight: int, capacity: int
+) -> None:
+    """One weighted SpaceSaving insert (Metwally et al. 2005), shared by
+    the streaming tracker below (weight 1 per event) and the batch twin
+    ``events_spacesaving_topk`` (pre-aggregated per-user weights). The
+    sketch maps item -> [est_count, max_err]; eviction picks the
+    (est, item)-minimal entry so replays are deterministic, and the
+    evictee's count becomes the newcomer's overestimate bound."""
+    if item in sketch:
+        sketch[item][0] += weight
+    elif len(sketch) < capacity:
+        sketch[item] = [weight, 0]
+    else:
+        mu = min(sketch, key=lambda k: (sketch[k][0], k))
+        mc = sketch[mu][0]
+        del sketch[mu]
+        sketch[item] = [mc + weight, mc]
+
+
 def heavy_hitter_tracker(
     events: DataFrame, capacity: int = 64, shards: int = 8
 ) -> DataFrame:
@@ -490,18 +510,7 @@ def heavy_hitter_tracker(
             sketch = {}
         for pdf in pdfs:
             for u in pdf["user_id"]:
-                u = int(u)
-                if u in sketch:
-                    sketch[u][0] += 1
-                elif len(sketch) < capacity:
-                    sketch[u] = [1, 0]
-                else:
-                    # evict the (est, id)-minimal entry; inherit its count
-                    # as this item's overestimate bound (classic SpaceSaving)
-                    mu = min(sketch, key=lambda k: (sketch[k][0], k))
-                    mc = sketch[mu][0]
-                    del sketch[mu]
-                    sketch[u] = [mc + 1, mc]
+                spacesaving_insert(sketch, int(u), 1, capacity)
         items = sorted(sketch.items())
         state.update(
             (

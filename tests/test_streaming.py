@@ -466,3 +466,31 @@ def test_heavy_hitter_tracker_eviction_bounds(spark, tmp_path):
     # the two dominant users must survive eviction
     kept = {r["user_id"] for r in out}
     assert {2, 4} <= kept
+
+
+def test_spacesaving_batch_twin_degrades_with_bounds(spark, sf_dir, monkeypatch):
+    """The batch twin's oracle row checks only the forced-exact config;
+    THIS pins the degraded regime: with an undersized capacity, emitted
+    rows still satisfy SpaceSaving's bounds (true <= est, est - err <=
+    true) and every truly-heavy user survives (heaviest-first weighted
+    fold means top entries are inserted before capacity pressure)."""
+    from live_data_spark.streaming import events_batch as eb
+
+    monkeypatch.setattr(eb, "_SS_CAPACITY", 5)
+    monkeypatch.setattr(eb, "_SS_SHARDS", 2)
+    out = eb.events_spacesaving_topk(spark, sf_dir).collect()
+    true = {
+        r["user_id"]: r["n_events"]
+        for r in eb.load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert 0 < len(out) <= 10  # 2 shards x capacity 5
+    for r in out:
+        t = true[r["user_id"]]
+        assert t <= r["est_count"], r
+        assert r["est_count"] - r["max_err"] <= t, r
+    # heaviest-first fold: the global top-2 by true count must be present
+    top2 = sorted(true, key=lambda u: (-true[u], u))[:2]
+    assert set(top2) <= {r["user_id"] for r in out}
