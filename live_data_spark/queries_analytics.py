@@ -1139,11 +1139,15 @@ def window_spend_deciles_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_col="__n",
     )
     r, n = F.col("__r"), F.col("__n")
+    # n == 1 guard: the closed form (r-1)/(n-1) is 0/0 on a single-row
+    # frame — an ANSI-mode job abort — where percent_rank() (both
+    # engines, and this entry's shared oracle) defines it as 0.0.
+    pct = F.when(n > 1, F.round((r - 1) / (n - 1), 6)).otherwise(F.lit(0.0))
     return ranked.select(
         "customer_id",
         "total_spend",
         ntile_from_rank(r, n, 10).alias("decile"),
-        F.round((r - 1) / (n - 1), 6).alias("pct_rank"),
+        pct.alias("pct_rank"),
         F.round(r / n, 6).alias("cume"),
     )
 

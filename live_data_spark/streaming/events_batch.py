@@ -1174,7 +1174,8 @@ WITH per_user AS (
 )
 SELECT cast(max(n) AS BIGINT) AS n_users,
        round(cast(sum(cast(x AS DOUBLE)) AS DOUBLE), 2) AS total_value,
-       round(2.0 * sum(i * cast(x AS DOUBLE)) / (max(n) * sum(cast(x AS DOUBLE)))
+       round(2.0 * sum(i * cast(x AS DOUBLE))
+               / NULLIF(max(n) * sum(cast(x AS DOUBLE)), 0)
              - (max(n) + 1.0) / max(n), 4) AS gini
 FROM ranked
 """
@@ -1206,14 +1207,20 @@ def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.max(F.count(F.lit(1)).over(Window.partitionBy()))
     # count(*) via a plain agg: rank frame already materializes all rows
-    return ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.round(F.sum("xd"), 2).alias("total_value"),
+    # all-zero-value guard: sum(xd) == 0 makes the Lorenz divisor zero —
+    # NULL gini (mirrored by the oracle's NULLIF), never a job abort or inf
+    gini = F.when(
+        F.sum("xd") != 0,
         F.round(
             2.0 * F.sum(F.col("i") * F.col("xd")) / (F.count(F.lit(1)) * F.sum("xd"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             4,
-        ).alias("gini"),
+        ),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("xd"), 2).alias("total_value"),
+        gini.alias("gini"),
     )
 
 
@@ -1239,14 +1246,20 @@ def events_value_gini_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         per_user, [F.col("x").asc(), F.col("user_id").asc()], rank_col="i"
     ).select(F.col("x").cast("double").alias("xd"), "i")
-    return ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.round(F.sum("xd"), 2).alias("total_value"),
+    # all-zero-value guard: sum(xd) == 0 makes the Lorenz divisor zero —
+    # NULL gini (mirrored by the oracle's NULLIF), never a job abort or inf
+    gini = F.when(
+        F.sum("xd") != 0,
         F.round(
             2.0 * F.sum(F.col("i") * F.col("xd")) / (F.count(F.lit(1)) * F.sum("xd"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             4,
-        ).alias("gini"),
+        ),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("xd"), 2).alias("total_value"),
+        gini.alias("gini"),
     )
 
 

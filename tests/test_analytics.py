@@ -285,3 +285,35 @@ def test_ntile_from_rank_exhaustive_grid(spark):
             ntile_from_rank(F.col("r"), F.col("n"), b) != F.col("expected")
         ).count()
         assert bad == 0, f"buckets={b}: {bad} mismatching ranks"
+
+
+def test_ranked_twins_survive_degenerate_frames(spark, monkeypatch):
+    """The closed-form rank family divides by n-1 and by sum(x): a single
+    ranked row (n-1 = 0) or an all-zero value column must yield the
+    defined degenerate answers (percent_rank 0.0; NULL gini), never an
+    ANSI job abort or an inf — same degenerate-input class as the
+    punct_ratio/zipf guards."""
+    import live_data_spark.queries_analytics as qa
+    from live_data_spark.streaming import events_batch as eb
+
+    one_order = spark.createDataFrame(
+        [(1, 7, 100.0)], "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    monkeypatch.setattr(qa, "load", lambda _s, _d, _t: one_order)
+    row = qa.window_spend_deciles_ranged(spark, "ignored").collect()
+    assert len(row) == 1
+    assert row[0]["pct_rank"] == 0.0 and row[0]["cume"] == 1.0
+    assert row[0]["decile"] == 1
+
+    import datetime as dt
+
+    zero_events = spark.createDataFrame(
+        [(i, i % 3, "click", dt.datetime(2024, 1, 1, 0, i), 0.0) for i in range(6)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    monkeypatch.setattr(eb, "load", lambda _s, _d, _t: zero_events)
+    for fn in (eb.events_value_gini, eb.events_value_gini_ranged):
+        g = fn(spark, "ignored").collect()
+        assert len(g) == 1
+        assert g[0]["gini"] is None, fn.__name__
+        assert g[0]["n_users"] == 3
