@@ -773,7 +773,7 @@ CONT_BAND = 4  # → 8 bands of 4
 # exact (survivors re-verify on full shingle sets); the recall floor vs
 # dedup_containment is pinned in tests/test_dedup.py at sf0.01 AND sf0.1,
 # matching the posture of every other approximate tier in the repo.
-@register("dedup_containment_minhash", oracle=None, tags=("dedup",))
+@register("dedup_containment_minhash", oracle=None, headline=True, tags=("dedup",))
 def dedup_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment pairs via WINDOWED MinHash banding + exact verify —
     the scale rung ``dedup_containment``'s docstring promises. Plain
