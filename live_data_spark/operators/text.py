@@ -1017,3 +1017,160 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("n_fingerprints"),
         F.round(fp / F.count(F.lit(1)).cast("double"), 4).alias("density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring — rank the corpus against a seed query.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "window", "hash")
+BM25_TOP = 25
+
+_BM25_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT cast(count(*) AS DOUBLE) AS n_docs, avg(cast(dl AS DOUBLE)) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id,
+         floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+               * 100000000 + 0.5) AS q
+  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats s
+)
+SELECT doc_id,
+       cast(count(*) AS INTEGER) AS n_query_terms,
+       round(sum(q) / 100000000.0, 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY sum(q) DESC, doc_id
+LIMIT {BM25_TOP}
+"""
+
+
+@register("text_bm25_topdocs", oracle=_BM25_ORACLE, tags=("text", "retrieval", "topk"))
+def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k documents for a fixed seed query — the retrieval
+    primitive behind seed-based curation ("find more docs like this
+    benchmark/domain seed") that complements the embedding-side ANN
+    ladder with a lexical rung. k1/b are the standard 1.2/0.75.
+
+    Shape at scale: ONE explode of the corpus feeds both statistics —
+    per-doc length (map-side-combined count) and per-(doc, query-term)
+    tf (filter on the 3-term query BEFORE the group, so only matching
+    tokens shuffle). df and the (N, avgdl) scalars are one-per-term /
+    one-row aggregates that broadcast; the only doc-keyed join is
+    tf ⋈ dl, both sides already keyed on doc_id. Top-k compiles to
+    TakeOrderedAndProject — no global sort.
+
+    Engine-exactness: ln feeds a cross-term sum and the top-k cut, so
+    each (doc, term) score is quantized to an int with
+    floor(x·1e8 + 0.5) on BOTH engines (the text_bigram_surprisal
+    recipe) — the ordering and the 4-decimal output are integer-exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.ln((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tff = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tff * 100000000 + 0.5).cast("bigint").alias("q"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_query_terms"),
+        F.sum("q").alias("qs"),
+    )
+    return (
+        per_doc.orderBy(F.col("qs").desc(), "doc_id")
+        .limit(BM25_TOP)
+        .select(
+            "doc_id",
+            "n_query_terms",
+            F.round(F.col("qs") / 100000000.0, 4).alias("bm25"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC audit — normalization-form hygiene for a mixed-source corpus.
+# ---------------------------------------------------------------------------
+
+_NFC_ORACLE = """
+SELECT doc_id,
+       cast(length(text) AS BIGINT) AS n_chars_raw,
+       cast(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+       text = nfc_normalize(text) AS is_nfc
+FROM documents
+"""
+
+
+@register("text_unicode_nfc", oracle=_NFC_ORACLE, tags=("text", "normalize"))
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode NFC audit: raw vs NFC-normalized character
+    counts and an is-normalized flag. Mixed-source corpora mix composed
+    and decomposed forms of the same glyphs ("é" as one codepoint vs
+    e+U+0301); every downstream exact-hash dedup, shingle, and tokenizer
+    treats them as different text, so the canonicalization decision has
+    to be explicit and measurable — this entry is the measurement.
+
+    Spark has no built-in Unicode normalizer, so the normalization runs
+    as an Arrow-batched pandas UDF over stdlib ``unicodedata`` — one
+    Python pass per row batch, map-only, no shuffle (justification
+    recorded for the plan-hygiene sweep; the oracle's utf8proc
+    ``nfc_normalize`` and CPython's tables agree on the testdata and the
+    accent/Hangul fixture cases pinned in tests). The UDF result is
+    reused through a single projection so the normalization runs once.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    nfc_udf = pandas_udf(_nfc, "string")
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "text", nfc_udf(F.col("text")).alias("nfc")
+    ).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length("nfc").cast("bigint").alias("n_chars_nfc"),
+        (F.col("text") == F.col("nfc")).alias("is_nfc"),
+    )

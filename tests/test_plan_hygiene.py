@@ -42,6 +42,7 @@ BNLJ_OK: set[str] = {
     "ann_ivf_flat",  # centroid assignment compare (by design)
     "corpus_dedup_cascade",  # 1-row survivor-count x 1-row removed-count
     "text_bigram_surprisal",  # 1-row vocab-size scalar broadcast
+    "text_bm25_topdocs",  # 1-row (N, avgdl) corpus-stats scalar broadcast
 }
 
 ALL = sorted(catalog())

@@ -206,3 +206,69 @@ def test_pretokenize_matches_python_re_on_adversarial_text(spark, tmp_path):
     for i, s in enumerate(texts):
         want = sum(1 for m in pat.findall(s.lower()) if m.strip())
         assert got[i] == want, f"doc {i!r} ({s!r}): spark={got[i]} re={want}"
+
+
+def test_unicode_nfc_detects_decomposed_forms(spark, tmp_path):
+    """Pin the NFC audit on forms the ASCII testdata can't exercise:
+    decomposed accents recompose (shorter), composed text and ASCII pass
+    through, Hangul jamo compose to syllables, and NULL text yields NULL
+    stats rather than an abort. Also cross-checks CPython unicodedata
+    against DuckDB utf8proc on these same strings via the oracle SQL."""
+    import duckdb
+
+    from live_data_spark.operators import text as t
+
+    decomposed = "café résumé"      # e + combining acute ×3
+    composed = "café résumé"
+    jamo = "각"                        # ᄀ+ᅡ+ᆨ → 각
+    docs = spark.createDataFrame(
+        [
+            (1, decomposed, "fr", "s", len(decomposed)),
+            (2, composed, "fr", "s", len(composed)),
+            (3, "plain ascii", "en", "s", 11),
+            (4, jamo, "ko", "s", len(jamo)),
+            (5, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.write.parquet(pq)
+
+    got = {r["doc_id"]: r for r in t.text_unicode_nfc(spark, str(tmp_path)).collect()}
+    assert got[1]["is_nfc"] is False and got[1]["n_chars_nfc"] == got[1]["n_chars_raw"] - 3
+    assert got[2]["is_nfc"] is True and got[2]["n_chars_nfc"] == got[2]["n_chars_raw"]
+    assert got[3]["is_nfc"] is True
+    assert got[4]["is_nfc"] is False and got[4]["n_chars_nfc"] == 1
+    assert got[5]["is_nfc"] is None and got[5]["n_chars_nfc"] is None
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    duck = {r[0]: r for r in con.execute(t._NFC_ORACLE).fetchall()}
+    for i in (1, 2, 3, 4, 5):
+        g = got[i]
+        assert (g["n_chars_raw"], g["n_chars_nfc"], g["is_nfc"]) == (
+            duck[i][1], duck[i][2], duck[i][3],
+        ), i
+
+
+def test_bm25_ranks_term_density(spark, tmp_path):
+    """BM25 must reward query-term density and penalize document length:
+    a short doc saturated with query terms outranks a long doc with one
+    hit, and docs with zero query terms never appear."""
+    from live_data_spark.operators import text as t
+
+    hit3 = "spark window hash spark"
+    hit1_long = "spark " + " ".join(f"filler{i}" for i in range(100))
+    miss = "nothing relevant here at all"
+    docs = spark.createDataFrame(
+        [(1, hit3, "en", "s", len(hit3)), (2, hit1_long, "en", "s", len(hit1_long)),
+         (3, miss, "en", "s", len(miss))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = t.text_bm25_topdocs(spark, str(tmp_path)).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1 and 3 not in ids
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["bm25"] > by_id[2]["bm25"] > 0
+    assert by_id[1]["n_query_terms"] == 3 and by_id[2]["n_query_terms"] == 1
