@@ -230,3 +230,61 @@ def read_binary_files(
         F.col("length").alias("n_bytes"),
         F.col("content").alias("payload"),
     )
+
+
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus ingestion — the de-facto interchange format for
+    training-data pipelines (one JSON document per line). Returns
+    ``(good, bad)``: parsed rows with provenance, and the raw corrupt
+    lines quarantined for inspection instead of silently dropped or
+    fatally failing a 100 TB ingest.
+
+    Design choices that matter at scale:
+
+    - An EXPLICIT schema is strongly preferred (default covers the
+      documents-table shape): without one, Spark runs a full inference
+      pre-pass over every byte before the real scan — two reads of the
+      corpus. With one, JSONL is line-splittable and scans wide like any
+      text source.
+    - ``PERMISSIVE`` + ``columnNameOfCorruptRecord``: a malformed line
+      becomes a row whose ``_corrupt_record`` holds the raw text. The
+      split into (good, bad) happens with one filter each — and because
+      Spark refuses to filter on the corrupt column alone (SPARK-38962:
+      the pruned plan would re-parse and never materialize it), both
+      frames select data columns alongside it.
+    - Dropping vs quarantining is a POLICY decision: bad rows carry
+      provenance (source_path) so the broken shard upstream is
+      identifiable, the same first-class-provenance rule as
+      read_text_corpus.
+    """
+    sch = schema or (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT, _corrupt_record STRING"
+    )
+    if "_corrupt_record" not in sch:
+        sch = sch + ", _corrupt_record STRING"
+    df = (
+        spark.read.schema(sch)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .withColumn("source_path", F.input_file_name())
+    )
+    # No .cache(): at 100 TB pinning the parsed corpus is the bug, not the
+    # optimization. Consuming BOTH frames costs two scans when both are
+    # materialized directly — a production ingest lands the combined
+    # frame to partitioned storage once (partitionBy(is_corrupt)) and
+    # reads the splits from there; tests and small runs don't care.
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    # The coalesce with a data column is LOAD-BEARING, not defensive: it
+    # keeps a real field in the pruned scan so the corrupt column is not
+    # the only reference (Spark raises QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    # otherwise — SPARK-38962). Under the isNotNull filter it always
+    # returns the raw line.
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        "source_path",
+        F.coalesce(F.col("_corrupt_record"), F.col("text")).alias("raw_line"),
+    )
+    return good, bad

@@ -194,3 +194,30 @@ def test_binary_files_reader_and_glob_filter(spark, tmp_path):
     got = {r["source_path"].rsplit("/", 1)[-1]: bytes(r["payload"]) for r in png}
     assert got["img0.png"] == payload
     assert {r["n_bytes"] for r in png} == {256, 100}
+
+
+def test_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    """JSONL ingest must parse good lines with the explicit schema (no
+    inference pre-pass), quarantine malformed lines with their raw text
+    and provenance, and round-trip the documents-table shape."""
+    from live_data_spark.sources.files import read_jsonl_corpus
+
+    shard = tmp_path / "shard0.jsonl"
+    shard.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1", "n_chars": 11}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "zweite zeile", "lang": "de", "source": "s1", "n_chars": 12}\n'
+        '{"doc_id": 3, "text": "truncated...\n'
+    )
+    good, bad = read_jsonl_corpus(spark, str(shard))
+    g = {r["doc_id"]: r for r in good.collect()}
+    assert set(g) == {1, 2}
+    assert g[1]["text"] == "hello world" and g[2]["lang"] == "de"
+    assert all(r["source_path"].endswith("shard0.jsonl") for r in g.values())
+
+    b = bad.collect()
+    assert {r["raw_line"] for r in b} == {
+        "this is not json at all",
+        '{"doc_id": 3, "text": "truncated...',
+    }
+    assert all(r["source_path"].endswith("shard0.jsonl") for r in b)
