@@ -859,3 +859,81 @@ def dedup_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(cont >= 0.8).select(
         "doc_id_1", "doc_id_2", F.round(cont, 4).alias("containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. Incremental dedup — new batch vs the already-ingested corpus.
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         substr(md5(cast(doc_id AS VARCHAR)), 1, 1) < '4' AS in_history
+  FROM documents
+), history AS (
+  SELECT DISTINCT fp FROM fp WHERE in_history
+), batch AS (
+  SELECT doc_id, fp FROM fp WHERE NOT in_history
+), cls AS (
+  SELECT b.doc_id, b.fp,
+         CASE WHEN h.fp IS NOT NULL THEN 'dup_history'
+              WHEN b.doc_id > min(b.doc_id) OVER (PARTITION BY b.fp) THEN 'dup_batch'
+              ELSE 'new' END AS decision
+  FROM batch b LEFT JOIN history h ON b.fp = h.fp
+)
+SELECT decision, cast(count(*) AS BIGINT) AS n_docs,
+       cast(min(doc_id) AS BIGINT) AS min_doc_id
+FROM cls GROUP BY decision
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE, tags=("dedup", "pipeline"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: classify an arriving batch against the
+    fingerprints ALREADY in the corpus — the shape every continuously-
+    ingested training set needs (a full-corpus re-dedup per ingest is
+    the O(total)·ingests anti-pattern; this is O(batch + store-probe)).
+    The history/batch split is the deterministic md5(doc_id) carve
+    (stratified_eval_split's device): first hex digit < '4' ⇒ 25% of
+    docs stand in for the already-ingested store.
+
+    Each batch doc gets one decision: ``dup_history`` (fingerprint seen
+    in the store), ``dup_batch`` (another batch doc with the same
+    fingerprint and a lower id wins), ``new``. Reported as decision
+    counts so ingest-rate dashboards get one tiny row set.
+
+    At 100 TB: the store is a bucketed (fp → sorted) table, the probe is
+    a fp-keyed left join that shuffles only the BATCH (the store side is
+    bucket-pruned, no re-shuffle), and the within-batch window rides the
+    same fp partitioning — one shuffle of 16-byte pairs total. New
+    fingerprints append to the store afterward; nothing ever rescans
+    ingested text.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
+            "in_history"
+        ),
+    )
+    history = d.where("in_history").select("fp").distinct()
+    batch = d.where(~F.col("in_history")).select("doc_id", "fp")
+    w = Window.partitionBy("fp")
+    cls = (
+        batch.join(history.withColumn("seen", F.lit(True)), "fp", "left")
+        .withColumn("min_batch_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("seen").isNotNull(), "dup_history")
+            .when(F.col("doc_id") > F.col("min_batch_id"), "dup_batch")
+            .otherwise("new")
+            .alias("decision"),
+        )
+    )
+    return cls.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
