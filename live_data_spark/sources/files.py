@@ -288,3 +288,4 @@ def read_jsonl_corpus(
         F.coalesce(F.col("_corrupt_record"), F.col("text")).alias("raw_line"),
     )
     return good, bad
+

@@ -221,3 +221,4 @@ def test_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
         '{"doc_id": 3, "text": "truncated...',
     }
     assert all(r["source_path"].endswith("shard0.jsonl") for r in b)
+
