@@ -917,3 +917,126 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse inverted lists + residual product quantization.
+# ---------------------------------------------------------------------------
+
+
+@register("ann_ivf_pq", oracle=None, tags=("similarity", "vector", "compression"))
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via IVF-PQ — the composed top rung of the
+    ANN ladder (Jégou et al.'s IVFADC): the IVF coarse quantizer cuts
+    CANDIDATES (a query touches only its ``nprobe`` lists) and product-
+    quantized RESIDUALS cut BYTES (32-bit codes instead of raw vectors),
+    which is how billion-vector indexes actually deploy — neither trick
+    alone suffices at 100 TB.
+
+    Decomposition: v ≈ c(v) + r, so q·v ≈ q·c (exact — K centroids,
+    computed once per query) + q·r (ADC over per-subspace lookup
+    tables). Residuals, not raw vectors, feed the codebooks: their
+    spread around the centroid is what PQ must represent, and encoding
+    residuals roughly halves the quantization error at the same code
+    budget. Everything data-sized stays distributed: ONE Arrow pass
+    assigns each vector to its nearest centroid, encodes its residual,
+    and emits ADC scores only for (query, vector) pairs whose list is
+    probed — the per-batch score matrix is |Q|·|batch| masked down to
+    the probe hits. Driver state is bounded: K = √n centroids and the
+    PQ_SAMPLE-row training sample (same posture as ann_pq_adc), both
+    deterministic hash-order picks, no RNG.
+
+    Exact-refine tail as everywhere in the ladder: per-query top-refine
+    ADC candidates re-rank with true cosine, so precision of returned
+    similarities is exact and only recall is approximate. Rows-only
+    driver check (centroids + codebooks aren't SQL-reproducible);
+    recall floor vs the brute-force twin pinned in
+    tests/test_similarity.py at the fixture SF and sf0.1.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    n = table_rowcount(sf_dir, "embeddings")
+    k_lists = max(4, int(math.isqrt(n)))
+    nprobe = max(2, k_lists // 4)
+    refine = max(PQ_REFINE_MIN, n // PQ_REFINE_FRAC)
+
+    cent_rows = (
+        e.select(F.xxhash64("vec_id").alias("h"), "emb").orderBy("h").limit(k_lists).collect()
+    )
+    cents = np.stack([np.array(r["emb"], dtype=np.float64) for r in cent_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    sample_rows = (
+        e.select(F.xxhash64("vec_id").alias("h"), "emb").orderBy("h").limit(PQ_SAMPLE).collect()
+    )
+    sample = np.stack([np.array(r["emb"], dtype=np.float64) for r in sample_rows])
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    resid_sample = sample - cents[np.argmax(sample @ cents.T, axis=1)]
+    books = _pq_train(resid_sample)
+
+    q_rows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q = np.stack([np.array(r["emb"], dtype=np.float64) for r in q_rows])
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qc = q @ cents.T  # exact q·c term, |Q| × K
+    # probe set per query: nprobe nearest centroids by the same metric
+    probes = np.argsort(-qc, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(q_ids), k_lists), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, probes[qi]] = True
+    sub = q.shape[1] // PQ_M
+    tables = np.einsum("qjs,jks->qjk", q.reshape(len(q), PQ_M, sub), books)
+
+    def ivfadc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["emb"].to_numpy())
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            assign = np.argmax(v @ cents.T, axis=1)
+            resid = (v - cents[assign]).reshape(len(v), PQ_M, sub)
+            codes = np.empty((len(v), PQ_M), dtype=np.int64)
+            for j in range(PQ_M):
+                d2 = ((resid[:, j, None, :] - books[None, j]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            # ADC: q·v ≈ q·c(v) + Σ_j T[q, j, code_j(v)]
+            scores = qc[:, assign].copy()
+            for j in range(PQ_M):
+                scores += tables[:, j, codes[:, j]]
+            hit = probe_mask[:, assign]  # |Q| × |batch|: v's list probed by q?
+            qi, vi = np.nonzero(hit)
+            nid = pdf["vec_id"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": nid[vi],
+                    "adc": scores[qi, vi],
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    cand = e.mapInPandas(ivfadc, schema="query_id long, neighbor_id long, adc double")
+    wa = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    short = (
+        cand.withColumn("rnk", F.row_number().over(wa))
+        .where(F.col("rnk") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+    scored = short.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("cos")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cosine_sim"))
+    )

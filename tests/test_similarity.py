@@ -164,3 +164,27 @@ def test_pq_adc_sf01_recall_floor(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_ivf_pq_recall_floor_and_exact_values(spark, sfd):
+    """IVF-PQ composes the two pruning mechanisms, so its worst-case
+    recall is roughly their PRODUCT (measured at sf0.1: IVF-flat 0.52 ×
+    PQ-conditional ≈ 0.73 → 0.38) — uniform-random embeddings spread true
+    neighbors evenly over lists, the regime both tricks are worst at.
+    The pin is the floor under that composition (deterministic: hash-
+    order sampling, no RNG). Returned similarities must be TRUE cosines
+    (exact refine), and output is the full top-5 per query."""
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in catalog()["ann_cosine_topk"].spark(spark, sfd).collect()
+    }
+    rows = catalog()["ann_ivf_pq"].spark(spark, sfd).collect()
+    assert len(rows) == 50  # 10 queries × top-5
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(set(truth) & got) / len(truth)
+    assert recall >= 0.3, f"recall {recall:.2f} at {sfd}"
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in truth:
+            assert r["cosine_sim"] == pytest.approx(truth[key], abs=1e-4)
