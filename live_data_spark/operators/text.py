@@ -1174,3 +1174,63 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("nfc").cast("bigint").alias("n_chars_nfc"),
         (F.col("text") == F.col("nfc")).alias("is_nfc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML/markup strip audit — the first step of every web-scrape pipeline.
+# ---------------------------------------------------------------------------
+
+_HTML_TAG_RE = "<[^>]+>"
+_HTML_ENTITY_RE = "&[a-zA-Z]+;|&#[0-9]+;"
+
+_HTML_ORACLE = rf"""
+SELECT doc_id,
+       cast(len(regexp_extract_all(text, '{_HTML_TAG_RE}')) AS BIGINT) AS n_tags,
+       cast(len(regexp_extract_all(text, '{_HTML_ENTITY_RE}')) AS BIGINT) AS n_entities,
+       cast(length(trim(regexp_replace(regexp_replace(text, '{_HTML_TAG_RE}', ' ', 'g'),
+                                       '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_stripped,
+       round(CASE WHEN length(text) > 0
+                  THEN 1.0 - length(trim(regexp_replace(regexp_replace(text, '{_HTML_TAG_RE}', ' ', 'g'),
+                                                        '\s+', ' ', 'g'))) / cast(length(text) AS DOUBLE)
+             END, 4) AS markup_frac
+FROM documents
+"""
+
+
+@register("text_html_strip_stats", oracle=_HTML_ORACLE, tags=("text", "normalize", "pipeline"))
+def text_html_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-strip audit: per-doc tag/entity counts, post-strip text
+    length, and the markup fraction — the triage numbers a web-scrape
+    corpus needs before text extraction (docs that are mostly markup go
+    to a real DOM extractor or the bin; near-zero markup_frac means the
+    text already came extracted).
+
+    Deliberately the regex TIER: ``<[^>]+>`` + whitespace collapse is
+    the cheap single-scan screen (both engines run the identical
+    pattern — in Java-regex/RE2's common subset), not an HTML5 parser —
+    script/style CONTENT, comments, and malformed nesting need the DOM
+    tier, which is a Pandas-UDF swap-in at the same query shape (no
+    parser libs in this container). Map-only, whole-stage codegen, no
+    shuffle; the markup_frac guard mirrors punct_ratio's empty-doc NULL.
+    """
+    d = load(spark, sf_dir, "documents")
+    stripped_len = F.length(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", _HTML_TAG_RE, " "), r"\s+", " "
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_HTML_TAG_RE)).cast("bigint").alias("n_tags"),
+        F.regexp_count("text", F.lit(_HTML_ENTITY_RE)).cast("bigint").alias("n_entities"),
+        stripped_len.cast("bigint").alias("n_chars_stripped"),
+        F.round(
+            F.when(
+                F.length("text") > 0,
+                1.0 - stripped_len / F.length("text").cast("double"),
+            ),
+            4,
+        ).alias("markup_frac"),
+    )

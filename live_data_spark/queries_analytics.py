@@ -348,6 +348,46 @@ def quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILES_APPROX_ORACLE = """
+SELECT event_type,
+       round(quantile_disc(value, 0.5), 4) AS p50,
+       round(quantile_disc(value, 0.9), 4) AS p90,
+       round(quantile_disc(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "quantiles_event_value_approx",
+    oracle=_QUANTILES_APPROX_ORACLE,
+    tags=("agg", "events", "quantile", "sketch"),
+)
+def quantiles_event_value_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles — the 100 TB swap ``quantiles_event_value``
+    promises: ``percentile_approx`` (Greenwald-Khanna summary) is
+    map-side mergeable, so the shuffle carries one bounded sketch per
+    group instead of sorting every group's values.
+
+    Oracle-green under the forced-exactness precedent: GK with accuracy
+    (1e6) ≥ every group's cardinality at the checked SFs degenerates to
+    the exact DISCRETE quantile — the smallest element at the target
+    rank — which is precisely DuckDB's ``quantile_disc`` (verified
+    0 mismatches per type at sf0.01 AND sf0.1). Note the twin pair's
+    semantics differ by design: the exact entry interpolates
+    (percentile_cont); sketches return data values, so the approx tier
+    pairs with the discrete convention. At real cardinality the sketch
+    degrades to its ε-rank contract and this oracle no longer applies.
+    """
+    e = load(spark, sf_dir, "events")
+    acc = F.lit(1_000_000)
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", F.lit(0.5), acc), 4).alias("p50"),
+        F.round(F.percentile_approx("value", F.lit(0.9), acc), 4).alias("p90"),
+        F.round(F.percentile_approx("value", F.lit(0.99), acc), 4).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations: INTERSECT / EXCEPT cohort split.
 # ---------------------------------------------------------------------------

@@ -272,3 +272,27 @@ def test_bm25_ranks_term_density(spark, tmp_path):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[1]["bm25"] > by_id[2]["bm25"] > 0
     assert by_id[1]["n_query_terms"] == 3 and by_id[2]["n_query_terms"] == 1
+
+
+def test_html_strip_stats_on_markup_fixture(spark, tmp_path):
+    """The generated corpus has no markup, so pin the operator on real
+    HTML shapes: tags counted and stripped, entities counted, markup
+    fraction reflects tag weight, clean text passes through, empty/NULL
+    docs yield NULL fraction without aborting."""
+    from live_data_spark.operators import text as t
+
+    html = '<div class="post"><p>Hello &amp; welcome</p><br/></div>'
+    clean = "no markup at all"
+    docs = spark.createDataFrame(
+        [(1, html, "en", "s", len(html)), (2, clean, "en", "s", len(clean)),
+         (3, "", "en", "s", 0), (4, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in t.text_html_strip_stats(spark, str(tmp_path)).collect()}
+    assert got[1]["n_tags"] == 5 and got[1]["n_entities"] == 1
+    assert got[1]["n_chars_stripped"] == len("Hello &amp; welcome")
+    assert 0.5 < got[1]["markup_frac"] < 1.0
+    assert got[2]["n_tags"] == 0 and got[2]["markup_frac"] == 0.0
+    assert got[3]["markup_frac"] is None
+    assert got[4]["n_tags"] is None and got[4]["markup_frac"] is None
