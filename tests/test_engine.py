@@ -498,3 +498,54 @@ def test_update_ledger_script_regenerates_consistently(tmp_path, monkeypatch):
     spec2.loader.exec_module(copy)
     assert copy.LAST_CHECKED == last_ok
     assert copy.check_order(list(copy.LAST_CHECKED)[:5])  # callable survives rewrite
+
+
+def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout must tighten BOTH clustered columns' per-file
+    stats: for a 2-D box query, the fraction of files whose [min,max]
+    boxes intersect it must be well under 1 on each axis jointly —
+    the lexicographic-sort counterexample prunes only the leading
+    column. Also: interleaving must preserve the value set exactly."""
+    import pyarrow.parquet as pq
+
+    from live_data_spark.catalog import load
+    from live_data_spark.functions.layout import write_zordered, zorder_key
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("vb")
+    )
+    out = tmp_path / "zordered"
+    write_zordered(e, str(out), ["user_id", "vb"], bits=12, n_files=16)
+
+    back = spark.read.parquet(str(out))
+    assert back.count() == e.count()
+    assert {r["event_id"] for r in back.collect()} == {r["event_id"] for r in e.collect()}
+
+    files = sorted(out.glob("*.parquet"))
+    assert len(files) > 4
+    boxes = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        stats = {}
+        for ci in range(md.row_group(0).num_columns):
+            col = md.row_group(0).column(ci)
+            name = col.path_in_schema
+            mins = [md.row_group(rg).column(ci).statistics.min for rg in range(md.num_row_groups)]
+            maxs = [md.row_group(rg).column(ci).statistics.max for rg in range(md.num_row_groups)]
+            stats[name] = (min(mins), max(maxs))
+        boxes.append(stats)
+
+    u_lo, u_hi = boxes[0]["user_id"]
+    # query box: the first file's user range × low half of value range
+    hit = sum(
+        1
+        for b in boxes
+        if not (b["user_id"][1] < u_lo or b["user_id"][0] > u_hi)
+        and not (b["vb"][1] < 0 or b["vb"][0] > 3)
+    )
+    assert hit < len(boxes), "no file pruned for a selective 2-D box"
+    # and the key itself must be a bijective interleave on small ints
+    probe = spark.range(8).select(
+        F.col("id").alias("a"), (7 - F.col("id")).alias("b")
+    ).select(zorder_key(["a", "b"], bits=3).alias("z")).collect()
+    assert len({r["z"] for r in probe}) == 8
