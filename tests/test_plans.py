@@ -165,3 +165,38 @@ def test_mix_plan_single_scan(spark, sf_dir):
     formulation loses exchange reuse to column pruning and scans twice)."""
     plan = _plan(catalog()["training_mix_plan"].spark(spark, sf_dir))
     assert plan.count("documents.parquet") == 1
+
+
+def test_bm25_takeordered_and_broadcast_stats(spark, sf_dir):
+    """BM25's top-k must compile to per-partition top-k (not a global
+    sort), and the tiny df/(N, avgdl) frames must broadcast — a shuffled
+    join against a 2-row term table would be the classic scale bug."""
+    plan = _plan(catalog()["text_bm25_topdocs"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spacesaving_preaggregates_before_arrow(spark, sf_dir):
+    """The SpaceSaving batch twin must hash-aggregate (shard, user)
+    counts BEFORE the Arrow stage — the pandas groups then hold distinct
+    users, not raw events. A missing pre-agg shows up as
+    FlatMapGroupsInPandas directly over the scan."""
+    plan = _plan(catalog()["events_spacesaving_topk"].spark(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    pre_arrow = plan.split("FlatMapGroupsInPandas")[-1]  # children print below
+    assert "HashAggregate" in pre_arrow, "no per-(shard,user) pre-aggregation"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_dedup_single_fp_shuffle(spark, sf_dir):
+    """dedup_incremental's history probe and within-batch window must
+    both key on fp — one 16-byte-pair exchange family, with no document
+    text ever reaching an exchange (ReadSchema carries doc_id/text only
+    at the scan, exchanges carry fp/doc_id)."""
+    df = catalog()["dedup_incremental"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the final decision agg partial-combines map-side
+    assert plan.count("HashAggregate") >= 2
