@@ -623,3 +623,87 @@ def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix — mirror/re-crawl detection at the shingle tier.
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+), sizes AS (
+  SELECT source, count(*) AS c FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS source_1, b.source AS source_2, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_1, i.source_2, i.n_shared,
+       round(i.n_shared / cast(least(s1.c, s2.c) AS DOUBLE), 4) AS containment
+FROM inter i
+JOIN sizes s1 ON s1.source = i.source_1
+JOIN sizes s2 ON s2.source = i.source_2
+"""
+
+
+@register(
+    "dedup_source_overlap",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    tags=("dedup", "pipeline", "quality"),
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix at the word-3-gram tier: shared
+    distinct shingles and containment (shared / smaller side) per source
+    pair — the mirror detector ``dedup_rate_by_source`` can't be: exact
+    fingerprints only fire on verbatim re-crawls, while a mirror with
+    boilerplate/encoding drift shares most of its SHINGLES. A source
+    pair whose containment is an outlier against the corpus-wide
+    vocabulary floor is one site scraped twice.
+
+    Plan: the dedup ladder's distinct-shingle subtree aggregated to
+    (source, shingle), then a shingle-keyed self-join that emits source
+    PAIRS — output is |sources|² rows, input shuffle O(distinct
+    (source, shingle)). Per hot shingle the join emits ≤ C(|sources|, 2)
+    rows, so the blowup is bounded by the (small) source count, not the
+    corpus; at thousands of sources, switch the pair join to the banded
+    MinHash rung exactly as doc-level dedup does.
+    """
+    from live_data_spark.operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(word_shingles("text")).alias("s"))
+        .dropDuplicates(["source", "s"])
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_1"), F.col("b.source").alias("source_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("source").alias("source_1"), F.col("c").alias("c1"))
+    s2 = sizes.select(F.col("source").alias("source_2"), F.col("c").alias("c2"))
+    return (
+        inter.join(F.broadcast(s1), "source_1")
+        .join(F.broadcast(s2), "source_2")
+        .select(
+            "source_1",
+            "source_2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("c1", "c2").cast("double"), 4
+            ).alias("containment"),
+        )
+    )
