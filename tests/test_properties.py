@@ -159,3 +159,60 @@ def test_global_rank_property_matches_window(spark, rows, nparts):
     ).collect()
     assert {r["uid"]: r["r"] for r in ranked} == expect
     assert all(r["n"] == len(rows) for r in ranked)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**12 - 1), st.integers(0, 2**12 - 1)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_zorder_key_matches_python_interleave(spark, pts):
+    """The Morton key built from Spark bit expressions must equal the
+    Python-model bit interleave for arbitrary in-range points (and hence
+    be injective, order-embedding the curve)."""
+    from live_data_spark.functions.layout import zorder_key
+
+    def model(a, b, bits=12):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = [r["z"] for r in df.select(zorder_key(["a", "b"], bits=12).alias("z")).collect()]
+    want = [model(a, b) for a, b in pts]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=200),
+    st.integers(2, 6),
+)
+def test_spacesaving_bounds_hold_for_any_stream(spark, stream, capacity):
+    """SpaceSaving invariants for arbitrary streams and capacities
+    (pure-Python core — no Spark job needed): at most `capacity`
+    tracked items; for every tracked item true ≤ est and est − err ≤
+    true; and any item with true count > N/capacity is guaranteed
+    tracked (the classic frequent-items guarantee)."""
+    from collections import Counter
+
+    from live_data_spark.streaming.jobs import spacesaving_insert
+
+    sketch = {}
+    for x in stream:
+        spacesaving_insert(sketch, x, 1, capacity)
+    true = Counter(stream)
+    assert len(sketch) <= capacity
+    for item, (est, err) in sketch.items():
+        assert true[item] <= est
+        assert est - err <= true[item]
+    n = len(stream)
+    for item, c in true.items():
+        if c > n / capacity:
+            assert item in sketch, (item, c, n, capacity)
