@@ -64,9 +64,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def word_shingles(col: Column | str = "text", k: int = 3) -> Column:
-    """Distinct word k-gram shingles of normalized text (JVM-side only)."""
+    """Distinct word k-gram shingles of normalized text (JVM-side only).
+
+    Sub-k-word docs yield an EMPTY array: Spark's ``sequence(1, 0)`` is
+    a descending ``[1, 0]``, whose out-of-range ``element_at`` aborts
+    the job under ANSI mode — the degenerate-doc guard mirrors
+    ``shingle_rows`` (found by the round-6 null-robustness probe via
+    ``dedup_source_overlap``, the first caller fed short docs)."""
     words = F.split(normalized_text(col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0)))
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])  # noqa: E731
     return F.array_distinct(F.transform(idx, gram))
 

@@ -289,3 +289,21 @@ def read_jsonl_corpus(
     )
     return good, bad
 
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema: StructType | None = None
+) -> DataFrame:
+    """XML ingestion via Spark 4's built-in XML source (the spark-xml
+    package folded into core): one row per ``row_tag`` element. Same
+    discipline as every reader here — pass a schema in production (XML
+    inference reads the corpus twice and is the least type-stable of the
+    formats); attributes surface as ``_attr`` columns, nested elements
+    as structs. Interop tier for feed/dump-shaped corpora (arXiv,
+    PubMed, Wikipedia dumps); splittability depends on the row tag
+    layout, so shard large dumps upstream like any document corpus.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

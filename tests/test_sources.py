@@ -222,3 +222,35 @@ def test_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
     }
     assert all(r["source_path"].endswith("shard0.jsonl") for r in b)
 
+
+
+def test_xml_read_rows_and_attributes(spark, tmp_path):
+    """Spark 4 built-in XML source: rowTag extraction, attribute columns,
+    explicit-schema typing."""
+    from live_data_spark.sources.files import read_xml
+
+    (tmp_path / "feed.xml").write_text(
+        "<docs>"
+        '<doc lang="en"><id>1</id><body>hello world</body></doc>'
+        '<doc lang="de"><id>2</id><body>zweiter text</body></doc>'
+        "</docs>"
+    )
+    df = read_xml(spark, str(tmp_path / "feed.xml"), row_tag="doc")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["body"] == "hello world"
+    assert rows[2]["_lang"] == "de"
+
+    typed = read_xml(
+        spark,
+        str(tmp_path / "feed.xml"),
+        row_tag="doc",
+        schema=StructType(
+            [
+                StructField("id", LongType()),
+                StructField("body", StringType()),
+                StructField("_lang", StringType()),
+            ]
+        ),
+    )
+    assert dict(typed.dtypes) == {"id": "bigint", "body": "string", "_lang": "string"}
+    assert typed.count() == 2

@@ -296,3 +296,39 @@ def test_html_strip_stats_on_markup_fixture(spark, tmp_path):
     assert got[2]["n_tags"] == 0 and got[2]["markup_frac"] == 0.0
     assert got[3]["markup_frac"] is None
     assert got[4]["n_tags"] is None and got[4]["markup_frac"] is None
+
+
+def test_round6_text_ops_survive_degenerate_docs(spark, sf_dir, monkeypatch):
+    """Extend the degenerate-input contract to the round-6 operators:
+    null/empty/short docs must not abort BM25, the NFC audit, the HTML
+    audit, incremental dedup, or the source-overlap matrix."""
+    import live_data_spark.operators.curation as cu
+    import live_data_spark.operators.dedup as dd
+    import live_data_spark.operators.text as tx
+
+    rows = [
+        (1, None, "en", "s1", 0),
+        (2, "", "en", "s1", 0),
+        (3, "spark", "en", "s2", 5),
+        (4, "alpha beta gamma delta epsilon zeta eta theta", "en", "s2", 46),
+    ]
+    fake = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    for mod in (dd, tx, cu):
+        monkeypatch.setattr(mod, "load", lambda _s, _d, _t: fake)
+
+    bm = {r["doc_id"]: r for r in tx.text_bm25_topdocs(spark, sf_dir).collect()}
+    assert set(bm) == {3} and bm[3]["n_query_terms"] == 1  # only 'spark' hits
+
+    nfc = {r["doc_id"]: r for r in tx.text_unicode_nfc(spark, sf_dir).collect()}
+    assert nfc[1]["is_nfc"] is None and nfc[2]["is_nfc"] is True
+
+    html = {r["doc_id"]: r for r in tx.text_html_strip_stats(spark, sf_dir).collect()}
+    assert html[1]["n_tags"] is None and html[2]["markup_frac"] is None
+
+    inc = {r["decision"]: r["n_docs"] for r in dd.dedup_incremental(spark, sf_dir).collect()}
+    assert sum(inc.values()) > 0  # classifies without aborting
+
+    ov = cu.dedup_source_overlap(spark, sf_dir).collect()
+    assert all(r["containment"] <= 1.0 for r in ov)
