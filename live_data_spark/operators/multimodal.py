@@ -200,14 +200,64 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Walk ISO-BMFF boxes in b[start:end] → (type, body_start, box_end).
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0);
+    malformed sizes terminate the walk instead of raising."""
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack(">I", b[off : off + 4])
+        typ = b[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                break
+            (size,) = struct.unpack(">Q", b[off + 8 : off + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            break
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def _parse_mp4(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """ISO-BMFF (MP4/MOV) structure parse: track width/height from tkhd
+    (16.16 fixed point) and duration in ms from mvhd — pure box walking,
+    no codec. Returns partial info for truncated files."""
+    w = h = dur_ms = None
+    for typ, s, e in _mp4_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(payload, s, e):
+            if t2 == b"mvhd" and s2 + 20 <= e2:
+                ver = payload[s2]
+                if ver == 1 and s2 + 32 <= e2:
+                    (timescale,) = struct.unpack(">I", payload[s2 + 20 : s2 + 24])
+                    (duration,) = struct.unpack(">Q", payload[s2 + 24 : s2 + 32])
+                else:
+                    timescale, duration = struct.unpack(">II", payload[s2 + 12 : s2 + 20])
+                if timescale:
+                    dur_ms = duration * 1000 // timescale
+            elif t2 == b"trak":
+                for t3, s3, e3 in _mp4_boxes(payload, s2, e2):
+                    if t3 == b"tkhd" and e3 - s3 >= 8:
+                        fw, fh = struct.unpack(">II", payload[e3 - 8 : e3])
+                        if fw and fh:
+                            w, h = fw >> 16, fh >> 16
+    return "mp4", w, h, dur_ms
+
+
 def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
     """Sniff + parse REAL container headers: (format, width, height, extra).
 
     Pure byte arithmetic on the container STRUCTURE — PNG IHDR, JPEG SOF
-    marker scan, GIF logical screen, WAV fmt chunk — which needs no codec
+    marker scan, GIF logical screen, WAV fmt chunk, MP4/ISO-BMFF box
+    walk (tkhd dimensions + mvhd duration) — which needs no codec
     library; only pixel/sample decode does (still stubbed in
-    ``_decode_real``). ``extra`` is channels (images) or sample rate
-    (WAV). Unknown/corrupt payloads return ('unknown', None, None, None)
+    ``_decode_real``). ``extra`` is channels (images), sample rate
+    (WAV), or duration in ms (MP4). Unknown/corrupt payloads return ('unknown', None, None, None)
     — quarantine rows, never exceptions, so one bad file can't kill a
     100 TB scan.
     """
@@ -230,6 +280,8 @@ def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None, int
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and payload[12:16] == b"fmt ":
             channels, rate = struct.unpack("<HI", payload[22:28])
             return "wav", channels, None, rate
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            return _parse_mp4(payload)
     except (struct.error, IndexError):
         pass
     return "unknown", None, None, None
@@ -246,7 +298,7 @@ def real_media_table(spark: SparkSession, n: int = 300) -> DataFrame:
             payloads = []
             for mid in pdf["id"]:
                 w, h = 16 + (mid * 37) % 500, 16 + (mid * 53) % 400
-                kind = mid % 5
+                kind = mid % 6
                 if kind == 0:
                     p = _PNG_SIG + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
                 elif kind == 1:
@@ -260,6 +312,11 @@ def real_media_table(spark: SparkSession, n: int = 300) -> DataFrame:
                         b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
                         + struct.pack("<HH", 1, 1 + mid % 2) + struct.pack("<I", rate) + b"\x00" * 8
                     )
+                elif kind == 4:
+                    box = lambda t, body: struct.pack(">I", 8 + len(body)) + t + body
+                    tkhd = box(b"tkhd", b"\x00" * 76 + struct.pack(">II", w << 16, h << 16))
+                    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 1000 + (mid % 60) * 500) + b"\x00" * 80)
+                    p = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd + box(b"trak", tkhd))
                 else:
                     p = b"\x00garbage" + bytes([mid % 256]) * 4  # corrupt sliver
                 payloads.append(p)

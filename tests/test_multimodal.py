@@ -114,12 +114,45 @@ def test_header_stats_formats_and_quarantine(spark):
     from live_data_spark.operators.multimodal import parse_headers, real_media_table
 
     stats = {r["format"]: r for r in catalog()["multimodal_header_stats"].spark(spark, "").collect()}
-    assert set(stats) == {"png", "jpeg", "gif", "wav", "unknown"}
-    assert stats["unknown"]["n_media"] == 60  # 300 / 5
+    assert set(stats) == {"png", "jpeg", "gif", "wav", "mp4", "unknown"}
+    assert stats["unknown"]["n_media"] == 50  # 300 / 6
     assert stats["unknown"]["avg_width"] is None
     assert stats["wav"]["avg_extra"] is not None  # sample rates
+    assert stats["mp4"]["avg_extra"] is not None  # durations (ms)
 
     parsed = {r["media_id"]: r for r in parse_headers(real_media_table(spark, n=10)).collect()}
     assert parsed[0]["format"] == "png" and parsed[0]["width"] == 16  # (0*37)%500+16
     assert parsed[1]["format"] == "jpeg" and parsed[1]["width"] == 16 + 37
     assert parsed[2]["format"] == "gif" and parsed[2]["height"] == 16 + 2 * 53
+    assert parsed[4]["format"] == "mp4" and parsed[4]["width"] == 16 + (4 * 37) % 500
+    assert parsed[4]["height"] == 16 + (4 * 53) % 400
+    assert parsed[4]["extra"] == 1000 + (4 % 60) * 500  # mvhd ms at timescale 1000
+    assert parsed[5]["format"] == "unknown"
+
+
+def test_mp4_box_parse_variants():
+    """ISO-BMFF walker edge cases: 64-bit largesize boxes, version-1
+    mvhd (64-bit duration), zero-size (to-end) boxes, and malformed
+    sizes terminating quietly."""
+    import struct
+
+    from live_data_spark.operators.multimodal import parse_media_header
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def box64(t, body):
+        return struct.pack(">I", 1) + t + struct.pack(">Q", 16 + len(body)) + body
+
+    tkhd = box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 1920 << 16, 1080 << 16))
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01" + b"\x00" * 3 + b"\x00" * 16  # v1: 8-byte ctime/mtime
+        + struct.pack(">I", 600) + struct.pack(">Q", 1800) + b"\x00" * 80,
+    )
+    p = box(b"ftyp", b"isom") + box64(b"moov", mvhd_v1 + box(b"trak", tkhd))
+    assert parse_media_header(p) == ("mp4", 1920, 1080, 3000)
+
+    # malformed inner size: outer type still detected, fields None
+    bad = box(b"ftyp", b"isom") + struct.pack(">I", 3) + b"moov"
+    assert parse_media_header(bad) == ("mp4", None, None, None)
