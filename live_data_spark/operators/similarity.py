@@ -1040,3 +1040,71 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA variance spectrum — intrinsic dimensionality / whitening calibration.
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_pca_variance", oracle=None, tags=("similarity", "vector", "stats"))
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvalue spectrum of the embedding covariance — the intrinsic-
+    dimensionality diagnostic behind every "can we truncate/whiten these
+    vectors?" decision (PQ subspace sizing, dimension-drop before ANN,
+    anisotropy checks on trained encoders: a spectrum dominated by a few
+    components means cosine is being driven by a rogue direction).
+
+    Distributed as MOMENTS, the one-pass classic: each Arrow batch emits
+    (n, Σx, ΣxxT) partials — a d + d² payload per TASK, not per row —
+    which sum on the driver into C = E[xxT] − μμT; ``numpy.linalg.eigh``
+    on the d×d matrix is microseconds. Nothing data-sized is ever
+    collected (the partial count is O(tasks)); the full corpus is read
+    exactly once, map-only. Per-component output: eigenvalue, variance
+    share, cumulative share, descending.
+
+    Rows-only driver check (eigendecomposition isn't SQL); equality
+    against a single-machine numpy PCA on the same vectors is pinned in
+    tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(as_double("embedding").alias("emb"))
+
+    def moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["emb"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    parts = e.mapInPandas(
+        moments, schema="n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in parts:
+        s += np.array(r["s"])
+        ss += np.array(r["ss"]).reshape(d, d)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    cum = np.cumsum(evals) / total
+    rows = [
+        (i + 1, round(float(evals[i]), 6), round(float(evals[i] / total), 4),
+         round(float(cum[i]), 4))
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, variance_share double, cumulative_share double"
+    )

@@ -1234,3 +1234,84 @@ def text_html_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("markup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — tokenizer-budget sizing.
+# ---------------------------------------------------------------------------
+
+VOCAB_CUTOFFS = (5, 10, 20, 50)
+
+_VOCAB_ORACLE = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS c FROM tok WHERE term <> '' GROUP BY term
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn FROM tf
+), tot AS (
+  SELECT cast(sum(c) AS BIGINT) AS total, cast(count(*) AS BIGINT) AS n_terms FROM ranked
+)
+SELECT v.vocab_size,
+       t.n_terms,
+       cast(coalesce(sum(r.c) FILTER (WHERE r.rn <= v.vocab_size), 0) AS BIGINT) AS n_covered,
+       round(coalesce(sum(r.c) FILTER (WHERE r.rn <= v.vocab_size), 0)
+             / cast(t.total AS DOUBLE), 4) AS coverage
+FROM (VALUES {', '.join(f'({n})' for n in VOCAB_CUTOFFS)}) AS v(vocab_size), ranked r, tot t
+GROUP BY v.vocab_size, t.n_terms, t.total
+"""
+
+
+@register("corpus_vocab_coverage", oracle=_VOCAB_ORACLE, tags=("text", "tokenizer", "pipeline"))
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage of the top-N vocabulary, per candidate N — the
+    number that sizes a tokenizer: coverage(N) is the fraction of all
+    token OCCURRENCES a vocab of the N most frequent types explains, and
+    the knee of this curve (plus the Zipf slope from
+    ``corpus_zipf_slope``) is where vocab budgets get chosen. Cutoffs
+    here fit the synthetic corpus's ~31-type vocabulary; a real run uses
+    (8k, 32k, 64k, 128k) with the identical plan.
+
+    Scale shape: one explode → (term, count) hash aggregate (map-side
+    combined; |vocab| rows survive), then the global frequency rank via
+    functions/ranks.py::with_global_rank — range-partitioned, no
+    single-partition window even at web-corpus vocab sizes (10⁸ types).
+    The cutoff fan-out is a 4-row broadcast crossJoin and the final
+    rollup touches |vocab|·|cutoffs| rows. Integer counts throughout;
+    the only float is the final 4-decimal share.
+    """
+    from live_data_spark.functions.ranks import with_global_rank
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(normalized_text("text"), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = with_global_rank(
+        tf, [F.col("c").desc(), F.col("term").asc()], rank_col="rn", total_col="n_terms"
+    )
+    cutoffs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in VOCAB_CUTOFFS])).alias("vocab_size")
+    )
+    fanned = ranked.crossJoin(F.broadcast(cutoffs))
+    return fanned.groupBy("vocab_size").agg(
+        F.max("n_terms").cast("bigint").alias("n_terms"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") <= F.col("vocab_size"), F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_covered"),
+        # within a cutoff group sum(c) spans ALL ranked terms = the total
+        # occurrence count, so the share needs no separate total frame
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("rn") <= F.col("vocab_size"), F.col("c"))), F.lit(0)
+            )
+            / F.sum("c").cast("double"),
+            4,
+        ).alias("coverage"),
+    )

@@ -43,6 +43,7 @@ BNLJ_OK: set[str] = {
     "corpus_dedup_cascade",  # 1-row survivor-count x 1-row removed-count
     "text_bigram_surprisal",  # 1-row vocab-size scalar broadcast
     "text_bm25_topdocs",  # 1-row (N, avgdl) corpus-stats scalar broadcast
+    "corpus_vocab_coverage",  # 4-row cutoff grid fan-out over the vocab frame
 }
 
 ALL = sorted(catalog())

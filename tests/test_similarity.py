@@ -188,3 +188,30 @@ def test_ivf_pq_recall_floor_and_exact_values(spark, sfd):
         key = (r["query_id"], r["neighbor_id"])
         if key in truth:
             assert r["cosine_sim"] == pytest.approx(truth[key], abs=1e-4)
+
+
+def test_pca_variance_matches_numpy_reference(spark, sf_dir):
+    """The distributed-moments PCA must match a single-machine numpy PCA
+    on the same vectors (same covariance convention, same ordering), and
+    the spectrum must be a valid descending distribution."""
+    import numpy as np
+
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.similarity import embedding_pca_variance
+
+    rows = embedding_pca_variance(spark, sf_dir).collect()
+    X = np.stack([
+        np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    ])
+    cov = np.cov(X, rowvar=False, bias=True)
+    want = np.linalg.eigvalsh(cov)[::-1]
+
+    got = [r["eigenvalue"] for r in sorted(rows, key=lambda r: r["component"])]
+    assert len(got) == X.shape[1]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    shares = [r["variance_share"] for r in sorted(rows, key=lambda r: r["component"])]
+    assert abs(sum(shares) - 1.0) < 1e-2
+    assert all(a >= b - 1e-12 for a, b in zip(got, got[1:]))  # descending
+    cums = [r["cumulative_share"] for r in sorted(rows, key=lambda r: r["component"])]
+    assert abs(cums[-1] - 1.0) < 1e-3
