@@ -254,3 +254,35 @@ def test_xml_read_rows_and_attributes(spark, tmp_path):
     )
     assert dict(typed.dtypes) == {"id": "bigint", "body": "string", "_lang": "string"}
     assert typed.count() == 2
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Continuous-ingest tables gain columns over time; readers must
+    handle shards written under the old schema. mergeSchema unions the
+    footers and old shards surface NULL for the new column; an explicit
+    (newest) schema read needs no merge pass and gets the same nulls."""
+    from pyspark.sql.types import DoubleType
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    new = spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    )
+    old.write.parquet(str(tmp_path / "t"), mode="append")
+    new.write.parquet(str(tmp_path / "t"), mode="append")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 0.5
+
+    explicit = spark.read.schema(
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("name", StringType()),
+                StructField("score", DoubleType()),
+            ]
+        )
+    ).parquet(str(tmp_path / "t"))
+    got = {r["id"]: r["score"] for r in explicit.collect()}
+    assert got == {1: None, 2: None, 3: 0.5}

@@ -494,3 +494,27 @@ def test_spacesaving_batch_twin_degrades_with_bounds(spark, sf_dir, monkeypatch)
     # heaviest-first fold: the global top-2 by true count must be present
     top2 = sorted(true, key=lambda u: (-true[u], u))[:2]
     assert set(top2) <= {r["user_id"] for r in out}
+
+
+def test_psi_flags_planted_drift(spark, monkeypatch):
+    """PSI ≈ 0 on identically-distributed cohorts and large on a planted
+    shift — the operator must actually move when the distribution does."""
+    import datetime as dt
+
+    from live_data_spark.streaming import events_batch as eb
+
+    base = dt.datetime(2024, 1, 1)
+    stable = [(i, i % 7, "click", base, float((i * 37) % 400)) for i in range(2000)]
+    # drifted: odd ids (the 'current' cohort) shifted up by 200
+    drifted = [
+        (i, i % 7, "shop", base, float((i * 37) % 400 + (200 if i % 2 else 0)))
+        for i in range(2000)
+    ]
+    fake = spark.createDataFrame(
+        stable + drifted,
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    monkeypatch.setattr(eb, "load", lambda _s, _d, _t: fake)
+    psi = {r["event_type"]: r["psi"] for r in eb.events_value_drift_psi(spark, "x").collect()}
+    assert psi["click"] < 0.05, psi
+    assert psi["shop"] > 0.25, psi
