@@ -47,12 +47,24 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, src_dir: str, fmt: str = "parquet") -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    src_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over an events directory (schema enforced —
-    streaming sources never infer)."""
+    streaming sources never infer). ``max_files_per_trigger`` splits a
+    backlog into multiple micro-batches — required when the OUTPUT
+    depends on the watermark advancing between batches (outer-join
+    eviction, append-mode window finalization): a single AvailableNow
+    mega-batch computes the watermark only after everything is consumed,
+    and results that need a batch boundary after that never emit."""
     reader = spark.readStream.format(fmt).schema(EVENTS_SCHEMA)
     if fmt == "csv":
         reader = reader.option("header", True).option("sep", "\t")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(src_dir)
 
 
@@ -352,6 +364,56 @@ def error_context_join(
         F.expr(
             f"user_id = err_user AND ts >= err_ts - interval {window} AND ts < err_ts"
         ),
+    ).select(
+        "error_id",
+        F.col("err_user").alias("user_id"),
+        "err_ts",
+        F.col("event_id").alias("context_event_id"),
+        F.col("ts").alias("context_ts"),
+        F.col("event_type").alias("context_type"),
+    )
+
+
+def error_context_join_outer(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — ``error_context_join``
+    that also emits errors with NO preceding activity (null-padded
+    context columns), which is the interesting cohort for an on-call
+    feed: an error out of nowhere.
+
+    The outer semantics are WATERMARK-DRIVEN: an unmatched error cannot
+    be emitted the moment it arrives (its match might still come), so
+    Spark holds it in state and releases the null-padded row only when
+    the watermark passes the join horizon — meaning outer results
+    trail the stream by up to watermark + window, and a final batch
+    that advances the watermark is what flushes the tail. That
+    emit-on-eviction behavior (the standard stream-stream outer-join
+    gotcha) is pinned in tests/test_streaming.py with a multi-batch
+    layout whose sentinel batches push the watermark.
+
+    Second gotcha, also pinned: the GLOBAL watermark is the MIN over
+    both join inputs (multipleWatermarkPolicy default), and both inputs
+    here are filtered views of one stream — so each side's watermark
+    advances only on its OWN rows. A quiet error side (or quiet context
+    side) freezes eviction for the whole join; monitor both.
+    """
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    ctx = events.where(F.col("event_type") != "error").withWatermark("ts", watermark)
+    return errors.join(
+        ctx,
+        F.expr(
+            f"user_id = err_user AND ts >= err_ts - interval {window} AND ts < err_ts"
+        ),
+        "leftOuter",
     ).select(
         "error_id",
         F.col("err_user").alias("user_id"),

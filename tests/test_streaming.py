@@ -518,3 +518,49 @@ def test_psi_flags_planted_drift(spark, monkeypatch):
     psi = {r["event_type"]: r["psi"] for r in eb.events_value_drift_psi(spark, "x").collect()}
     assert psi["click"] < 0.05, psi
     assert psi["shop"] > 0.25, psi
+
+
+def test_stream_stream_outer_join_emits_contextless_errors(spark, tmp_path):
+    """The leftOuter interval join must emit BOTH matched pairs and —
+    only after the watermark passes the join horizon — null-padded rows
+    for errors with no preceding activity. A second batch of far-future
+    events advances the watermark so the unmatched tail flushes during
+    the AvailableNow drain (the emit-on-eviction semantics documented on
+    error_context_join_outer)."""
+    src = tmp_path / "sso_src"
+    src.mkdir()
+    rows1 = [
+        (3, 0, "view", 1.0),
+        (7, 0, "error", 0.0),   # has context (event 0)
+        (20, 1, "error", 0.0),  # NO user-1 activity in [15, 20) → outer row
+    ]
+    _mk_events(spark, rows1).coalesce(1).write.parquet(str(src / "b1"))
+    # The watermark pushers must be ERRORS: the global watermark is the
+    # MIN over both join inputs, and the error side's watermark only
+    # advances when later errors arrive — a far-future click alone
+    # leaves the error side (and hence eviction) stuck at the last
+    # real error. The third batch gives eviction a boundary to emit at.
+    # ...and BOTH sides need one: each sentinel batch carries a far-
+    # future error AND click so neither input's watermark lags the min.
+    _mk_events(
+        spark, [(SENTINEL_MIN, 9, "error", 0.0), (SENTINEL_MIN, 9, "click", 1.0)]
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    _mk_events(
+        spark, [(SENTINEL_MIN + 1, 9, "error", 0.0), (SENTINEL_MIN + 1, 9, "click", 1.0)]
+    ).coalesce(1).write.parquet(str(src / "b3"))
+
+    # one file per trigger: outer rows emit only at a batch boundary AFTER
+    # the watermark advanced — a single mega-batch would never flush them
+    stream = jobs.read_events_stream(spark, f"{src}/*", max_files_per_trigger=1)
+    got = _drain(spark, jobs.error_context_join_outer(stream), tmp_path, "sso").collect()
+
+    by_error = {}
+    for r in got:
+        by_error.setdefault(r["error_id"], []).append(r)
+    matched = by_error[1]
+    assert len(matched) == 1 and matched[0]["context_event_id"] == 0
+    orphan = by_error[2]
+    assert len(orphan) == 1
+    assert orphan[0]["context_event_id"] is None
+    assert orphan[0]["context_type"] is None
+    assert orphan[0]["user_id"] == 1  # the error's own columns survive
