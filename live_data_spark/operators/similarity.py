@@ -1042,35 +1042,13 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# PCA variance spectrum — intrinsic dimensionality / whitening calibration.
-# ---------------------------------------------------------------------------
-
-
-@register("embedding_pca_variance", oracle=None, tags=("similarity", "vector", "stats"))
-def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eigenvalue spectrum of the embedding covariance — the intrinsic-
-    dimensionality diagnostic behind every "can we truncate/whiten these
-    vectors?" decision (PQ subspace sizing, dimension-drop before ANN,
-    anisotropy checks on trained encoders: a spectrum dominated by a few
-    components means cosine is being driven by a rogue direction).
-
-    Distributed as MOMENTS, the one-pass classic: each Arrow batch emits
-    (n, Σx, ΣxxT) partials — a d + d² payload per TASK, not per row —
-    which sum on the driver into C = E[xxT] − μμT; ``numpy.linalg.eigh``
-    on the d×d matrix is microseconds. Nothing data-sized is ever
-    collected (the partial count is O(tasks)); the full corpus is read
-    exactly once, map-only. Per-component output: eigenvalue, variance
-    share, cumulative share, descending.
-
-    Rows-only driver check (eigendecomposition isn't SQL); equality
-    against a single-machine numpy PCA on the same vectors is pinned in
-    tests/test_similarity.py.
-    """
+def _distributed_moments(e: DataFrame) -> tuple[int, "np.ndarray", "np.ndarray"]:
+    """One-pass distributed (n, mean, covariance) over an `emb` column:
+    each Arrow batch emits (n, Σx, ΣxxT) partials — d + d² doubles per
+    TASK — summed driver-side. The only collect is O(tasks) partial
+    rows; the corpus is read exactly once, map-only."""
     import numpy as np
     import pandas as pd
-
-    e = load(spark, sf_dir, "embeddings").select(as_double("embedding").alias("emb"))
 
     def moments(batches):
         for pdf in batches:
@@ -1097,14 +1075,103 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss += np.array(r["ss"]).reshape(d, d)
     mu = s / n
     cov = ss / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
+# ---------------------------------------------------------------------------
+# PCA variance spectrum — intrinsic dimensionality / whitening calibration.
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_pca_variance", oracle=None, tags=("similarity", "vector", "stats"))
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvalue spectrum of the embedding covariance — the intrinsic-
+    dimensionality diagnostic behind every "can we truncate/whiten these
+    vectors?" decision (PQ subspace sizing, dimension-drop before ANN,
+    anisotropy checks on trained encoders: a spectrum dominated by a few
+    components means cosine is being driven by a rogue direction).
+
+    Distributed as MOMENTS, the one-pass classic: each Arrow batch emits
+    (n, Σx, ΣxxT) partials — a d + d² payload per TASK, not per row —
+    which sum on the driver into C = E[xxT] − μμT; ``numpy.linalg.eigh``
+    on the d×d matrix is microseconds. Nothing data-sized is ever
+    collected (the partial count is O(tasks)); the full corpus is read
+    exactly once, map-only. Per-component output: eigenvalue, variance
+    share, cumulative share, descending.
+
+    Rows-only driver check (eigendecomposition isn't SQL); equality
+    against a single-machine numpy PCA on the same vectors is pinned in
+    tests/test_similarity.py.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select(as_double("embedding").alias("emb"))
+    n, mu, cov = _distributed_moments(e)
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(evals.sum())
     cum = np.cumsum(evals) / total
     rows = [
         (i + 1, round(float(evals[i]), 6), round(float(evals[i] / total), 4),
          round(float(cum[i]), 4))
-        for i in range(d)
+        for i in range(len(evals))
     ]
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, variance_share double, cumulative_share double"
+    )
+
+
+WHITEN_K = 16  # retained components for the whitening check
+
+
+def whiten_embeddings(spark: SparkSession, sf_dir: str, k: int = WHITEN_K) -> DataFrame:
+    """Two-pass distributed PCA whitening: pass 1 computes (μ, Σ) via
+    ``_distributed_moments``; the driver eigendecomposes the d×d
+    covariance and builds W = V_k · diag(1/√λ_k); pass 2 projects every
+    vector (x − μ)·W in one Arrow map — no shuffle in either pass, and
+    the basis rides the closure (d·k doubles). Output: (vec_id, array of
+    k whitened coordinates). The standard pre-step before cosine ANN on
+    anisotropic trained embeddings — whitening undoes the rogue-
+    direction dominance the PCA spectrum diagnoses.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    _, mu, cov = _distributed_moments(e.select("emb"))
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    lam = np.maximum(evals[order], 1e-12)
+    w = evecs[:, order] / np.sqrt(lam)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["emb"].to_numpy())
+            z = (x - mu) @ w
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "white": list(map(list, z))})
+
+    return e.mapInPandas(project, schema="vec_id long, white array<double>")
+
+
+@register("embedding_whiten_check", oracle=None, tags=("similarity", "vector", "stats"))
+def embedding_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end whitening QA: run ``whiten_embeddings`` and re-measure
+    the whitened coordinates' moments DISTRIBUTED (same one-pass
+    machinery) — per retained component, the post-whitening mean must
+    be ~0 and variance ~1, and that is exactly what this entry emits for
+    the driver's rows-only check (pytest pins the ≈0/≈1 bands plus
+    off-diagonal decorrelation). Exercises the full two-pass pipeline:
+    moments → driver basis → Arrow projection → moments again.
+    """
+    import numpy as np
+
+    white = whiten_embeddings(spark, sf_dir).select(F.col("white").alias("emb"))
+    n, mu, cov = _distributed_moments(white)
+    rows = [
+        (i + 1, round(float(mu[i]), 6), round(float(cov[i, i]), 6))
+        for i in range(len(mu))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, mean_after double, var_after double"
     )

@@ -215,3 +215,27 @@ def test_pca_variance_matches_numpy_reference(spark, sf_dir):
     assert all(a >= b - 1e-12 for a, b in zip(got, got[1:]))  # descending
     cums = [r["cumulative_share"] for r in sorted(rows, key=lambda r: r["component"])]
     assert abs(cums[-1] - 1.0) < 1e-3
+
+
+def test_whitening_decorrelates_and_normalizes(spark, sf_dir):
+    """Whitened coordinates must be ~zero-mean, ~unit-variance, and
+    pairwise decorrelated — the full two-pass (moments → basis → Arrow
+    projection) contract, measured distributed."""
+    import numpy as np
+
+    from live_data_spark.operators.similarity import (
+        _distributed_moments,
+        embedding_whiten_check,
+        whiten_embeddings,
+    )
+
+    rows = embedding_whiten_check(spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert abs(r["mean_after"]) < 1e-6, r
+        assert abs(r["var_after"] - 1.0) < 1e-6, r
+
+    white = whiten_embeddings(spark, sf_dir).select(F.col("white").alias("emb"))
+    _, _, cov = _distributed_moments(white)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6
