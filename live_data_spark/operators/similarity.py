@@ -1175,3 +1175,95 @@ def embedding_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, mean_after double, var_after double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Triplet mining — (anchor, positive, hard negative) for contrastive training.
+# ---------------------------------------------------------------------------
+
+TRIPLET_ANCHORS = 50  # vec_id < 50 form the demo anchor set
+
+_TRIPLET_ORACLE = f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+a AS (SELECT * FROM e WHERE vec_id < {TRIPLET_ANCHORS}),
+scored AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         list_cosine_similarity(a.emb, c.emb) AS cos
+  FROM a JOIN e c ON c.vec_id <> a.vec_id
+), pos AS (
+  SELECT anchor_id, cand_id AS pos_id, round(cos, 4) AS pos_sim,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn
+  FROM scored WHERE cand_label = anchor_label
+), neg AS (
+  SELECT anchor_id, cand_id AS neg_id, round(cos, 4) AS neg_sim,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn
+  FROM scored WHERE cand_label <> anchor_label
+)
+SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+       round(p.pos_sim - n.neg_sim, 4) AS margin
+FROM pos p JOIN neg n USING (anchor_id)
+WHERE p.rn = 1 AND n.rn = 1
+"""
+
+
+@register("embedding_triplet_mine", oracle=_TRIPLET_ORACLE, tags=("similarity", "vector", "training"))
+def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive training: per anchor, the
+    most-similar SAME-label vector (positive) and the most-similar
+    DIFFERENT-label vector (the hard negative — the one the model
+    currently confuses), with the margin between them. Margins near or
+    below zero are the batch-building signal: those anchors' classes
+    overlap in embedding space and earn a larger share of the training
+    mix.
+
+    Exact demo tier over the broadcast anchor set (one map-only scoring
+    pass + two per-anchor top-1 windows on the same partitioning). At
+    corpus scale the anchor set is the whole table and this exact form
+    is O(n²) — mine candidates from ``ann_srp_lsh``/``ann_ivf_pq``
+    shortlists instead (same downstream shape, the positives/negatives
+    just come from each anchor's ANN candidate list), which is the
+    standard FAISS-backed pipeline.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb"), "label"
+    )
+    a = e.where(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("emb").alias("ae"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        F.broadcast(a)
+        .join(e, F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            cosine(F.col("ae"), F.col("emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    pos = (
+        scored.where(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.round("cos", 4).alias("pos_sim"))
+    )
+    neg = (
+        scored.where(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.round("cos", 4).alias("neg_sim"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+    )

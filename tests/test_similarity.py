@@ -239,3 +239,25 @@ def test_whitening_decorrelates_and_normalizes(spark, sf_dir):
     _, _, cov = _distributed_moments(white)
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 1e-6
+
+
+def test_triplet_mine_semantics(spark, sf_dir):
+    """Positives share the anchor's label, negatives never do, both are
+    the argmax of their class by cosine, and every anchor appears once."""
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.similarity import (
+        TRIPLET_ANCHORS,
+        embedding_triplet_mine,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"] for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    rows = embedding_triplet_mine(spark, sf_dir).collect()
+    assert len(rows) == TRIPLET_ANCHORS
+    assert {r["anchor_id"] for r in rows} == set(range(TRIPLET_ANCHORS))
+    for r in rows:
+        assert labels[r["pos_id"]] == labels[r["anchor_id"]]
+        assert labels[r["neg_id"]] != labels[r["anchor_id"]]
+        assert r["pos_id"] != r["anchor_id"]
+        assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 4)) < 1e-9
