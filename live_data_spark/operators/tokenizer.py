@@ -1,0 +1,287 @@
+"""BPE tokenizer induction over the ``documents`` corpus.
+
+The missing tier between the pre-tokenizer counts (``text_pretokenize_count``)
+and the chars/4 estimate (``text_token_count``): actually LEARN a byte-pair
+merge table from the corpus and encode documents with it. This is the
+vocabulary-induction step every LLM training pipeline runs once per corpus
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units" — public literature; reference repo has no analog, this is
+extension surface per SURVEY §2.12's text-analysis mandate).
+
+Scale shape — the reason distributed BPE looks like this:
+
+- Training iterates over WORD TYPES, not the corpus: the (word, freq)
+  table is Zipf-bounded (≪ corpus size; the token stream collapses to
+  distinct words once, then every merge round costs O(vocab·word_len)).
+  This is the same trick the single-node reference trainers use, and it
+  is what makes the Spark loop cheap: the corpus-sized shuffle happens
+  exactly once, up front.
+- Each merge round is ONE pair-count aggregate (explode an integer
+  ``sequence`` per word, assemble pairs with codegen'd ``element_at`` —
+  the ``shingle_rows`` lesson, no array materialization) followed by a
+  1-ROW collect (the argmax pair). Driver state is the merge table
+  itself: n_merges small structs, never data-sized.
+- The merge application is a JVM-side ``aggregate`` fold over each
+  word's symbol array — left-to-right greedy, exactly the reference
+  semantics — so no Python touches the training loop at all.
+- Lineage is truncated per round (``_truncate_lineage``: reliable
+  checkpoint on a cluster, localCheckpoint in tests) — the iterative-
+  Spark plan-doubling trap, same treatment as ``dedup_clusters``.
+- Encoding broadcasts the learned ranks dict into an Arrow-batched
+  pandas_udf (tokenization is inherently per-word sequential — the one
+  place Python is justified; per-batch word→len memoization makes the
+  Zipf head free). At 100 TB encode is embarrassingly parallel
+  map-only work.
+
+Training is iterative-argmax → no single-statement SQL oracle; the merge
+sequence is pinned exactly against a pure-Python Sennrich reference in
+tests/test_tokenizer.py, and the first round's pair statistics ARE
+SQL-expressible, so ``bpe_pair_stats`` anchors the counting core to a
+DuckDB oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from live_data_spark.catalog import load, register
+from live_data_spark.operators.dedup import _truncate_lineage, spread
+from live_data_spark.operators.text import normalized_text
+
+N_MERGES = 24  # merge table size for the catalog entries (tiny demo vocab)
+END_MARK = "</w>"  # end-of-word sentinel so merges can't cross word ends
+
+
+def word_type_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) over whitespace words of normalized text.
+
+    The one corpus-sized aggregation in the whole trainer; everything
+    after iterates over this Zipf-bounded table.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    words = F.filter(F.split(normalized_text("text"), " "), lambda x: x != "")
+    return (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs(syms: str = "syms"):
+    """(left, right) adjacent-pair rows from a symbol-array column.
+
+    Generator is a cheap int ``sequence`` (empty for 1-symbol words —
+    ``sequence(1, 0)`` is DESCENDING in Spark, the ANSI element_at
+    abort; guard like ``word_shingles``), pairs assembled per exploded
+    row via codegen'd ``element_at``.
+    """
+    idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return idx
+
+
+def _merge_fold(syms, left: str, right: str):
+    """Apply one merge (left,right)→left+right to a symbol array,
+    left-to-right greedy — the fold form handles overlaps exactly like
+    the reference trainer ('aaa' + (a,a) → ['aa','a']). Pure JVM
+    ``aggregate``; no UDF.
+    """
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("array()").cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, pair_count)]
+    in learned order. Ties break deterministically: max count, then
+    lexicographically smallest (left, right) — mirrored by the Python
+    reference in tests.
+    """
+    wt = word_type_table(spark, sf_dir).select(
+        "freq",
+        F.concat(F.split("word", ""), F.array(F.lit(END_MARK))).alias("syms"),
+    )
+    # one corpus pass up front; every round below reads this materialization
+    wt = _truncate_lineage(wt)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            wt.select("freq", F.explode(_adjacent_pairs("syms")).alias("i"), "syms")
+            .select(
+                F.element_at("syms", F.col("i")).alias("left"),
+                F.element_at("syms", F.col("i") + 1).alias("right"),
+                "freq",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "left", "right").limit(1).collect()
+        if not top:
+            break  # vocabulary fully merged
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merges.append((left, right, cnt))
+        # 1-symbol words can never pair again — drop them from the loop
+        wt = _truncate_lineage(
+            wt.select("freq", _merge_fold(F.col("syms"), left, right).alias("syms")).where(
+                F.size("syms") >= 2
+            )
+        )
+    return merges
+
+
+@register("bpe_train_merges", oracle=None, tags=("text", "tokenizer", "iterative"))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table as a DataFrame: (rank, left, right,
+    pair_count). Rows-only with the driver (iterative argmax — no SQL
+    oracle); the merge SEQUENCE is pinned exactly against a pure-Python
+    Sennrich-style reference in tests/test_tokenizer.py, and the
+    counting core is oracle-anchored by ``bpe_pair_stats``.
+    """
+    merges = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+_PAIR_STATS_ORACLE = r"""
+WITH w AS (
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+), p AS (
+  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, freq
+  FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i FROM w)
+)
+SELECT left_sym, right_sym, cast(sum(freq) AS BIGINT) AS pair_count
+FROM p GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
+"""
+
+
+@register("bpe_pair_stats", oracle=_PAIR_STATS_ORACLE, tags=("text", "tokenizer"))
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE pair statistics: top-50 adjacent character pairs
+    weighted by word frequency — the exact aggregate the trainer's first
+    argmax reads (sans end-marker, which SQL can't see inside substr
+    indexing and which only matters to later rounds). Oracle-green
+    anchor for the trainer's counting core; total order (count desc,
+    then pair) makes the LIMIT deterministic.
+
+    Scale: one corpus-sized word aggregate, then O(vocab·word_len)
+    exploded pairs — map-side combine leaves one row per distinct pair
+    per partition on the shuffle.
+    """
+    wt = word_type_table(spark, sf_dir)
+    syms = F.split("word", "")
+    pairs = (
+        wt.select("freq", F.explode(_adjacent_pairs(syms)).alias("i"), "word")
+        .select(
+            F.substring(F.col("word"), F.col("i"), F.lit(1)).alias("left_sym"),
+            F.substring(F.col("word"), F.col("i") + 1, F.lit(1)).alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    return pairs.orderBy(F.desc("pair_count"), "left_sym", "right_sym").limit(50)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of one word under the learned merge ranks — classic
+    greedy lowest-rank-first merging (the GPT-2 ``bpe()`` loop shape,
+    public reference implementation semantics).
+    """
+    syms = list(word) + [END_MARK]
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        # merge ALL occurrences of the chosen pair, left to right
+        pair = (syms[best], syms[best + 1])
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+@register("bpe_encode_stats", oracle=None, tags=("text", "tokenizer"))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus-learned BPE merges:
+    (doc_id, n_words, n_bpe_tokens, bpe_per_word). The budget-math
+    ground truth the chars/4 estimate approximates. Rows-only (the
+    encoder is the iterative merge loop); exactness pinned against the
+    pure-Python path in tests/test_tokenizer.py.
+
+    The ranks dict is broadcast state inside an Arrow-batched pandas_udf
+    (plan-hygiene allowlisted: tokenization is per-word sequential, the
+    documented Python-justified case) with per-batch word memoization —
+    the Zipf head costs one encode per batch, not per occurrence.
+    Map-only: no shuffle anywhere after the scan.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merges = bpe_train(spark, sf_dir)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    def _count(words_ser):
+        memo: dict[str, int] = {}
+        out = []
+        for words in words_ser:
+            if words is None:
+                out.append(0)
+                continue
+            n = 0
+            for w in words:
+                c = memo.get(w)
+                if c is None:
+                    c = memo[w] = encode_word(w, ranks)
+                n += c
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    count_udf = pandas_udf(_count, "long")
+    d = spread(load(spark, sf_dir, "documents"))
+    # NULL text → empty word array (not NULL): 0 words / 0 tokens, and the
+    # Arrow batch never carries a None list
+    words = F.filter(
+        F.split(F.coalesce(normalized_text("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    n_words = F.size(words).cast("bigint")
+    n_bpe = count_udf(words)
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        # empty docs: NULL ratio, not DIVIDE_BY_ZERO (ANSI aborts the job)
+        F.when(n_words > 0, F.round(n_bpe / n_words.cast("double"), 4)).alias(
+            "bpe_per_word"
+        ),
+    )
