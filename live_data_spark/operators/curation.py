@@ -707,3 +707,101 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch resampling — deterministic per-doc repetition to hit a target mix.
+# ---------------------------------------------------------------------------
+
+# Upsampling factors per language (low-resource langs repeat more — the
+# public multi-epoch mix recipe). Fractional parts emit an extra copy for
+# a hash-selected fraction of docs, so the REALIZED factor converges to
+# the target without any RNG state.
+EPOCH_FACTORS: dict[str, float] = {
+    "en": 1.0,
+    "fr": 1.5,
+    "es": 1.5,
+    "de": 2.5,
+    "zh": 3.0,
+}
+
+
+def _epoch_cases() -> tuple[str, str]:
+    """(SQL base-copies CASE, SQL frac-threshold CASE) from EPOCH_FACTORS."""
+    base = " ".join(
+        f"WHEN '{lang}' THEN {int(f)}" for lang, f in EPOCH_FACTORS.items()
+    )
+    thr = " ".join(
+        f"WHEN '{lang}' THEN '{int((f - int(f)) * 65536):04x}'"
+        for lang, f in EPOCH_FACTORS.items()
+        if f != int(f)
+    )
+    return (
+        f"CASE lang {base} ELSE 1 END",
+        f"CASE lang {thr} ELSE '0000' END",
+    )
+
+
+_EPOCH_BASE_CASE, _EPOCH_THR_CASE = _epoch_cases()
+
+_EPOCH_ORACLE = f"""
+WITH plan AS (
+  SELECT lang, doc_id,
+         {_EPOCH_BASE_CASE}
+         + CASE WHEN substr(md5('epoch:' || cast(doc_id AS VARCHAR)), 1, 4)
+                     < {_EPOCH_THR_CASE}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+), stream AS (
+  SELECT lang, doc_id FROM (
+    SELECT lang, doc_id, unnest(generate_series(1, n_copies)) FROM plan
+  )
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_emitted,
+       round(count(*) / cast(count(DISTINCT doc_id) AS DOUBLE), 4) AS realized_factor
+FROM stream GROUP BY lang
+"""
+
+
+@register("corpus_epoch_resample", oracle=_EPOCH_ORACLE, tags=("text", "sampling", "pipeline"))
+def corpus_epoch_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the multi-epoch training stream: each document repeats
+    ``EPOCH_FACTORS[lang]`` times, with the fractional part emitted as one
+    extra copy for a deterministic md5-selected slice of doc_ids (the
+    first 4 hex chars compare as a STRING against the fraction's hex
+    threshold — the ``stratified_eval_split`` trick, engine-exact with no
+    float boundary). A doc's copy count never changes as the corpus
+    grows, so epoch composition is reproducible across reruns and
+    engines; the per-lang rollup audits realized vs target factor.
+
+    The stream is a real ``explode(sequence(1, n))`` fan-out — at 100 TB
+    this is the map-only operator that writers consume directly (salt the
+    copy index into the output partitioning so repeats don't co-locate);
+    the rollup here is one extra aggregate for the driver check. The
+    distinct-count is exact per lang (thousands of groups at most — no
+    sketch needed at the rollup tier).
+    """
+    d = load(spark, sf_dir, "documents")
+    base: Column = F.lit(None)
+    thr: Column = F.lit(None)
+    chain_b = None
+    chain_t = None
+    for lang, f in EPOCH_FACTORS.items():
+        cond = F.col("lang") == lang
+        b_val, t_val = int(f), f"{int((f - int(f)) * 65536):04x}"
+        chain_b = (F.when(cond, b_val) if chain_b is None else chain_b.when(cond, b_val))
+        chain_t = (F.when(cond, t_val) if chain_t is None else chain_t.when(cond, t_val))
+    base = chain_b.otherwise(1)
+    thr = chain_t.otherwise("0000")
+    u = F.substring(F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))), 1, 4)
+    n_copies = base + F.when(u < thr, 1).otherwise(0)
+    stream = d.select("lang", "doc_id", F.explode(F.sequence(F.lit(1), n_copies)).alias("copy"))
+    return stream.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("doc_id").cast("double"), 4
+        ).alias("realized_factor"),
+    )

@@ -1411,3 +1411,56 @@ def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nc").cast("bigint").alias("n_current"),
         F.round(F.sum(q) / float(PSI_Q), 4).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive same-state runs per user.
+# ---------------------------------------------------------------------------
+
+_STATE_INTERVAL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         AS grp
+  FROM events
+)
+SELECT user_id, event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
+       count(*) AS n_events
+FROM seq GROUP BY user_id, event_type, grp
+HAVING count(*) >= 2
+"""
+
+
+@register("events_state_intervals", oracle=_STATE_INTERVAL_ORACLE, tags=("events", "window"))
+def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's CONSECUTIVE runs of the same
+    event_type into [run_start, run_end] intervals — the SCD2-shaped
+    "state history" rollup (tracking when an entity entered/left a state)
+    that sessionization's time-gap rule can't express. Runs of one are
+    noise at this granularity; the ≥2 filter keeps the interval table the
+    audit-sized artifact a pipeline stores.
+
+    Classic row_number-difference formulation: the global minus the
+    per-state sequence number is constant exactly within a consecutive
+    run. Both window specs and the final aggregate share the user_id
+    hash partitioning, so the whole operator costs ONE shuffle; ties on
+    ts break by event_id on both engines (the r01 sessionize lesson).
+    """
+    e = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    grp = F.row_number().over(w_all) - F.row_number().over(w_typ)
+    return (
+        e.withColumn("grp", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("run_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("run_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .where(F.col("n_events") >= 2)
+        .drop("grp")
+    )
