@@ -594,3 +594,97 @@ def heavy_hitter_tracker(
     return sharded.groupBy("shard").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# -- incremental corpus dedup (streaming twin of dedup_incremental) ----------
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of ``operators/dedup.py::dedup_incremental``: watch a
+    landing directory of document parquet files; per micro-batch, classify
+    every arriving doc against the PERSISTED fingerprint store
+    (``dup_history`` / ``dup_batch`` / ``new``), append the decisions, and
+    append the new fingerprints to the store — continuously-ingested-corpus
+    dedup as one restart-safe ``foreachBatch`` job.
+
+    Semantics inside each batch mirror the batch operator exactly: a store
+    hit is ``dup_history``; within the batch the min-doc_id holder of a
+    previously-unseen fingerprint is ``new`` and the rest ``dup_batch``.
+
+    Guarantees: the file source's checkpoint WAL gives exactly-once per
+    input FILE, so a drained landing dir re-drains to zero new decisions.
+    A micro-batch that fails mid-write can replay — the store is
+    semantically a SET (probes go through ``distinct``), so a duplicate
+    fingerprint append is harmless to every later decision, and decision
+    rows carry ``__batch_id`` for idempotent downstream consumption (the
+    same contract as ``run_available_now_update``; a real deployment
+    MERGEs into an ACID store table instead of appending).
+
+    100 TB shape: identical to the batch twin — the store is bucketed by
+    fp so the probe join shuffles only the arriving batch, per-batch
+    window work rides the same fp partitioning, and nothing ever rescans
+    ingested text (the store holds 16-byte fingerprints, not documents).
+    """
+    from pyspark.errors import AnalysisException
+
+    from live_data_spark.operators.text import fingerprint
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        sess = batch_df.sparkSession
+        b = batch_df.select("doc_id", fingerprint("text").alias("fp"))
+        try:
+            history = sess.read.parquet(store_dir).select("fp").distinct()
+        except AnalysisException:  # first batch: store not created yet
+            history = sess.createDataFrame([], "fp string")
+        w = Window.partitionBy("fp")
+        cls = (
+            b.join(history.withColumn("seen", F.lit(True)), "fp", "left")
+            .withColumn("min_id", F.min("doc_id").over(w))
+            .select(
+                "doc_id",
+                "fp",
+                F.when(F.col("seen"), "dup_history")
+                .when(F.col("doc_id") > F.col("min_id"), "dup_batch")
+                .otherwise("new")
+                .alias("decision"),
+            )
+        )
+        # one pass, two sinks: cache the small classified batch, not the store
+        cls.persist()
+        try:
+            cls.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                decisions_dir
+            )
+            cls.where(F.col("decision") == "new").select("fp").distinct().write.mode(
+                "append"
+            ).parquet(store_dir)
+        finally:
+            cls.unpersist()
+
+    q = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

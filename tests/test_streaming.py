@@ -564,3 +564,43 @@ def test_stream_stream_outer_join_emits_contextless_errors(spark, tmp_path):
     assert orphan[0]["context_event_id"] is None
     assert orphan[0]["context_type"] is None
     assert orphan[0]["user_id"] == 1  # the error's own columns survive
+
+
+def test_incremental_dedup_stream_classifies_and_is_exactly_once(spark, tmp_path):
+    """Streaming twin of dedup_incremental: two drain invocations over a
+    growing landing dir. Batch 2 docs repeating batch-1 text classify
+    dup_history (store hit), in-batch repeats classify dup_batch with the
+    min-doc_id holder as new, and an empty drain emits nothing new."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store, dec, ckpt = (str(tmp_path / d) for d in ("store", "decisions", "ckpt"))
+
+    def stage(rows, name):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(str(landing / name))
+
+    # batch 1: doc 2 repeats doc 1's text within the batch
+    stage([(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")], "b1")
+    jobs.incremental_dedup_stream(spark, f"{landing}/*", store, dec, ckpt)
+    d1 = {r["doc_id"]: r["decision"] for r in spark.read.parquet(dec).collect()}
+    assert d1 == {1: "new", 2: "dup_batch", 3: "new"}
+    # store holds exactly the two new fingerprints
+    assert spark.read.parquet(store).distinct().count() == 2
+
+    # batch 2: doc 4 repeats history, docs 5/6 repeat each other, doc 7 fresh
+    stage([(4, "gamma"), (5, "delta x"), (6, "delta x"), (7, "epsilon")], "b2")
+    jobs.incremental_dedup_stream(spark, f"{landing}/*", store, dec, ckpt)
+    d2 = {r["doc_id"]: r["decision"] for r in spark.read.parquet(dec).collect()}
+    assert d2[4] == "dup_history" and d2[5] == "new"
+    assert d2[6] == "dup_batch" and d2[7] == "new"
+    # batch-1 decisions unchanged (exactly-once per file: no reprocessing)
+    assert {k: d2[k] for k in (1, 2, 3)} == d1
+    assert spark.read.parquet(store).distinct().count() == 4
+
+    # third drain with nothing staged: no new decisions, store unchanged
+    n_before = spark.read.parquet(dec).count()
+    jobs.incremental_dedup_stream(spark, f"{landing}/*", store, dec, ckpt)
+    assert spark.read.parquet(dec).count() == n_before
+    assert spark.read.parquet(store).distinct().count() == 4
