@@ -1061,27 +1061,11 @@ LIMIT {BM25_TOP}
 """
 
 
-@register("text_bm25_topdocs", oracle=_BM25_ORACLE, tags=("text", "retrieval", "topk"))
-def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k documents for a fixed seed query — the retrieval
-    primitive behind seed-based curation ("find more docs like this
-    benchmark/domain seed") that complements the embedding-side ANN
-    ladder with a lexical rung. k1/b are the standard 1.2/0.75.
-
-    Shape at scale: ONE explode of the corpus feeds both statistics —
-    per-doc length (map-side-combined count) and per-(doc, query-term)
-    tf (filter on the 3-term query BEFORE the group, so only matching
-    tokens shuffle). df and the (N, avgdl) scalars are one-per-term /
-    one-row aggregates that broadcast; the only doc-keyed join is
-    tf ⋈ dl, both sides already keyed on doc_id. Top-k compiles to
-    TakeOrderedAndProject — no global sort.
-
-    Engine-exactness: ln feeds a cross-term sum and the top-k cut, so
-    each (doc, term) score is quantized to an int with
-    floor(x·1e8 + 0.5) on BOTH engines (the text_bigram_surprisal
-    recipe) — the ordering and the 4-decimal output are integer-exact.
-    """
-    d = load(spark, sf_dir, "documents")
+def bm25_per_doc(d: DataFrame) -> DataFrame:
+    """(doc_id, n_query_terms, qs) — per-doc BM25 for BM25_QUERY, with
+    each (doc, term) score quantized to a 1e-8 integer (``qs`` is the
+    integer sum; divide by 1e8 for the float score). Shared by the pure
+    lexical top-k below and the hybrid RRF fusion entry."""
     tok = d.select("doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -1108,10 +1092,33 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(idf * tff * 100000000 + 0.5).cast("bigint").alias("q"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_query_terms"),
         F.sum("q").alias("qs"),
     )
+
+
+@register("text_bm25_topdocs", oracle=_BM25_ORACLE, tags=("text", "retrieval", "topk"))
+def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k documents for a fixed seed query — the retrieval
+    primitive behind seed-based curation ("find more docs like this
+    benchmark/domain seed") that complements the embedding-side ANN
+    ladder with a lexical rung. k1/b are the standard 1.2/0.75.
+
+    Shape at scale: ONE explode of the corpus feeds both statistics —
+    per-doc length (map-side-combined count) and per-(doc, query-term)
+    tf (filter on the 3-term query BEFORE the group, so only matching
+    tokens shuffle). df and the (N, avgdl) scalars are one-per-term /
+    one-row aggregates that broadcast; the only doc-keyed join is
+    tf ⋈ dl, both sides already keyed on doc_id. Top-k compiles to
+    TakeOrderedAndProject — no global sort.
+
+    Engine-exactness: ln feeds a cross-term sum and the top-k cut, so
+    each (doc, term) score is quantized to an int with
+    floor(x·1e8 + 0.5) on BOTH engines (the text_bigram_surprisal
+    recipe) — the ordering and the 4-decimal output are integer-exact.
+    """
+    per_doc = bm25_per_doc(load(spark, sf_dir, "documents"))
     return (
         per_doc.orderBy(F.col("qs").desc(), "doc_id")
         .limit(BM25_TOP)
@@ -1314,4 +1321,127 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c").cast("double"),
             4,
         ).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of BM25 and embedding cosine.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard fusion constant (Cormack et al. 2009)
+RRF_LIST = 50  # per-modality candidate list depth
+RRF_TOP = 20
+RRF_SEED_VEC = 0  # dense query: "more docs like this seed document"
+
+_HYBRID_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT cast(count(*) AS DOUBLE) AS n_docs, avg(cast(dl AS DOUBLE)) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), perdoc AS (
+  SELECT t.doc_id,
+         sum(floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+               * 100000000 + 0.5)) AS qs
+  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats s
+  GROUP BY t.doc_id
+), lex AS (
+  SELECT doc_id, cast(row_number() OVER (ORDER BY qs DESC, doc_id) AS INTEGER) AS lex_rank
+  FROM perdoc ORDER BY qs DESC, doc_id LIMIT {RRF_LIST}
+), dense0 AS (
+  SELECT e.vec_id AS doc_id,
+         floor(list_cosine_similarity(cast(e.embedding AS DOUBLE[]),
+                                      cast(q.embedding AS DOUBLE[])) * 100000000 + 0.5) AS qc
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {RRF_SEED_VEC}) q
+  WHERE e.vec_id <> {RRF_SEED_VEC}
+), dense AS (
+  SELECT doc_id, cast(row_number() OVER (ORDER BY qc DESC, doc_id) AS INTEGER) AS dense_rank
+  FROM dense0 ORDER BY qc DESC, doc_id LIMIT {RRF_LIST}
+)
+SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+       round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+             + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0), 6) AS rrf
+FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+ORDER BY coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+         + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0) DESC,
+         coalesce(l.doc_id, d.doc_id)
+LIMIT {RRF_TOP}
+"""
+
+
+@register("hybrid_rrf_retrieval", oracle=_HYBRID_ORACLE, tags=("text", "retrieval", "similarity", "topk"))
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking (seed query) with
+    the embedding-cosine ranking (seed vector = vec 0, modeling "the doc
+    the query came from") by reciprocal-rank fusion —
+    score = sum 1/(60+rank) over the two top-50 lists. RRF is the
+    standard zero-tuning hybrid because it needs no score calibration
+    between modalities: only RANKS cross the fusion, which also makes
+    the whole entry engine-exact (BM25 ranks via the quantized-integer
+    recipe; cosine quantized to 1e-8 before ranking so fp drift cannot
+    flip near-ties; identical integer ranks give bit-identical doubles).
+
+    Shape at scale: each modality ends in a TakeOrderedAndProject cut to
+    its 50-row list; ranking windows then run over those 50-row frames,
+    never over data. The fusion join is 50x50. The only data-sized work
+    is the BM25 statistics pass and one corpus scan of embeddings — both
+    map-side-combined aggregates/scans.
+    """
+    from pyspark.sql import Window
+
+    from live_data_spark.operators.similarity import as_double, cosine
+
+    d = load(spark, sf_dir, "documents")
+    lex50 = bm25_per_doc(d).orderBy(F.col("qs").desc(), "doc_id").limit(RRF_LIST)
+    # 50-row frame: the single-partition window is bounded, not data-sized
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("qs").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), as_double("embedding").alias("emb")
+    )
+    q0 = e.where(F.col("doc_id") == RRF_SEED_VEC).select(F.col("emb").alias("qe"))
+    dense50 = (
+        e.where(F.col("doc_id") != RRF_SEED_VEC)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "doc_id",
+            F.floor(cosine(F.col("emb"), F.col("qe")) * 100000000 + 0.5)
+            .cast("bigint")
+            .alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), "doc_id")
+        .limit(RRF_LIST)
+    )
+    dense = dense50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("qc").desc(), "doc_id"))
+        .alias("dense_rank"),
+    )
+
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(dense, "doc_id", "full")
+        .select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf0"))
+        .orderBy(F.col("rrf0").desc(), "doc_id")
+        .limit(RRF_TOP)
+        .select("doc_id", "lex_rank", "dense_rank", F.round("rrf0", 6).alias("rrf"))
     )

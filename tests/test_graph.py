@@ -1,0 +1,59 @@
+"""PageRank parity vs a pure-Python power iteration on the same edges."""
+
+from __future__ import annotations
+
+import pytest
+
+from live_data_spark.operators import graph as g
+
+
+def _py_pagerank(edges, iters, damping):
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    tele = (1.0 - damping) / n
+    for _ in range(iters):
+        mass = defaultdict(float)
+        for s, d in edges:
+            mass[d] += pr[s] / outdeg[s]
+        pr = {v: tele + damping * mass.get(v, 0.0) for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_python_reference(spark, sf_dir):
+    edges = [(r["src"], r["dst"]) for r in g.copurchase_edges(spark, sf_dir).collect()]
+    assert edges, "support floor too high for sf0.001 — no edges"
+    want = _py_pagerank(edges, g.PR_ITERS, g.PR_DAMPING)
+    got = {r["part_id"]: r for r in g.pagerank(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for v, r in got.items():
+        assert r["pr"] == pytest.approx(want[v], rel=1e-9, abs=1e-15), v
+    # degree column is the real out-degree
+    from collections import Counter
+
+    deg = Counter(s for s, _ in edges)
+    assert all(got[v]["degree"] == deg[v] for v in got)
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    rows = g.pagerank(spark, sf_dir).collect()
+    total = sum(r["pr"] for r in rows)
+    # undirected graph, no dangling nodes: mass is conserved exactly
+    assert total == pytest.approx(1.0, abs=1e-9)
+    assert all(r["pr"] > 0 for r in rows)
+
+
+def test_pagerank_entry_topk_stable(spark, sf_dir):
+    edges = [(r["src"], r["dst"]) for r in g.copurchase_edges(spark, sf_dir).collect()]
+    want = _py_pagerank(edges, g.PR_ITERS, g.PR_DAMPING)
+    top = g.graph_part_pagerank(spark, sf_dir).collect()
+    assert len(top) == min(g.PR_TOP, len(want))
+    # descending with part_id tiebreak, and the set agrees with the
+    # reference's top-k (ties at the boundary broken identically)
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[: len(top)]
+    assert [r["part_id"] for r in top] == [v for v, _ in want_top]

@@ -45,6 +45,7 @@ BNLJ_OK: set[str] = {
     "text_bm25_topdocs",  # 1-row (N, avgdl) corpus-stats scalar broadcast
     "corpus_vocab_coverage",  # 4-row cutoff grid fan-out over the vocab frame
     "embedding_triplet_mine",  # broadcast anchor set × corpus (exact demo tier, like ann_cosine_topk)
+    "hybrid_rrf_retrieval",  # 1-row seed-vector frame × embeddings (dense scoring pass)
 }
 
 ALL = sorted(catalog())
