@@ -200,3 +200,44 @@ def test_incremental_dedup_single_fp_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the final decision agg partial-combines map-side
     assert plan.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Pin the 100 TB join-pruning mechanism: when the dim side is too big
+    to broadcast (forced here via autoBroadcastJoinThreshold=-1) and the
+    fact scan is big enough to matter (the 10 GB production threshold,
+    emulated at 0 so testdata qualifies), Catalyst injects a runtime
+    BLOOM FILTER built from the filtered dim keys and applies it as a
+    might_contain predicate on the fact scan — rows for non-qualifying
+    parts drop at the scan, before the shuffle. This is the mechanism
+    that keeps selective dim-filtered fact joins shuffle-light at scale
+    without hand-written semi-joins; the test also pins that the
+    filtered plan returns the same result as the broadcast plan."""
+    from pyspark.sql import functions as F
+
+    from live_data_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    q = lambda: (  # noqa: E731
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    baseline = {tuple(r) for r in q().collect()}
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = q()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in plan
+        assert {tuple(r) for r in j.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
