@@ -805,3 +805,56 @@ def corpus_epoch_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) / F.countDistinct("doc_id").cast("double"), 4
         ).alias("realized_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quantile normalization — comparable quality thresholds.
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       round((r - 1) / cast(NULLIF(n - 1, 0) AS DOUBLE), 6) AS pct_rank,
+       CASE WHEN (r - 1) >= 0.75 * (n - 1) AND n > 1 THEN 1 ELSE 0 END AS top_quartile
+FROM ranked
+"""
+
+
+@register("quality_quantile_normalize", oracle=_QNORM_ORACLE, tags=("text", "sampling", "window"))
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize a quality signal WITHIN each source: a doc's
+    score becomes its percentile among same-source docs, so one global
+    threshold ("keep the top quartile") is comparable across sources
+    with wildly different score distributions — the cross-source
+    calibration step per-source caps and mix planning assume. Signal
+    here is n_chars (integer — no float boundary in the ranking);
+    swapping in any scorer column is the same plan.
+
+    Ranks come from row_number with a doc_id tiebreak, so the percentile
+    is an exact rational — identical doubles on both engines. A
+    single-doc source has no percentile (NULL, not a divide-by-zero
+    abort — the ranked-twin degenerate-frame guard class). Per-source
+    windows partition by source: parallel across sources, and within a
+    source this is the documented single-partition-per-group window —
+    the range-partitioned rank family (functions/ranks.py) is the
+    swap-in when ONE source outgrows an executor.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    pct = F.when(n > 1, (r - 1) / (n - 1).cast("double"))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(pct, 6).alias("pct_rank"),
+        F.when((n > 1) & ((r - 1) >= 0.75 * (n - 1)), 1)
+        .otherwise(0)
+        .alias("top_quartile"),
+    )

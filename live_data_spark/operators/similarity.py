@@ -1267,3 +1267,73 @@ def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse selection — relevance vs redundancy on a bounded pool.
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 100
+MMR_SELECT = 20
+
+
+def mmr_greedy(pool: "list[tuple[int, float, list[float]]]", k: int, lam: float):
+    """Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    over a (vec_id, relevance, unit-vector) pool:
+    argmax λ·rel − (1−λ)·max-sim-to-selected, ties → lowest vec_id.
+    Pure-Python, driver-side — the pool is BOUNDED (top-MMR_POOL by
+    relevance), so this is k·|pool| dot products on tiny state, the
+    same bounded-collect contract as the PQ codebook sample."""
+    import numpy as np
+
+    ids = [p[0] for p in pool]
+    rel = np.array([p[1] for p in pool])
+    V = np.array([p[2] for p in pool])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    out = []
+    cand = list(range(len(pool)))
+    max_sim = None  # SIGNED max-sim-to-selected: can be negative, so it
+    # must start undefined, not at 0 — flooring it at zero silently
+    # erases the diversity BONUS for anti-correlated candidates
+    for t in range(min(k, len(pool))):
+        scores = lam * rel if max_sim is None else lam * rel - (1.0 - lam) * max_sim
+        best = min(cand, key=lambda i: (-scores[i], ids[i]))
+        out.append((ids[best], float(rel[best]), float(scores[best])))
+        cand.remove(best)
+        sims = V @ V[best]
+        max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
+    return out
+
+
+@register("embedding_mmr_select", oracle=None, tags=("similarity", "retrieval", "sampling"))
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware selection: pick MMR_SELECT vectors that are
+    RELEVANT to the seed (vec 0 cosine) but not redundant with each
+    other — the dedup-aware retrieval/demo-set builder (MMR). Two
+    tiers: the distributed part scores the whole corpus and TakeOrders
+    the top-MMR_POOL pool (map-only + one bounded cut); the greedy
+    argmax chain is inherently sequential, so it runs driver-side over
+    the collected 100-row pool — bounded state, never data-sized (the
+    PQ-codebook contract). Rows-only: the greedy recursion has no SQL
+    form; selection parity vs an independent reference and the
+    diversity invariant (selected max-pairwise-sim < pool's) are pinned
+    in tests/test_similarity.py.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    q0 = e.where(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    pool_df = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", cosine(F.col("emb"), F.col("qe")).alias("rel"), "emb")
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    pool = [(r["vec_id"], r["rel"], r["emb"]) for r in pool_df.collect()]
+    sel = mmr_greedy(pool, MMR_SELECT, MMR_LAMBDA)
+    return pool_df.sparkSession.createDataFrame(
+        [(i, v, round(rel, 6), round(s, 6)) for i, (v, rel, s) in enumerate(sel)],
+        "rank int, vec_id long, relevance double, mmr_score double",
+    )

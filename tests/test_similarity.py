@@ -261,3 +261,53 @@ def test_triplet_mine_semantics(spark, sf_dir):
         assert labels[r["neg_id"]] != labels[r["anchor_id"]]
         assert r["pos_id"] != r["anchor_id"]
         assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 4)) < 1e-9
+
+
+def test_mmr_select_matches_reference_and_diversifies(spark, sf_dir):
+    """MMR parity vs an independent greedy implementation on the same
+    collected pool, plus the diversity invariant: the selected set's mean
+    pairwise similarity must not exceed the same-size pure-relevance
+    head's (that's the whole point of the redundancy term)."""
+    import numpy as np
+
+    from live_data_spark.catalog import load
+    from live_data_spark.operators import similarity as sim
+
+    got = sim.embedding_mmr_select(spark, sf_dir).collect()
+    assert len(got) == sim.MMR_SELECT
+    assert [r["rank"] for r in got] == list(range(sim.MMR_SELECT))
+
+    # rebuild the pool exactly as the operator does
+    rows = load(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0] / np.linalg.norm(vecs[0])
+    rel = {
+        v: float((e / np.linalg.norm(e)) @ q) for v, e in vecs.items() if v != 0
+    }
+    pool_ids = sorted(rel, key=lambda v: (-rel[v], v))[: sim.MMR_POOL]
+
+    # independent greedy reference (set-based, recomputes max-sim fresh)
+    lam = sim.MMR_LAMBDA
+    unit = {v: vecs[v] / np.linalg.norm(vecs[v]) for v in pool_ids}
+    chosen: list[int] = []
+    for _ in range(sim.MMR_SELECT):
+        best, best_key = None, None
+        for v in pool_ids:
+            if v in chosen:
+                continue
+            red = max((float(unit[v] @ unit[c]) for c in chosen), default=0.0)
+            key = (-(lam * rel[v] - (1 - lam) * red), v)
+            if best_key is None or key < best_key:
+                best, best_key = v, key
+        chosen.append(best)
+    assert [r["vec_id"] for r in got] == chosen
+
+    def mean_pairwise(ids):
+        us = [unit[v] for v in ids]
+        return float(
+            np.mean([us[i] @ us[j] for i in range(len(us)) for j in range(i + 1, len(us))])
+        )
+
+    assert mean_pairwise([r["vec_id"] for r in got]) <= mean_pairwise(
+        pool_ids[: sim.MMR_SELECT]
+    ) + 1e-12
