@@ -66,7 +66,7 @@ def catalog() -> dict[str, QuerySpec]:
     tests/test_engine.py pins the policy invariants.
     """
     # Imported lazily so `import live_data_spark` stays cheap.
-    from live_data_spark.operators import classifier, clustering, curation, dedup, graph, similarity, multimodal, text, tokenizer  # noqa: F401
+    from live_data_spark.operators import classifier, clustering, curation, dedup, graph, profiling, similarity, multimodal, text, tokenizer  # noqa: F401
     from live_data_spark.streaming import events_batch  # noqa: F401
     from live_data_spark.corpus import pipeline  # noqa: F401
     from live_data_spark import queries_analytics, queries_reference, queries_tpch_extra  # noqa: F401
