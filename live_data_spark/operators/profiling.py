@@ -162,3 +162,67 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_key",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Metric correlation — Pearson r from integer sums (engine-exact).
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = r"""
+WITH m AS (
+  SELECT cast(n_chars AS BIGINT) AS x,
+         cast(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT cast(count(*) AS BIGINT) AS n,
+         cast(sum(x) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+         cast(sum(x * y) AS BIGINT) AS sxy,
+         cast(sum(x * x) AS BIGINT) AS sxx, cast(sum(y * y) AS BIGINT) AS syy
+  FROM m
+)
+SELECT n AS n_docs,
+       round((n * sxy - sx * sy)
+             / NULLIF(sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(cast(n * syy - sy * sy AS DOUBLE)), 0), 6)
+         AS corr_chars_tokens
+FROM s
+"""
+
+
+@register("profile_metric_correlation", oracle=_CORR_ORACLE, tags=("profiling", "agg"))
+def profile_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length (chars) and whitespace
+    token count — the redundancy check that decides whether two quality
+    features earn separate thresholds or collapse into one. Computed
+    from INTEGER sums (n, Σx, Σy, Σxy, Σx², Σy²) so both engines form
+    the same exact integers; sqrt/division over identical values is
+    bit-identical (the reason this avoids `corr()`: its streaming
+    accumulation order is engine-specific). Zero-variance inputs yield
+    NULL (NULLIF), not a division abort.
+
+    Scale: one map-side-combined aggregate to a single row. Extending to
+    a k×k feature matrix is the same plan with k(k+1)/2 sum columns.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    x = F.col("n_chars").cast("bigint")
+    y = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    m = d.select(x.alias("x"), y.alias("y"))
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    denom = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.when(denom != 0, denom),
+            6,
+        ).alias("corr_chars_tokens"),
+    )

@@ -1464,3 +1464,73 @@ def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_events") >= 2)
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume OLS trend — closed-form regression from integer sums.
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH daily AS (
+  SELECT cast(date_diff('day', (SELECT min(cast(ts AS DATE)) FROM events),
+                        cast(ts AS DATE)) AS BIGINT) AS x,
+         cast(count(*) AS BIGINT) AS y
+  FROM events GROUP BY cast(ts AS DATE)
+), s AS (
+  SELECT cast(count(*) AS BIGINT) AS n,
+         cast(sum(x) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+         cast(sum(x * y) AS BIGINT) AS sxy, cast(sum(x * x) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT n AS n_days, sy AS total_events,
+       round((n * sxy - sx * sy) / cast(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+         AS slope_per_day,
+       round((sy * sxx - sx * sxy) / cast(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+         AS intercept
+FROM s
+"""
+
+
+@register("events_daily_trend", oracle=_TREND_ORACLE, tags=("events", "agg"))
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is traffic growing? OLS slope/intercept of daily event counts over
+    the day index — closed-form regression computed from INTEGER sums
+    (n, Σx, Σy, Σxy, Σx²), so both engines divide the same exact
+    integers and the result is bit-identical with no quantization dance
+    (the reason this avoids `regr_slope`: its internal accumulation
+    order is engine-specific). Day index anchors at min(date) — a 1-row
+    frame — so the slope is translation-invariant and the intercept is
+    "fitted events on day 0". A single-day stream yields NULL slope
+    (NULLIF), not an abort.
+
+    Scale: daily rollup is one date-keyed aggregate (map-side combined);
+    the sums reduce day rows to ONE row. The regression itself costs
+    nothing — this is the cheapest trend detector that exists.
+    """
+    e = load(spark, sf_dir, "events").select(F.col("ts").cast("date").alias("d"))
+    anchor = e.agg(F.min("d").alias("d0"))
+    daily = (
+        e.join(F.broadcast(anchor))
+        .groupBy("d", "d0")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(F.datediff("d", "d0").cast("bigint").alias("x"), "y")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    safe_det = F.when(det != 0, det).cast("double")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / safe_det, 6
+        ).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / safe_det, 6
+        ).alias("intercept"),
+    )

@@ -46,6 +46,7 @@ BNLJ_OK: set[str] = {
     "corpus_vocab_coverage",  # 4-row cutoff grid fan-out over the vocab frame
     "embedding_triplet_mine",  # broadcast anchor set × corpus (exact demo tier, like ann_cosine_topk)
     "hybrid_rrf_retrieval",  # 1-row seed-vector frame × embeddings (dense scoring pass)
+    "events_daily_trend",  # 1-row min-date anchor frame × daily rollup
 }
 
 ALL = sorted(catalog())
