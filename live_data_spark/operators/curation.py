@@ -858,3 +858,62 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("top_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — quasi-identifier group sizes before release.
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLD = 5
+
+_KANON_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         strftime(cast(ts AS DATE), '%Y-%m-%d') AS day,
+         cast(floor(value / 100.0) AS BIGINT) AS value_band,
+         count(*) AS k
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT
+  cast(count(*) AS BIGINT) AS n_cells,
+  cast(count(CASE WHEN k < {K_ANON_THRESHOLD} THEN 1 END) AS BIGINT) AS n_risky_cells,
+  cast(sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END) AS BIGINT) AS n_risky_rows,
+  cast(min(k) AS BIGINT) AS min_k,
+  round(count(CASE WHEN k < {K_ANON_THRESHOLD} THEN 1 END)
+        / cast(count(*) AS DOUBLE), 4) AS risky_cell_rate
+FROM cells
+"""
+
+
+@register("privacy_k_anonymity", oracle=_KANON_ORACLE, tags=("events", "privacy", "agg"))
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (event_type, day, coarse value band): how many QI cells hold fewer
+    than k=5 rows — the re-identification risk gate a dataset release
+    (or a training corpus with user-derived events) runs BEFORE export,
+    complementing ``text_pii_scrub_stats``'s content-level redaction
+    with a structure-level check. ``min_k`` is the dataset's k-anonymity
+    number; risky rows are the suppression/generalization workload.
+
+    One aggregate to the QI-cell table (map-side combined), one 1-row
+    rollup — the cheapest shape there is. At 100 TB the QI-cell table is
+    bounded by the QI domain (types × days × bands), not by rows.
+    """
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") / 100.0).cast("bigint").alias("value_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    risky = F.when(F.col("k") < K_ANON_THRESHOLD, 1)
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count(risky).alias("n_risky_cells"),
+        F.sum(F.when(F.col("k") < K_ANON_THRESHOLD, F.col("k")).otherwise(0)).alias(
+            "n_risky_rows"
+        ),
+        F.min("k").alias("min_k"),
+        F.round(F.count(risky) / F.count(F.lit(1)).cast("double"), 4).alias(
+            "risky_cell_rate"
+        ),
+    )

@@ -1576,3 +1576,51 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.sum("net").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-N WITH TIES — rank() semantics vs row_number's arbitrary cut.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top_orders_with_ties",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+             round(o_totalprice, 2) AS total_price,
+             cast(rank() OVER (PARTITION BY o_custkey
+                  ORDER BY cast(o_totalprice AS DECIMAL(18,2)) DESC) AS INTEGER) AS rnk
+      FROM orders
+    ) WHERE rnk <= 2
+    """,
+    tags=("window", "topk"),
+)
+def window_top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer WITH TIES (``FETCH FIRST n WITH TIES`` /
+    ``rank()`` semantics): price ties at the cut all survive, unlike
+    ``window_top3_orders_per_customer``'s row_number, which breaks them
+    arbitrarily-but-deterministically. The distinction matters wherever
+    the ranked value is the business fact (equal-priced orders deserve
+    equal treatment) — and it's the remaining rank-family semantic the
+    catalog didn't pin. Ranking compares DECIMAL(18,2) money on both
+    engines, so tie GROUPS are engine-identical (double representation
+    of .99 prices differs in the 17th digit — enough to split a tie).
+
+    Same scale shape as every per-group window: one customer-keyed hash
+    partition, rank + filter inside it, no global stage.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc()
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 2)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
