@@ -47,6 +47,7 @@ BNLJ_OK: set[str] = {
     "embedding_triplet_mine",  # broadcast anchor set × corpus (exact demo tier, like ann_cosine_topk)
     "hybrid_rrf_retrieval",  # 1-row seed-vector frame × embeddings (dense scoring pass)
     "events_daily_trend",  # 1-row min-date anchor frame × daily rollup
+    "text_naive_bayes_langid",  # 1-row vocab/doc-count scalars + L-row lang grid fan-out
 }
 
 ALL = sorted(catalog())
