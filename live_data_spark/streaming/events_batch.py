@@ -1534,3 +1534,134 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / safe_det, 6
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clickstream path analysis — top session-opening event sequences.
+# ---------------------------------------------------------------------------
+
+_PATH_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), heads AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path,
+         count(*) AS path_len
+  FROM seq WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, cast(path_len AS INTEGER) AS path_len,
+       count(*) AS n_users
+FROM heads GROUP BY 1, 2
+ORDER BY n_users DESC, path LIMIT 20
+"""
+
+
+@register("events_top_paths", oracle=_PATH_ORACLE, tags=("events", "session", "topk"))
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 20 most common 3-event OPENING sequences across
+    users — the "how do journeys start" clickstream query (onboarding
+    funnels, bot-pattern triage). Users with fewer than 3 events keep
+    their shorter path, tagged with path_len so consumers can filter.
+
+    One user_id-partitioned row_number (ties broken by event_id — the
+    sessionize lesson), an ordered string_agg per user, then a path
+    count with a TakeOrdered top-20 (count desc, path asc — total
+    order). The row_number filter rn<=3 cuts the aggregation input to
+    3 rows per user BEFORE the path shuffle, so the second aggregate is
+    user-count-sized, not event-sized.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    heads = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(">", F.array_sort(F.collect_list(F.struct("rn", "event_type"))).getField("event_type")).alias("path"),
+            F.count(F.lit(1)).cast("int").alias("path_len"),
+        )
+    )
+    return (
+        heads.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed user value — recency-weighted LTV for sampling/priority.
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE_DAYS = 14
+_DECAY_Q = 1000000  # 1e-6 quantization of each decayed contribution
+
+_DECAY_ORACLE = f"""
+WITH anchor AS (SELECT max(cast(ts AS DATE)) AS d1 FROM events),
+q AS (
+  SELECT user_id,
+         cast(floor(value * exp(-date_diff('day', cast(ts AS DATE), a.d1)
+                                * ln(2) / {DECAY_HALF_LIFE_DAYS}.0)
+                    * {_DECAY_Q} + 0.5) AS BIGINT) AS qv
+  FROM events, anchor a
+)
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_events,
+       round(sum(qv) / {_DECAY_Q}.0, 4) AS decayed_value
+FROM q GROUP BY user_id
+ORDER BY sum(qv) DESC, user_id LIMIT 50
+"""
+
+
+@register("events_decayed_user_value", oracle=_DECAY_ORACLE, tags=("events", "agg", "topk"))
+def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 users by exponentially time-decayed value (14-day
+    half-life) — the recency-weighted score behind priority sampling,
+    churn triage, and replay weighting, where yesterday's activity
+    should outweigh last month's. Each event's decayed contribution
+    quantizes to a 1e-6 integer BEFORE the cross-row sum (the surprisal
+    recipe: exp/ln outputs agree to far better than the quantum, and
+    integer sums are order-free), so the ranking and the cut are
+    engine-exact. Anchored at max(event date) — a 1-row frame — so the
+    score is a pure function of the dataset, not of wall-clock.
+
+    Scale: one 1-row anchor broadcast, one map-side-combined user
+    aggregate, TakeOrdered top-50. The decay never needs state: it is
+    recomputed from timestamps, which is why the batch form beats
+    maintaining a decayed counter per user.
+    """
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("d1"))
+    q = (
+        e.join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.floor(
+                F.col("value")
+                * F.exp(
+                    -F.datediff("d1", F.col("ts").cast("date"))
+                    * F.ln(F.lit(2.0))
+                    / float(DECAY_HALF_LIFE_DAYS)
+                )
+                * _DECAY_Q
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("qv"),
+        )
+    )
+    return (
+        q.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("qv").alias("sqv"))
+        .orderBy(F.col("sqv").desc(), "user_id")
+        .limit(50)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("sqv") / float(_DECAY_Q), 4).alias("decayed_value"),
+        )
+    )

@@ -48,6 +48,7 @@ BNLJ_OK: set[str] = {
     "hybrid_rrf_retrieval",  # 1-row seed-vector frame × embeddings (dense scoring pass)
     "events_daily_trend",  # 1-row min-date anchor frame × daily rollup
     "text_naive_bayes_langid",  # 1-row vocab/doc-count scalars + L-row lang grid fan-out
+    "events_decayed_user_value",  # 1-row max-date anchor frame × events
 }
 
 ALL = sorted(catalog())
