@@ -172,3 +172,39 @@ def embedding_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register("embedding_logreg_calibration", oracle=None, tags=("similarity", "classifier", "iterative"))
+def embedding_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the fitted classifier: predicted-probability
+    deciles vs observed positive rate — the calibration audit that
+    decides whether the filter's scores can be used as sampling WEIGHTS
+    (well-calibrated) or only as a ranking (miscalibrated). Rows:
+    (bin, n_vecs, mean_pred, frac_pos); a calibrated model tracks
+    mean_pred ≈ frac_pos per bin. Rows-only (fit is iterative); bin
+    accounting and probability bounds are pinned in
+    tests/test_classifier.py.
+
+    Scoring is map-only (weights in the UDF closure); binning is one
+    map-side-combined aggregate over 10 groups.
+    """
+    beta = logreg_fit(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("emb")
+    )
+    p = _score_udf(beta)(F.col("emb"))
+    y = (F.col("label") == F.lit(TARGET_LABEL)).cast("double")
+    binned = e.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        p.alias("p"),
+        y.alias("y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

@@ -95,3 +95,17 @@ def test_logreg_other_targets_numpy_parity(spark, sf_dir, target):
     want = _numpy_irls(X, y, 4, cl.RIDGE)
     got = cl.logreg_fit(spark, sf_dir, target=target, iters=4)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_logreg_calibration_bins_account_for_everything(spark, sf_dir):
+    rows = cl.embedding_logreg_calibration(spark, sf_dir).collect()
+    X, y = _collect_xy(spark, sf_dir, cl.TARGET_LABEL)
+    assert sum(r["n_vecs"] for r in rows) == len(y)
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["mean_pred"] <= 1.0 and 0.0 <= r["frac_pos"] <= 1.0
+        # mean_pred must lie inside its own bin's probability range
+        assert r["bin"] / 10 - 1e-9 <= r["mean_pred"] <= (r["bin"] + 1) / 10 + 1e-9
+    # positives overall must reconcile with the label base rate
+    tot_pos = sum(r["frac_pos"] * r["n_vecs"] for r in rows)
+    assert abs(tot_pos - float((y == 1.0).sum())) < 1e-3
