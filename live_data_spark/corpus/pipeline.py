@@ -167,3 +167,106 @@ def corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses into a single optimized query (view-chain inlining, the
     same property dbt view models get from the warehouse)."""
     return corpus_rollup(exact_dedup(quality_gate(stage_documents(load(spark, sf_dir, "documents")))))
+
+
+# -- training manifest: the full path from raw docs to batch budgets --------
+
+_MANIFEST_ORACLE = r"""
+WITH stg AS (
+  SELECT doc_id, lang, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is|in|to|for|on|with)\b')) AS n_stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, fp, n_tokens FROM stg
+  WHERE n_tokens >= 20
+    AND ((n_stop / n_tokens BETWEEN 0.01 AND 0.5) OR lang <> 'en')
+    AND n_punct / n_chars < 0.2
+), surv AS (
+  SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp
+), ded AS (
+  SELECT q.* FROM q JOIN surv USING (fp, doc_id)
+), assigned AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+  FROM ded
+), ep AS (
+  SELECT split, lang, n_tokens,
+         CASE WHEN split = 'train' THEN
+           {base}
+           + CASE WHEN substr(md5('epoch:' || cast(doc_id AS VARCHAR)), 1, 4) < {thr}
+                  THEN 1 ELSE 0 END
+         ELSE 1 END AS n_copies
+  FROM assigned
+)
+SELECT split, lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+       cast(sum(n_copies) AS BIGINT) AS n_epoch_docs,
+       cast(sum(n_tokens * n_copies) AS BIGINT) AS n_epoch_tokens,
+       cast(ceil(sum(n_tokens * n_copies) / 2048.0) AS BIGINT) AS n_seqs_budget
+FROM ep GROUP BY split, lang
+"""
+
+
+from live_data_spark.operators.curation import (  # noqa: E402
+    _EPOCH_BASE_CASE,
+    _EPOCH_THR_CASE,
+)
+
+
+@register(
+    "corpus_training_manifest",
+    oracle=_MANIFEST_ORACLE.format(base=_EPOCH_BASE_CASE, thr=_EPOCH_THR_CASE),
+    tags=("text", "dedup", "sampling", "pipeline"),
+)
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data manifest: raw docs → quality gate →
+    exact dedup → hash-stratified train/val/test carve → per-lang epoch
+    upsampling (train only — eval splits never repeat) → per-(split,
+    lang) doc/token accounting and the 2048-token sequence budget. This
+    is the one-page answer to "what will this corpus train on?", and it
+    is ONE lazy Catalyst plan: every stage is the same operator the
+    standalone entries verify individually (corpus_pipeline_stats,
+    stratified_eval_split, corpus_epoch_resample, corpus_pack_sequences'
+    budget), composed — the view-chain-inlining property the registry's
+    stepwise materialization shares.
+
+    Scale: the gate is map-only, dedup shuffles 16-byte (fp, id) pairs,
+    the carve and epoch factors are map-side md5 classifications, and
+    the manifest aggregate is (splits × langs)-sized. Nothing new
+    materializes — this plan reads the corpus exactly once.
+    """
+    from live_data_spark.operators.curation import EPOCH_FACTORS
+
+    ded = exact_dedup(quality_gate(stage_documents(load(spark, sf_dir, "documents"))))
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+
+    chain_b, chain_t = None, None
+    for lang, f in EPOCH_FACTORS.items():
+        cond = F.col("lang") == lang
+        b_val, t_val = int(f), f"{int((f - int(f)) * 65536):04x}"
+        chain_b = F.when(cond, b_val) if chain_b is None else chain_b.when(cond, b_val)
+        chain_t = F.when(cond, t_val) if chain_t is None else chain_t.when(cond, t_val)
+    u = F.substring(F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))), 1, 4)
+    train_copies = chain_b.otherwise(1) + F.when(u < chain_t.otherwise("0000"), 1).otherwise(0)
+    n_copies = F.when(split == "train", train_copies).otherwise(1)
+
+    ep = ded.select(
+        split.alias("split"), "lang", "n_tokens", n_copies.alias("n_copies")
+    )
+    return ep.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.sum("n_copies").alias("n_epoch_docs"),
+        F.sum(F.col("n_tokens") * F.col("n_copies")).alias("n_epoch_tokens"),
+        F.ceil(F.sum(F.col("n_tokens") * F.col("n_copies")) / 2048.0)
+        .cast("bigint")
+        .alias("n_seqs_budget"),
+    )
