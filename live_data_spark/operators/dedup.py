@@ -945,3 +945,116 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. Incremental NEAR-dup — arriving batch vs the ingested signature store.
+# ---------------------------------------------------------------------------
+
+_INCR_NEAR_ORACLE = (
+    _SHINGLE_CTE
+    + r"""
+, marked AS (
+  SELECT sh.doc_id, sh.shingles,
+         substr(md5(cast(sh.doc_id AS VARCHAR)), 1, 1) < '4' AS in_history
+  FROM sh
+), pairs AS (
+  SELECT b.doc_id AS bdoc, h.doc_id AS other, h.in_history AS vs_history
+  FROM marked b
+  JOIN marked h
+    ON (h.in_history OR (NOT h.in_history AND h.doc_id < b.doc_id))
+   AND h.doc_id <> b.doc_id
+  WHERE NOT b.in_history
+    AND len(list_intersect(b.shingles, h.shingles))
+        / cast(len(b.shingles) + len(h.shingles)
+               - len(list_intersect(b.shingles, h.shingles)) AS DOUBLE) >= 0.8
+), cls AS (
+  SELECT m.doc_id,
+         CASE WHEN max(CASE WHEN p.vs_history THEN 1 ELSE 0 END) = 1 THEN 'dup_history'
+              WHEN count(p.bdoc) > 0 THEN 'dup_batch'
+              ELSE 'new' END AS decision
+  FROM marked m LEFT JOIN pairs p ON p.bdoc = m.doc_id
+  WHERE NOT m.in_history
+  GROUP BY m.doc_id
+)
+SELECT decision, cast(count(*) AS BIGINT) AS n_docs,
+       cast(min(doc_id) AS BIGINT) AS min_doc_id
+FROM cls GROUP BY decision
+"""
+)
+
+
+@register("dedup_incremental_minhash", oracle=_INCR_NEAR_ORACLE, tags=("dedup", "pipeline"))
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup at the NEAR-dup tier: classify an arriving batch
+    against the ingested corpus's MinHash band buckets — the production
+    composition of ``dedup_incremental`` (exact fp store probe) and
+    ``dedup_minhash`` (banded candidates + exact verify). The history/
+    batch carve is the same md5(doc_id) device (first hex < '4' ⇒ 25%
+    stands in for the store). Decisions per batch doc: ``dup_history``
+    (Jaccard ≥0.8 vs any ingested doc), else ``dup_batch`` (vs a
+    lower-id batch doc), else ``new``.
+
+    Shares the exact-Jaccard oracle under the ``dedup_minhash``
+    precedent: candidates are exact-VERIFIED, so precision is 1 and the
+    driver row stays green while band recall holds (≥1−4e-8 at
+    jaccard ≥0.9 with 16 bands of 4; recall on this corpus is pinned at
+    1.0 by the minhash tests). A red row here would mean recall slipped
+    below the oracle's pair set — the documented failure reading.
+
+    100 TB shape: the store persists (band, bucket, doc_id) triples
+    bucketed by (band, bucket) — the probe join shuffles ONLY the
+    arriving batch's 16 band keys per doc; within-batch candidates ride
+    the same banded frame. Verify touches candidate pairs only, joining
+    shingle sets for the candidate ids alone. Nothing rescans ingested
+    text; new docs' bands append to the store afterward.
+    """
+    ex = shingle_rows(spark, sf_dir)
+    in_history = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    sig = ex.groupBy("doc_id").agg(
+        F.array(*[F.min(F.xxhash64("s", F.lit(i))) for i in range(NUM_HASHES)]).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        in_history.alias("in_history"),
+        F.posexplode(lsh_bands(F.col("sig"))).alias("band", "bucket"),
+    )
+    batch = banded.where(~F.col("in_history")).select(
+        F.col("doc_id").alias("bdoc"), "band", "bucket"
+    )
+    other = banded.select(F.col("doc_id").alias("other"), "in_history", "band", "bucket")
+    cand = (
+        batch.join(other, ["band", "bucket"])
+        .where(
+            (F.col("other") != F.col("bdoc"))
+            & (F.col("in_history") | (F.col("other") < F.col("bdoc")))
+        )
+        .select("bdoc", "other", F.col("in_history").alias("vs_history"))
+        .dropDuplicates(["bdoc", "other"])
+    )
+    sets = ex.groupBy("doc_id").agg(F.collect_list("s").alias("shingles"))
+    sb = sets.select(F.col("doc_id").alias("bdoc"), F.col("shingles").alias("sh_b"))
+    so = sets.select(F.col("doc_id").alias("other"), F.col("shingles").alias("sh_o"))
+    inter = F.size(F.array_intersect("sh_b", "sh_o")).cast("double")
+    union = (F.size("sh_b") + F.size("sh_o")).cast("double") - inter
+    verified = (
+        cand.join(sb, "bdoc")
+        .join(so, "other")
+        .where(inter / union >= 0.8)
+        .select("bdoc", "vs_history")
+    )
+    batch_docs = sig.select("doc_id").where(~in_history)
+    agg = verified.groupBy(F.col("bdoc").alias("doc_id")).agg(
+        F.max(F.col("vs_history").cast("int")).alias("hit_history")
+    )
+    cls = batch_docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("hit_history") == 1, "dup_history")
+        .when(F.col("hit_history") == 0, "dup_batch")
+        .otherwise("new")
+        .alias("decision"),
+    )
+    return cls.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
