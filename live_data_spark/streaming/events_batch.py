@@ -1665,3 +1665,67 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sqv") / float(_DECAY_Q), 4).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA spike detection — batch twin of the typed-state streaming monitor.
+# ---------------------------------------------------------------------------
+
+
+@register("events_ewma_spikes", oracle=None, tags=("events", "window", "streaming-twin"))
+def events_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming/jobs.py::value_spike_monitor``: per-user
+    EWMA (α=0.3) over events in (ts, event_id) order, alert when a value
+    exceeds 3× the EWMA BEFORE it, seed value never alerts. Output is
+    the per-user alert profile (users with ≥1 alert): n_events,
+    n_alerts, final EWMA. This gives the typed-state streaming
+    operator's semantics a driver-visible row (the streaming form needs
+    protobuf, absent here; semantics are pinned against a pure-Python
+    replay in tests/test_streaming.py either way).
+
+    Rows-only: the fold is inherently sequential per user — but it runs
+    ENTIRELY in the JVM as an ``aggregate`` HOF over the user's sorted
+    event array (struct accumulator: ewma, alert count, seeded flag), so
+    there is no Python anywhere and one user_id shuffle total. Bounded
+    by max-events-per-user (same ceiling as every per-user window here);
+    a pathological user swaps to the chunked-fold variant documented in
+    corpus packing.
+    """
+    from live_data_spark.streaming.jobs import SPIKE_ALPHA, SPIKE_FACTOR
+
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("evs")
+    )
+    init = F.named_struct(
+        F.lit("ewma"), F.lit(None).cast("double"),
+        F.lit("n_alerts"), F.lit(0).cast("bigint"),
+    )
+    step = lambda acc, ev: F.named_struct(  # noqa: E731
+        F.lit("ewma"),
+        F.when(acc["ewma"].isNull(), ev["value"]).otherwise(
+            SPIKE_ALPHA * ev["value"] + (1.0 - SPIKE_ALPHA) * acc["ewma"]
+        ),
+        F.lit("n_alerts"),
+        acc["n_alerts"]
+        + F.when(
+            acc["ewma"].isNotNull() & (ev["value"] > SPIKE_FACTOR * acc["ewma"]), 1
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+    folded = per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.aggregate("evs", init, step).alias("st"),
+    )
+    return (
+        folded.where(F.col("st.n_alerts") >= 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("st.n_alerts").alias("n_alerts"),
+            F.round("st.ewma", 4).alias("ewma_final"),
+        )
+        .orderBy("user_id")
+    )

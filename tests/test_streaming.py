@@ -604,3 +604,36 @@ def test_incremental_dedup_stream_classifies_and_is_exactly_once(spark, tmp_path
     jobs.incremental_dedup_stream(spark, f"{landing}/*", store, dec, ckpt)
     assert spark.read.parquet(dec).count() == n_before
     assert spark.read.parquet(store).distinct().count() == 4
+
+
+def test_ewma_spikes_batch_twin_matches_python_replay(spark, sf_dir):
+    """The JVM fold must replay the documented spike-monitor semantics
+    exactly: (ts, event_id) order, seed never alerts, alert on
+    v > 3x pre-EWMA, alpha=0.3 fold."""
+    from live_data_spark.catalog import load
+    from live_data_spark.streaming.events_batch import events_ewma_spikes
+    from live_data_spark.streaming.jobs import SPIKE_ALPHA, SPIKE_FACTOR
+
+    got = {r["user_id"]: r for r in events_ewma_spikes(spark, sf_dir).collect()}
+
+    rows = load(spark, sf_dir, "events").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    want = {}
+    for u, evs in by_user.items():
+        ewma, n_alerts = None, 0
+        for _, _, v in sorted(evs):
+            if ewma is None:
+                ewma = v
+                continue
+            if v > SPIKE_FACTOR * ewma:
+                n_alerts += 1
+            ewma = SPIKE_ALPHA * v + (1.0 - SPIKE_ALPHA) * ewma
+        if n_alerts:
+            want[u] = (len(evs), n_alerts, round(ewma, 4))
+    assert set(got) == set(want)
+    for u, (n_ev, n_al, ew) in want.items():
+        g = got[u]
+        assert (g["n_events"], g["n_alerts"]) == (n_ev, n_al), u
+        assert g["ewma_final"] == pytest.approx(ew, abs=1e-9), u
