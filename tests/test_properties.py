@@ -216,3 +216,85 @@ def test_spacesaving_bounds_hold_for_any_stream(spark, stream, capacity):
     for item, c in true.items():
         if c > n / capacity:
             assert item in sketch, (item, c, n, capacity)
+
+
+# -- BPE encoder properties (pure Python — no Spark in the loop) -------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=12),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "ab", "bc", "ca", "ab</w>"]),
+                  st.sampled_from(["a", "b", "c", "</w>", "ab", "bc"])),
+        max_size=8,
+        unique=True,
+    ),
+)
+def test_encode_word_count_bounds_and_merge_monotonicity(word, merge_pairs):
+    """For ANY word and ANY rank table: the token count is between 1 and
+    len(word)+1 (chars + end mark, merges only shrink), and adding MORE
+    merges never increases the count of a word the new merges can apply
+    to... weaker but always-true form: count with a PREFIX of the rank
+    table is >= count with the full table is impossible to guarantee
+    (later merges can preempt earlier ones), so we assert the hard
+    invariants only: bounds, determinism, and that an empty table gives
+    exactly len(word)+1."""
+    from live_data_spark.operators.tokenizer import encode_word
+
+    ranks = {p: i for i, p in enumerate(merge_pairs)}
+    n = encode_word(word, ranks)
+    assert 1 <= n <= len(word) + 1
+    assert n == encode_word(word, ranks)  # deterministic
+    assert encode_word(word, {}) == len(word) + 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=12))
+def test_ref_and_greedy_bpe_agree_end_to_end(words):
+    """Train on random tiny corpora with the test-suite reference, then
+    verify encode_word applied with the learned ranks reproduces the
+    reference's final vocabulary segmentation lengths — ties between
+    trainer (merge-order) and encoder (rank-greedy) semantics."""
+    from collections import Counter
+
+    from live_data_spark.operators.tokenizer import END_MARK, encode_word
+    from tests.test_tokenizer import _ref_train
+
+    freqs = Counter(words)
+    merges = _ref_train(dict(freqs), 10)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    # replay the reference trainer's merge application to get final syms
+    vocab = {w: list(w) + [END_MARK] for w in freqs}
+    for l, r, _ in merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    for w in freqs:
+        assert encode_word(w, ranks) == len(vocab[w]), (w, merges, vocab[w])
+
+
+# -- epoch-resample hex-threshold model --------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9))
+def test_epoch_hex_threshold_equals_fraction_model(doc_id):
+    """The md5-hex string compare used by corpus_epoch_resample must
+    equal the arithmetic model: first-4-hex-as-int < frac·65536."""
+    import hashlib
+
+    from live_data_spark.operators.curation import EPOCH_FACTORS
+
+    h = hashlib.md5(f"epoch:{doc_id}".encode()).hexdigest()[:4]
+    for f in set(EPOCH_FACTORS.values()):
+        frac = f - int(f)
+        thr = f"{int(frac * 65536):04x}"
+        assert (h < thr) == (int(h, 16) < int(frac * 65536))
