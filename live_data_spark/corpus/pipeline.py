@@ -223,6 +223,7 @@ from live_data_spark.operators.curation import (  # noqa: E402
 @register(
     "corpus_training_manifest",
     oracle=_MANIFEST_ORACLE.format(base=_EPOCH_BASE_CASE, thr=_EPOCH_THR_CASE),
+    headline=True,  # the flagship composition: gate→dedup→split→epochs in one plan
     tags=("text", "dedup", "sampling", "pipeline"),
 )
 def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
