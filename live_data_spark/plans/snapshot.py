@@ -105,3 +105,37 @@ def snapshot(
     out = rootp / f"_v{gen}"
     new_state.write.mode("overwrite").parquet(str(out))
     return spark.read.parquet(str(out))
+
+
+def asof_dim_join(
+    fact: DataFrame,
+    snap: DataFrame,
+    key: str,
+    fact_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join facts to the dimension VERSION valid at each fact's
+    timestamp — the read side of SCD2, completing the snapshot plane
+    (write: ``snapshot``; read: this). A fact matches the version whose
+    [valid_from, valid_to) interval contains its timestamp; facts
+    predating the first version (or with no dim row at all) null-pad
+    under the default left join.
+
+    Scale shape: the join is EQUI on ``key`` with the interval predicate
+    as a conjunct — Spark plans a hash join keyed on the dim key, never
+    a range/nested-loop join, because versions-per-key is small (the
+    SCD2 invariant: validity intervals per key are disjoint, so at most
+    ONE version row survives the predicate — no fact duplication).
+    Shuffle is both sides hashed on the key; at 100 TB bucket the
+    snapshot by key and only facts move.
+    """
+    dim = snap.select(
+        F.col(key).alias(f"__dim_{key}"),
+        *[F.col(c) for c in snap.columns if c != key],
+    )
+    cond = (
+        (fact[fact_ts] >= dim[VALID_FROM])
+        & (dim[VALID_TO].isNull() | (fact[fact_ts] < dim[VALID_TO]))
+        & (fact[key] == dim[f"__dim_{key}"])
+    )
+    return fact.join(dim, cond, how).drop(f"__dim_{key}")

@@ -1729,3 +1729,85 @@ def events_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union — total active time from overlapping activity windows.
+# ---------------------------------------------------------------------------
+
+ACTIVE_WINDOW_MS = 300_000  # each event opens a 5-minute activity window
+
+_ACTIVE_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS s, epoch_ms(ts) + {ACTIVE_WINDOW_MS} AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR s >= max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), merged AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me, count(*) AS n
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       cast(sum(n) AS BIGINT) AS n_events,
+       cast(count(*) AS BIGINT) AS n_islands,
+       cast(sum(me - ms) AS BIGINT) AS active_ms
+FROM merged GROUP BY user_id
+"""
+
+
+@register("events_active_coverage", oracle=_ACTIVE_ORACLE, tags=("events", "window", "session"))
+def events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per user: every event opens a 5-minute activity
+    window; overlapping windows merge and the total covered time is the
+    user's active milliseconds — the engagement metric sessionization's
+    event-gap rule approximates from the other direction (a union of
+    fixed windows vs gaps between points). Classic sweep-line as
+    windows: an interval starts a new island when it begins at/after
+    the running max of prior interval ends; islands then aggregate.
+
+    Engine-exact by integer arithmetic: epoch milliseconds (BIGINT on
+    both engines) — no timestamp-difference double anywhere. One
+    user_id hash partition serves both window specs AND both
+    aggregations (the sessionize contract): one shuffle total.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the session is pinned UTC, so the NTZ→TZ cast
+    # is epoch-identity and matches DuckDB's naive epoch_ms exactly
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        ms.alias("s"),
+        (ms + ACTIVE_WINDOW_MS).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("s") >= prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"), F.count(F.lit(1)).alias("n")
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).alias("active_ms"),
+    )

@@ -78,3 +78,44 @@ def test_generations_survive(spark, tmp_path):
 
 def test_empty_root_reads_none(spark, tmp_path):
     assert read_snapshot(spark, str(tmp_path / "nope")) is None
+
+
+def test_asof_dim_join_picks_version_valid_at_fact_time(spark, tmp_path):
+    """Facts join the SCD2 version whose validity interval contains the
+    fact timestamp: pre-history facts null-pad, mid-history facts get
+    the closed version, current facts the open one, and no fact ever
+    duplicates (disjoint intervals ⇒ ≤1 matching version)."""
+    from live_data_spark.plans.snapshot import asof_dim_join, snapshot
+
+    root = str(tmp_path / "snap")
+    v1 = spark.createDataFrame(
+        [(1, "bronze", "2024-01-01 00:00:00")], "cust_id long, tier string, updated_at string"
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    snapshot(spark, v1, root, "cust_id", "updated_at")
+    v2 = spark.createDataFrame(
+        [(1, "gold", "2024-03-01 00:00:00")], "cust_id long, tier string, updated_at string"
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    state = snapshot(spark, v2, root, "cust_id", "updated_at")
+
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2023-12-25 12:00:00"),  # before any version
+            (101, 1, "2024-02-01 12:00:00"),  # bronze era
+            (102, 1, "2024-03-01 00:00:00"),  # boundary: gold starts (half-open)
+            (103, 1, "2024-06-01 12:00:00"),  # open gold version
+            (104, 2, "2024-06-01 12:00:00"),  # unknown key
+        ],
+        "order_id long, cust_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = asof_dim_join(facts, state, "cust_id", "ts")
+    rows = {r["order_id"]: r for r in out.collect()}
+    assert len(rows) == 5, "no fact may duplicate or drop"
+    assert rows[100]["tier"] is None
+    assert rows[101]["tier"] == "bronze"
+    assert rows[102]["tier"] == "gold"  # valid_to is exclusive
+    assert rows[103]["tier"] == "gold"
+    assert rows[104]["tier"] is None
+    # plan sanity: equi hash join on the key, not a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
