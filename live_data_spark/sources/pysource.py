@@ -1,0 +1,80 @@
+"""Custom connector via Spark 4's Python DataSource API.
+
+When a system has no JVM connector, Spark 4 lets a PURE-PYTHON class
+become a first-class ``spark.read.format(...)`` source: the planner asks
+it for a schema and a partition list, then executors call ``read(part)``
+per partition in parallel — real distributed scan semantics (one task
+per partition, no driver bottleneck) without writing Scala.
+
+The instance here is a deterministic synthetic-document generator
+(seeded per partition, so re-reads are bit-identical and partitions are
+independent) — the shape any "generate N records of test/load data
+across the cluster" source takes, and a template for wrapping real
+paginated/partitioned systems: replace ``read``'s loop with the client
+fetch for that partition's shard.
+
+Registration is per-session (``spark.dataSource.register``) — no jars,
+no packages, exactly the gap the API exists to fill.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = (
+    "spark data table query join merge sort hash scan filter window batch "
+    "stream row column value key part order line customer vector"
+).split()
+
+_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+class _DocsPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.num_parts = int(options.get("partitions", 4))
+
+    def partitions(self):
+        step = -(-self.n // self.num_parts)
+        return [
+            _DocsPartition(i, min(i + step, self.n))
+            for i in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _DocsPartition):
+        # seeded PER ROW from the doc id — identical output regardless of
+        # partitioning, so repartitioned re-reads stay deterministic
+        for doc_id in range(partition.start, partition.end):
+            h = hashlib.md5(f"doc:{doc_id}".encode()).digest()
+            n_words = 5 + h[0] % 20
+            words = [
+                _WORDS[h[1 + (j % 14)] % len(_WORDS)] for j in range(n_words)
+            ]
+            text = " ".join(words)
+            yield (doc_id, text, _LANGS[h[15] % len(_LANGS)], len(text))
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs").option("n", 1000)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id long, text string, lang string, n_chars long"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register_synthetic_docs(spark) -> None:
+    """Idempotent session registration of the custom format."""
+    spark.dataSource.register(SyntheticDocsDataSource)

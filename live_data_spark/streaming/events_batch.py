@@ -1811,3 +1811,48 @@ def events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("me") - F.col("ms")).alias("active_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT props — semi-structured payloads without a declared schema.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       cast(count(k) AS BIGINT) AS n_with_k,
+       cast(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 4) AS avg_k
+FROM (
+  SELECT event_type, cast(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+) GROUP BY event_type
+"""
+
+
+@register("events_variant_props", oracle=_VARIANT_ORACLE, tags=("events", "semi-structured"))
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` extraction — the open-schema path for payloads
+    whose shape drifts faster than a declared struct (the alternative
+    tiers: ``get_json_object`` per-field re-parse, or ``from_json``
+    with a frozen schema, both used elsewhere in this module).
+    VARIANT parses each payload ONCE and stores a binary-encoded tree,
+    so N field extractions don't re-tokenize the JSON N times — the
+    at-scale reason the type exists; parquet can persist the column for
+    schema-on-read tables.
+
+    Oracle-exact: the extracted field is integer-typed on both engines;
+    the avg is an exact-integer-sum ratio rounded identically.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
