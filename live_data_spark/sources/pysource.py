@@ -78,3 +78,62 @@ class SyntheticDocsDataSource(DataSource):
 def register_synthetic_docs(spark) -> None:
     """Idempotent session registration of the custom format."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# -- streaming form: offset-tracked micro-batches, replay-deterministic ------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming reads of the same deterministic doc space.
+
+    Offsets are plain doc-id watermarks ``{"next": n}``: each micro-batch
+    reads up to ``batch_size`` NEW docs and advances the offset;
+    ``readBetweenOffsets`` replays any [start, end) range bit-identically
+    (per-row seeding again), which is exactly the recovery contract —
+    a failed batch re-reads the same rows. The Simple reader reads on
+    the driver (documented for light rates); the partitioned
+    ``DataSourceStreamReader`` is the high-throughput swap-in with the
+    same offset model.
+    """
+
+    def __init__(self, options):
+        self.total = int(options.get("n", 100))
+        self.batch_size = int(options.get("batch_size", 10))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST ITERATOR, not a bare generator or list: the simple-reader
+        # wrapper both advances it (`next(it)` on a stalled offset) and
+        # pickles the prefetched entry to ship it — list iterators are the
+        # type that satisfies both, generators pickle-fail and lists
+        # aren't iterators
+        return iter(
+            list(SyntheticDocsReader({"n": end}).read(_DocsPartition(start, end)))
+        )
+
+    def read(self, start: dict):
+        s = int(start["next"])
+        e = min(s + self.batch_size, self.total)
+        return self._rows(s, e), {"next": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["next"]), int(end["next"]))
+
+
+class SyntheticDocsStreamDataSource(SyntheticDocsDataSource):
+    """``spark.readStream.format("synthetic_docs_stream")...``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
+
+
+def register_synthetic_docs_stream(spark) -> None:
+    spark.dataSource.register(SyntheticDocsStreamDataSource)

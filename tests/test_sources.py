@@ -312,3 +312,44 @@ def test_python_datasource_scan_is_partitioned_and_deterministic(spark):
     # and the source composes with ordinary relational ops downstream
     agg = df.groupBy("lang").count().collect()
     assert sum(r["count"] for r in agg) == 57
+
+
+def test_python_streaming_datasource_batches_and_replays(spark, tmp_path):
+    """The streaming Python source advances its offset by batch_size per
+    micro-batch, drains exactly the declared doc space with no
+    duplicates, and equals the batch source's rows (same per-row
+    seeding — the replay/recovery contract)."""
+    from live_data_spark.sources.pysource import (
+        register_synthetic_docs,
+        register_synthetic_docs_stream,
+    )
+
+    register_synthetic_docs(spark)
+    register_synthetic_docs_stream(spark)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("synthetic_docs_stream")
+            .option("n", 37)
+            .option("batch_size", 10)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    # each drain resumes from the CHECKPOINTED offset and pulls one
+    # batch_size window; 10+10+10+7, then a fifth drain adds nothing
+    counts = [drain() for _ in range(5)]
+    assert counts == [10, 20, 30, 37, 37], counts
+    got = spark.read.parquet(sink)
+    assert got.count() == 37
+    assert got.select("doc_id").distinct().count() == 37
+    batch = spark.read.format("synthetic_docs").option("n", 37).load()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
