@@ -17,7 +17,7 @@ import gzip
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -307,3 +307,28 @@ def read_xml(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    mode: str = "overwrite",
+) -> dict[str, object]:
+    """Write parquet and return QA metrics computed IN the write pass —
+    ``df.observe`` attaches aggregate expressions to the plan, so row
+    counts / null counts / value bounds come out of the same single scan
+    that wrote the data (the alternative — write, then re-read or
+    re-compute for a dashboard row — doubles the IO of every
+    materialization at 100 TB).
+
+    ``metrics`` maps name → aggregate Column (e.g. ``F.count(F.lit(1))``,
+    ``F.sum(F.col("x").isNull().cast("long"))``). Returns the observed
+    values after the write action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode(mode).parquet(path)
+    return obs.get

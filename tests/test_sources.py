@@ -353,3 +353,30 @@ def test_python_streaming_datasource_batches_and_replays(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == 37
     batch = spark.read.format("synthetic_docs").option("n", 37).load()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_write_with_metrics_single_pass_observation(spark, tmp_path):
+    """df.observe metrics come out of the SAME scan that wrote the data:
+    counts/null-counts/bounds match a re-read, with no second job over
+    the input plan."""
+    from pyspark.sql import functions as F
+
+    from live_data_spark.sources.files import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None)], "id long, v double"
+    )
+    out = str(tmp_path / "t")
+    got = write_with_metrics(
+        df,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.col("v").isNull().cast("long")),
+            "max_v": F.max("v"),
+        },
+    )
+    assert got == {"n_rows": 4, "n_null_v": 2, "max_v": 30.0}
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.where(F.col("v").isNull()).count() == 2
