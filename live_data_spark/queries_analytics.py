@@ -1624,3 +1624,63 @@ def window_top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period — weekly revenue with lag-based deltas.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_week_over_week",
+    oracle="""
+    WITH weekly AS (
+      SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+             cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT week_start, revenue, n_orders,
+           round(revenue - lag(revenue) OVER (ORDER BY week_start), 2) AS wow_delta,
+           round((revenue - lag(revenue) OVER (ORDER BY week_start))
+                 / NULLIF(lag(revenue) OVER (ORDER BY week_start), 0) * 100, 4)
+             AS wow_pct
+    FROM weekly
+    """,
+    tags=("agg", "window"),
+)
+def revenue_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period: weekly order revenue with week-over-week delta
+    and percent change — the dashboard shape behind every growth metric.
+    Revenue sums in DECIMAL (exact money math, the house rule), deltas
+    compare adjacent weeks via lag; the first week's deltas are NULL and
+    a zero-revenue previous week yields NULL percent (NULLIF — the
+    degenerate-frame guard class).
+
+    The lag window is over the WEEKLY aggregate — dozens of rows, not
+    orders — so the single-partition window frame is bounded by the
+    calendar, never by data (the same reduced-frame contract as the
+    hybrid-RRF ranking windows).
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week_start"
+        )
+    ).agg(
+        money_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_start",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - prev, 2).alias("wow_delta"),
+        F.round(
+            (F.col("revenue") - prev) / F.when(prev != 0, prev) * 100, 4
+        ).alias("wow_pct"),
+    )

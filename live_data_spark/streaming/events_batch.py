@@ -1856,3 +1856,62 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 4).alias("avg_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit — distributional fraud/quality signal.
+# ---------------------------------------------------------------------------
+
+_BENFORD_Q = 100000000
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT cast(substr(cast(cast(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM events WHERE value >= 1
+), c AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), t AS (SELECT sum(n) AS total FROM c)
+SELECT c.digit, cast(c.n AS BIGINT) AS n,
+       round(c.n / cast(t.total AS DOUBLE), 4) AS observed_share,
+       round(ln(1.0 + 1.0 / c.digit) / ln(10.0), 4) AS benford_share,
+       cast(floor((c.n / cast(t.total AS DOUBLE)
+                   - ln(1.0 + 1.0 / c.digit) / ln(10.0)) * {_BENFORD_Q} + 0.5) AS BIGINT)
+         AS deviation_q
+FROM c, t ORDER BY c.digit
+"""
+
+
+@register("events_benford_digits", oracle=_BENFORD_ORACLE, tags=("events", "quality", "agg"))
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit of event values: observed vs
+    expected log10(1+1/d) share per digit — the classic screen for
+    fabricated or unit-mixed numeric columns (organic multiplicative
+    data follows Benford; uniform synthetic data, like this testdata,
+    deviates visibly — the HONEST result here, and exactly what the
+    audit exists to flag). Values < 1 are excluded (no stable leading
+    digit).
+
+    One map-side-combined 9-group aggregate; the deviation is quantized
+    to a 1e-8 integer so the ln-based expectation compares engine-exact
+    (the surprisal recipe). Leading digit extracted by INTEGER
+    stringification — no float formatting anywhere.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("value") >= 1)
+    digit = F.substring(F.floor("value").cast("bigint").cast("string"), 1, 1).cast("int")
+    c = e.select(digit.alias("digit")).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("total").cast("double")
+    benford = F.ln(1.0 + 1.0 / F.col("digit")) / F.ln(F.lit(10.0))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 4).alias("observed_share"),
+            F.round(benford, 4).alias("benford_share"),
+            F.floor((share - benford) * _BENFORD_Q + 0.5)
+            .cast("bigint")
+            .alias("deviation_q"),
+        )
+        .orderBy("digit")
+    )

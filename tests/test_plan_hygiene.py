@@ -49,6 +49,7 @@ BNLJ_OK: set[str] = {
     "events_daily_trend",  # 1-row min-date anchor frame × daily rollup
     "text_naive_bayes_langid",  # 1-row vocab/doc-count scalars + L-row lang grid fan-out
     "events_decayed_user_value",  # 1-row max-date anchor frame × events
+    "events_benford_digits",  # 1-row total-count scalar × 9 digit rows
 }
 
 ALL = sorted(catalog())
