@@ -44,15 +44,25 @@ def write_artifact(df: DataFrame, path: str, version: int) -> None:
 
 def list_versions(spark: SparkSession, path: str) -> list[int]:
     """Sorted versions present at ``path`` (empty if the artifact does
-    not exist yet). Metadata-only: reads the partition directory names,
-    never the data files."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        rows = spark.read.parquet(path).select(VERSION_COL).distinct().collect()
-    except AnalysisException:
+    not exist yet). Metadata-only FOR REAL: lists the ``__version=N``
+    partition directories through Hadoop's FileSystem API — a
+    ``spark.read.parquet(...).distinct()`` here would schedule a scan
+    over every version's data files (the metadata-only-query optimizer
+    rule is off by default), making each append pay IO proportional to
+    the whole artifact history."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
         return []
-    return sorted(int(r[VERSION_COL]) for r in rows)
+    prefix = f"{VERSION_COL}="
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix) and name[len(prefix):].isdigit():
+            out.append(int(name[len(prefix):]))
+    return sorted(out)
 
 
 def read_artifact(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:

@@ -243,21 +243,14 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the manifest aggregate is (splits × langs)-sized. Nothing new
     materializes — this plan reads the corpus exactly once.
     """
-    from live_data_spark.operators.curation import EPOCH_FACTORS
+    from live_data_spark.operators.curation import epoch_copies_column
 
     ded = exact_dedup(quality_gate(stage_documents(load(spark, sf_dir, "documents"))))
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
-
-    chain_b, chain_t = None, None
-    for lang, f in EPOCH_FACTORS.items():
-        cond = F.col("lang") == lang
-        b_val, t_val = int(f), f"{int((f - int(f)) * 65536):04x}"
-        chain_b = F.when(cond, b_val) if chain_b is None else chain_b.when(cond, b_val)
-        chain_t = F.when(cond, t_val) if chain_t is None else chain_t.when(cond, t_val)
-    u = F.substring(F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))), 1, 4)
-    train_copies = chain_b.otherwise(1) + F.when(u < chain_t.otherwise("0000"), 1).otherwise(0)
-    n_copies = F.when(split == "train", train_copies).otherwise(1)
+    # the SAME epoch-encoding Column the standalone resample entry uses —
+    # one Spark source of truth beside _epoch_cases' SQL twin
+    n_copies = F.when(split == "train", epoch_copies_column()).otherwise(1)
 
     ep = ded.select(
         split.alias("split"), "lang", "n_tokens", n_copies.alias("n_copies")

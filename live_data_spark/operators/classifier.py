@@ -42,6 +42,11 @@ TARGET_LABEL = 0  # positive class for the catalog entry's binary task
 N_NEWTON = 8
 RIDGE = 1e-3  # on coefficients (not the intercept-only path): keeps X'SX+λI PD
 
+# session-lifetime memo of fitted weights keyed by (sf_dir, target, iters,
+# ridge): the fit is deterministic, so caching is exact, and the eval +
+# calibration entries share one training run instead of two
+_FIT_CACHE: dict[tuple, "np.ndarray"] = {}
+
 
 def _partials_fn(beta: np.ndarray, target: int):
     """mapInPandas fn: per-partition IRLS partials under current beta.
@@ -94,10 +99,15 @@ def logreg_fit(
     embeddings table; returns the (d+1) weight vector (intercept first).
 
     Deterministic: beta starts at 0 and every update is a dense solve of
-    driver-merged partials — no sampling, no init randomness. If
-    ``history`` is given, appends the penalized log-loss per round
-    (computed from the same partials — no extra pass).
+    driver-merged partials — no sampling, no init randomness. That
+    determinism is what makes the memo below sound: eval and calibration
+    both need THIS weight vector, and without the cache each catalog
+    entry re-paid the full 8-pass fit (train-once/score-everywhere; the
+    durable cross-job form is an artifacts.py table).
     """
+    key = (sf_dir, target, iters, ridge)
+    if history is None and key in _FIT_CACHE:
+        return _FIT_CACHE[key]
     e = load(spark, sf_dir, "embeddings").select(
         as_double("embedding").alias("emb"), "label"
     )
@@ -124,6 +134,8 @@ def logreg_fit(
         # subtract the ridge gradient so the step targets the same loss
         # the history tracks (otherwise separable data still diverges).
         beta = beta + np.linalg.solve(A + reg, g - reg @ beta)
+    if history is None:
+        _FIT_CACHE[key] = beta
     return beta
 
 

@@ -744,6 +744,26 @@ def _epoch_cases() -> tuple[str, str]:
 
 _EPOCH_BASE_CASE, _EPOCH_THR_CASE = _epoch_cases()
 
+
+def epoch_copies_column() -> Column:
+    """Per-doc epoch copy count as a Column — base copies per lang plus
+    one hash-selected extra for the fractional part. THE single Spark
+    source of truth for the EPOCH_FACTORS encoding (the SQL twin is
+    ``_epoch_cases``): corpus_epoch_resample and the training manifest
+    both build from here, so a factor/threshold change cannot diverge
+    between them."""
+    chain_b = None
+    chain_t = None
+    for lang, f in EPOCH_FACTORS.items():
+        cond = F.col("lang") == lang
+        b_val, t_val = int(f), f"{int((f - int(f)) * 65536):04x}"
+        chain_b = F.when(cond, b_val) if chain_b is None else chain_b.when(cond, b_val)
+        chain_t = F.when(cond, t_val) if chain_t is None else chain_t.when(cond, t_val)
+    base = chain_b.otherwise(1)
+    thr = chain_t.otherwise("0000")
+    u = F.substring(F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))), 1, 4)
+    return base + F.when(u < thr, 1).otherwise(0)
+
 _EPOCH_ORACLE = f"""
 WITH plan AS (
   SELECT lang, doc_id,
@@ -784,19 +804,7 @@ def corpus_epoch_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch needed at the rollup tier).
     """
     d = load(spark, sf_dir, "documents")
-    base: Column = F.lit(None)
-    thr: Column = F.lit(None)
-    chain_b = None
-    chain_t = None
-    for lang, f in EPOCH_FACTORS.items():
-        cond = F.col("lang") == lang
-        b_val, t_val = int(f), f"{int((f - int(f)) * 65536):04x}"
-        chain_b = (F.when(cond, b_val) if chain_b is None else chain_b.when(cond, b_val))
-        chain_t = (F.when(cond, t_val) if chain_t is None else chain_t.when(cond, t_val))
-    base = chain_b.otherwise(1)
-    thr = chain_t.otherwise("0000")
-    u = F.substring(F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))), 1, 4)
-    n_copies = base + F.when(u < thr, 1).otherwise(0)
+    n_copies = epoch_copies_column()
     stream = d.select("lang", "doc_id", F.explode(F.sequence(F.lit(1), n_copies)).alias("copy"))
     return stream.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs"),

@@ -1043,7 +1043,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(inter / union >= 0.8)
         .select("bdoc", "vs_history")
     )
-    batch_docs = sig.select("doc_id").where(~in_history)
+    # batch membership comes from the DOCUMENTS table, not the shingle
+    # frame: a sub-k-word/empty doc has zero shingle rows (so it never
+    # reaches sig) but is still an arriving doc and must classify 'new' —
+    # deriving from sig silently dropped it from the decision stream (and
+    # diverged from the oracle, which keeps empty-shingle docs)
+    batch_docs = (
+        load(spark, sf_dir, "documents").select("doc_id").where(~in_history)
+    )
     agg = verified.groupBy(F.col("bdoc").alias("doc_id")).agg(
         F.max(F.col("vs_history").cast("int")).alias("hit_history")
     )

@@ -233,7 +233,9 @@ def _parse_mp4(payload: bytes) -> tuple[str, int | None, int | None, int | None]
         for t2, s2, e2 in _mp4_boxes(payload, s, e):
             if t2 == b"mvhd" and s2 + 20 <= e2:
                 ver = payload[s2]
-                if ver == 1 and s2 + 32 <= e2:
+                if ver == 1:
+                    if s2 + 32 > e2:
+                        continue  # truncated v1 box: None, never a v0 misparse
                     (timescale,) = struct.unpack(">I", payload[s2 + 20 : s2 + 24])
                     (duration,) = struct.unpack(">Q", payload[s2 + 24 : s2 + 32])
                 else:

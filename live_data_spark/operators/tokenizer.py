@@ -52,6 +52,11 @@ from live_data_spark.operators.text import normalized_text
 N_MERGES = 24  # merge table size for the catalog entries (tiny demo vocab)
 END_MARK = "</w>"  # end-of-word sentinel so merges can't cross word ends
 
+# session-lifetime memo keyed by (sf_dir, n_merges): training is
+# deterministic, and the trainer + encoder catalog entries share one run
+# instead of re-paying the full merge loop (durable form: artifacts.py)
+_TRAIN_CACHE: dict[tuple[str, int], list[tuple[str, str, int]]] = {}
+
 
 def word_type_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, freq) over whitespace words of normalized text.
@@ -111,6 +116,9 @@ def bpe_train(
     lexicographically smallest (left, right) — mirrored by the Python
     reference in tests.
     """
+    key = (sf_dir, n_merges)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     wt = word_type_table(spark, sf_dir).select(
         "freq",
         F.concat(F.split("word", ""), F.array(F.lit(END_MARK))).alias("syms"),
@@ -144,6 +152,7 @@ def bpe_train(
         # sf0.01 where fixed per-job overhead dominates the tiny vocab)
         if it % 3 == 2:
             wt = _truncate_lineage(wt)
+    _TRAIN_CACHE[key] = merges
     return merges
 
 

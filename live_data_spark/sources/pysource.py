@@ -42,6 +42,8 @@ class SyntheticDocsReader(DataSourceReader):
         self.num_parts = int(options.get("partitions", 4))
 
     def partitions(self):
+        if self.n <= 0:  # empty source: zero partitions, not a range() crash
+            return [_DocsPartition(0, 0)]
         step = -(-self.n // self.num_parts)
         return [
             _DocsPartition(i, min(i + step, self.n))

@@ -178,3 +178,35 @@ def test_containment_minhash_recall_floor_vs_exact(spark, sfd):
         assert v == exact[k], (k, v, exact[k])  # exact re-verify ⇒ same values
     recall = len(approx) / len(exact)
     assert recall >= 0.8, f"recall {recall:.2f} at {sfd} ({len(approx)}/{len(exact)})"
+
+
+def test_incremental_minhash_keeps_shingleless_batch_docs(spark, tmp_path):
+    """A sub-k-word batch doc has zero shingle rows, but it is still an
+    arriving document: it must classify 'new' (matching the oracle),
+    not vanish from the decision stream. Regression for deriving batch
+    membership from the shingle frame instead of the documents table."""
+    import duckdb
+
+    from live_data_spark.catalog import catalog
+
+    # doc_ids chosen so md5 carve puts ALL of them in the batch (first
+    # hex >= '4'): 1 ('c4..'), 2 ('c8..'), 7 ('8f..')
+    texts = {1: "one two three four five", 2: "one two three four five", 7: "hi"}
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    spec = catalog()["dedup_incremental_minhash"]
+    got = {r["decision"]: r["n_docs"] for r in spec.spark(spark, str(tmp_path)).collect()}
+    # doc 1 new, doc 2 dup_batch (same text, higher id), doc 7 (2 words,
+    # no shingles) must appear as new — 3 docs accounted for in total
+    assert got == {"new": 2, "dup_batch": 1}, got
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = {r[0]: r[1] for r in con.execute(spec.oracle).fetchall()}
+    assert got == want
