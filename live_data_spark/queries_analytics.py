@@ -1684,3 +1684,62 @@ def revenue_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - prev) / F.when(prev != 0, prev) * 100, 4
         ).alias("wow_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — every FK edge's orphan count in one plan.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}.{ck}->{p}.{pk}' AS fk_edge,
+       cast((SELECT count(*) FROM {c}) AS BIGINT) AS n_child_rows,
+       cast((SELECT count(*) FROM {c} WHERE {ck} IS NOT NULL
+             AND {ck} NOT IN (SELECT {pk} FROM {p})) AS BIGINT) AS n_orphans"""
+    for c, ck, p, pk in _FK_EDGES
+)
+
+
+@register("audit_referential_integrity", oracle=_FK_ORACLE, tags=("agg", "join", "quality"))
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole schema's referential integrity in ONE result: orphan
+    counts for all seven FK edges of the TPC-H-ish star — the audit a
+    warehouse runs after every load (zero orphans everywhere is the
+    invariant; the single-edge form with offending rows is
+    ``test_relationships_orphans``). Each edge is a LEFT ANTI join
+    (parent keys broadcast where small, dims always are), and the seven
+    1-row summaries union in-plan, so the audit is one job.
+
+    At 100 TB the fact-side edges dominate: anti joins shuffle only the
+    child's key column, and AQE picks broadcast for every dim parent.
+    """
+    results = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        orphans = (
+            c.where(F.col(ck).isNotNull())
+            .join(p, F.col(ck) == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        results.append(
+            total.crossJoin(orphans).select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out

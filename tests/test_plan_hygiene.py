@@ -50,6 +50,7 @@ BNLJ_OK: set[str] = {
     "text_naive_bayes_langid",  # 1-row vocab/doc-count scalars + L-row lang grid fan-out
     "events_decayed_user_value",  # 1-row max-date anchor frame × events
     "events_benford_digits",  # 1-row total-count scalar × 9 digit rows
+    "audit_referential_integrity",  # per-edge 1-row total × 1-row orphan-count frames
 }
 
 ALL = sorted(catalog())
