@@ -76,14 +76,19 @@ def quality_gate(stg: DataFrame) -> DataFrame:
 
 
 def exact_dedup(clean: DataFrame) -> DataFrame:
-    """Keep the min doc_id per content fingerprint.
-
-    Two-step on purpose: the survivor map aggregates (fp → min id) — a
-    16-byte-key shuffle — and the corpus joins back LEFT SEMI on
-    (fp, doc_id), so full documents never shuffle.
+    """Keep the min doc_id per content fingerprint — as ONE fp-keyed
+    window, not the aggregate-then-self-semi-join form: the join form
+    scans the corpus twice and shuffles it twice (the semi join hashes
+    the full rows on (fp, doc_id) anyway once survivors outgrow
+    broadcast — measured in the plan, 4 scans of documents through the
+    manifest), where the window form is a single scan and a single
+    full-row shuffle. Hot-fp skew is bounded by the largest duplicate
+    cluster; AQE skew-split covers the pathological mirror case.
     """
-    survivors = clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return clean.join(survivors, ["fp", "doc_id"], "left_semi")
+    from pyspark.sql import Window
+
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return clean.withColumn("__keep", F.col("doc_id") == keeper).where("__keep").drop("__keep")
 
 
 def corpus_rollup(deduped: DataFrame) -> DataFrame:

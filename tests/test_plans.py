@@ -241,3 +241,20 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_training_manifest_single_corpus_scan(spark, sf_dir):
+    """The end-to-end manifest (gate → dedup → split → epochs) must read
+    documents EXACTLY once: the windowed exact-dedup keeps the whole
+    chain one subtree (the aggregate + self-semi-join form scanned it
+    twice and shuffled it twice). Checked on the pre-execution plan —
+    the adaptive plan string renders initial+final subplans and
+    double-counts."""
+    import re
+
+    from live_data_spark.catalog import catalog
+
+    df = catalog()["corpus_training_manifest"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(r"Scan parquet .*documents", plan))
+    assert scans == 1, f"expected a single documents scan, plan has {scans}"
