@@ -1743,3 +1743,69 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in results[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-map as-of — the applyInPandas(cogroup) API tier.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_view_purchase_cogroup",
+    oracle=_ASOF_ORACLE,  # shares the windowed twin's ASOF LEFT JOIN oracle
+    tags=("join", "events", "asof"),
+)
+def asof_view_purchase_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as ``asof_last_view_before_purchase``,
+    via ``cogroup(...).applyInPandas`` + ``pd.merge_asof`` — the
+    cogrouped-map API tier: both streams hash-partition on user_id once
+    and each user's (purchases, views) pair arrives as two aligned
+    pandas frames. This is the shape for per-key merge logic the window
+    trick can't express (multi-column tolerance joins, per-key model
+    scoring against a reference series); for THIS query the pure-JVM
+    window twin is the production path (no Python, same single
+    shuffle), which is exactly why both share one oracle — the API tier
+    is verified against the same ASOF LEFT JOIN truth.
+
+    Scale: one shuffle per side on user_id, Arrow-batched per-group
+    merges, state bounded by the largest single user's events.
+    """
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = e.where(F.col("event_type") == "view").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(
+                columns=["purchase_id", "user_id", "purchase_ts", "last_view_ts"]
+            )
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        # merge_asof keeps the LEFT ts; carry the matched view ts as its
+        # own column so the inclusive backward match is explicit:
+        mv = pd.merge_asof(
+            left[["ts"]].assign(__k=range(len(left))),
+            right[["ts"]].assign(view_ts=right["ts"]),
+            on="ts",
+            direction="backward",
+        ) if len(right) else pd.DataFrame({"view_ts": [pd.NaT] * len(left)})
+        out = pd.DataFrame(
+            {
+                "purchase_id": left["event_id"].to_numpy(),
+                "user_id": left["user_id"].to_numpy(),
+                "purchase_ts": left["ts"].dt.strftime(_TS_FMT_DUCK),
+                "last_view_ts": mv["view_ts"].dt.strftime(_TS_FMT_DUCK),
+            }
+        )
+        return out.where(pd.notna(out), None)
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "purchase_id long, user_id long, purchase_ts string, last_view_ts string",
+        )
+    )
