@@ -688,3 +688,85 @@ def incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# -- streaming upsert sink (keyed keep-latest store) -------------------------
+
+
+def merge_upsert_batch(
+    batch_df: DataFrame,
+    store_dir: str,
+    unique_key: tuple[str, ...],
+    recency_key: str,
+) -> None:
+    """One keyed upsert: union the batch with the store, keep the latest
+    row per key (recency ties → the incoming row wins), write-to-temp +
+    atomic swap. The same merge shape as the registry's
+    ``incremental_merge`` materialization, factored for ``foreachBatch``
+    — the streaming path into a keep-latest table when the sink isn't an
+    ACID format (with one, this whole function is a MERGE INTO).
+    """
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    sess = batch_df.sparkSession
+    out = Path(store_dir)
+    cols = batch_df.columns
+    if (out / "_SUCCESS").exists():
+        existing = sess.read.parquet(store_dir).select(*cols)
+        merged = existing.withColumn("__src", F.lit(0)).unionByName(
+            batch_df.withColumn("__src", F.lit(1))
+        )
+        w = Window.partitionBy(*unique_key).orderBy(
+            F.col(recency_key).desc(), F.col("__src").desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        tmp = out.parent / f"{out.name}.__merge_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        latest.write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(out)
+        tmp.rename(out)
+    else:
+        batch_df.write.mode("overwrite").parquet(store_dir)
+
+
+def upsert_events_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    unique_key: tuple[str, ...] = ("user_id", "event_type"),
+    recency_key: str = "ts",
+) -> None:
+    """Continuous keep-latest materialization: watch a landing dir of
+    event parquet, upsert each micro-batch into the keyed store — the
+    streaming twin of the registry's ``incremental_merge`` model (same
+    keep-latest semantics, same one-shuffle merge per batch, exactly-once
+    per input file via the checkpoint WAL). A replayed batch is
+    idempotent by construction: re-merging rows already in the store
+    changes nothing (keep-latest is associative and commutative over
+    (recency, src) maxima).
+
+    At 100 TB the store is an ACID table and the merge is a keyed MERGE
+    INTO (same plan shape, no temp-swap copy); partition the store by a
+    stable key prefix so the swap rewrites only touched partitions.
+    """
+
+    def work(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert_batch(batch_df, store_dir, unique_key, recency_key)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(work)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

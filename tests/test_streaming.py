@@ -637,3 +637,46 @@ def test_ewma_spikes_batch_twin_matches_python_replay(spark, sf_dir):
         g = got[u]
         assert (g["n_events"], g["n_alerts"]) == (n_ev, n_al), u
         assert g["ewma_final"] == pytest.approx(ew, abs=1e-9), u
+
+
+def test_upsert_events_stream_keeps_latest_per_key(spark, tmp_path):
+    """Streaming incremental_merge twin: per (user, type) the store holds
+    exactly the latest row after each drain; replayed drains are no-ops;
+    an older-timestamp arrival never regresses the store."""
+    import datetime as dt
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def ev(eid, ts_min, uid, typ, val):
+        return (eid, dt.datetime(2024, 1, 1, 0, ts_min), uid, typ, val, "{}")
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+
+    def stage(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(landing / name)
+        )
+
+    stage([ev(1, 10, 1, "view", 1.0), ev(2, 20, 2, "click", 2.0)], "b1")
+    jobs.upsert_events_stream(spark, f"{landing}/*", store, ckpt)
+    s1 = {(r["user_id"], r["event_type"]): r for r in spark.read.parquet(store).collect()}
+    assert len(s1) == 2 and s1[(1, "view")]["value"] == 1.0
+
+    # batch 2: newer row for (1, view), OLDER row for (2, click), new key
+    stage(
+        [ev(3, 30, 1, "view", 9.0), ev(4, 5, 2, "click", 8.0), ev(5, 15, 3, "view", 3.0)],
+        "b2",
+    )
+    jobs.upsert_events_stream(spark, f"{landing}/*", store, ckpt)
+    s2 = {(r["user_id"], r["event_type"]): r for r in spark.read.parquet(store).collect()}
+    assert len(s2) == 3
+    assert s2[(1, "view")]["value"] == 9.0, "newer arrival must win"
+    assert s2[(2, "click")]["value"] == 2.0, "older arrival must NOT regress"
+    assert s2[(3, "view")]["value"] == 3.0
+
+    # empty drain: store unchanged (exactly-once per file)
+    jobs.upsert_events_stream(spark, f"{landing}/*", store, ckpt)
+    s3 = {(r["user_id"], r["event_type"]): r["value"] for r in spark.read.parquet(store).collect()}
+    assert s3 == {k: v["value"] for k, v in s2.items()}
