@@ -96,3 +96,59 @@ def test_gaussian_pdf_matches_closed_form(spark):
     ]
     want = [math.exp(-(x * x) / 2) / math.sqrt(2 * math.pi) for x in (0.0, 1.0, -2.5)]
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_python_udtf_lateral_sentence_split(spark, sf_dir):
+    """Spark 4 Python UDTF surface: a table function in a LATERAL join
+    (the SQL-native alternative to explode-over-UDF-array when each
+    input row fans out to a variable number of STRUCTURED rows).
+    Arrow-evaluated (useArrow) — the plan must show ArrowEvalPythonUDTF,
+    never the row-pickled path; posture note: for a fan-out expressible
+    as split+explode (this one is), the pure-JVM form remains the hot
+    path — the UDTF tier exists for stateful/imperative row expansion."""
+    from pyspark.sql.functions import udtf
+
+    from live_data_spark.catalog import load
+
+    @udtf(returnType="idx int, n_chars int", useArrow=True)
+    class ChunkSpans:
+        def eval(self, text: str):
+            if not text:
+                return
+            # imperative chunker: 100-char spans breaking at word ends —
+            # the carry-over state is what split+explode can't express
+            start = 0
+            i = 0
+            while start < len(text):
+                end = min(start + 100, len(text))
+                if end < len(text):
+                    sp = text.rfind(" ", start, end)
+                    if sp > start:
+                        end = sp
+                yield i, end - start
+                start = end + 1
+                i += 1
+
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    out = spark.sql(
+        "SELECT d.doc_id, t.idx, t.n_chars "
+        "FROM docs_udtf d, LATERAL chunk_spans(d.text) t"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    # spans reconstruct each doc: sum of span lengths + separators ≈ doc len
+    import collections
+
+    per_doc = collections.defaultdict(int)
+    n_spans = collections.Counter()
+    for r in rows:
+        per_doc[r["doc_id"]] += r["n_chars"]
+        n_spans[r["doc_id"]] += 1
+    docs = {r["doc_id"]: len(r["text"]) for r in load(spark, sf_dir, "documents").collect() if r["text"]}
+    for did, total in per_doc.items():
+        gaps = n_spans[did] - 1
+        assert total + gaps == docs[did], (did, total, gaps, docs[did])
