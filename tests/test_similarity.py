@@ -311,3 +311,46 @@ def test_mmr_select_matches_reference_and_diversifies(spark, sf_dir):
     assert mean_pairwise([r["vec_id"] for r in got]) <= mean_pairwise(
         pool_ids[: sim.MMR_SELECT]
     ) + 1e-12
+
+
+def test_apply_in_arrow_centroids_match_jvm_aggregate(spark, sf_dir):
+    """Spark 4 applyInArrow (pyarrow-native grouped map, no pandas
+    conversion): per-label centroid via one RecordBatch reduction per
+    group must match the catalog's JVM nanos-quantized aggregate tier.
+    Posture: the JVM long-format aggregate IS the scale path (map-side
+    partials, no whole-label concentration) — applyInArrow is the escape
+    hatch for per-group tensor work numpy/arrow must own."""
+    import numpy as np
+    import pyarrow as pa
+
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.similarity import embedding_centroid_by_label
+
+    def centroid(table: pa.Table) -> pa.Table:
+        emb = np.stack([np.array(x) for x in table.column("embedding").to_pylist()])
+        label = table.column("label")[0].as_py()
+        mean = emb.mean(axis=0, dtype=np.float64)
+        return pa.table(
+            {
+                "label": pa.array([label] * len(mean), type=pa.int32()),
+                "dim": pa.array(range(len(mean)), type=pa.int32()),
+                "centroid_v": pa.array(mean, type=pa.float64()),
+            }
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    got = (
+        e.groupBy("label")
+        .applyInArrow(centroid, "label int, dim int, centroid_v double")
+        .collect()
+    )
+    arrow_vals = {(r["label"], r["dim"]): r["centroid_v"] for r in got}
+
+    jvm = embedding_centroid_by_label(spark, sf_dir).collect()
+    assert len(jvm) == len(arrow_vals) > 0
+    for r in jvm:
+        import pytest as _pt
+
+        assert arrow_vals[(r["label"], r["dim"])] == _pt.approx(
+            r["centroid_v"], abs=2e-9  # JVM tier quantizes to nanos
+        )
