@@ -346,29 +346,35 @@ def test_check_order_policy_invariants():
         if n in ledger.RED:
             return 0
         if never_checked(n):
-            return 1
+            # rows-only never-checked entries yield window slots to
+            # oracle-bearing work (their exactness lives in pytest pins;
+            # a rows-only driver row can only catch a crash, which the
+            # per-round preflight already covers)
+            return 1 if cat[n].oracle is not None else 3
         if n in ledger.CHANGED_SINCE_CHECK:
             return 2
-        return 3
+        return 4
 
     classes = [cls(n) for n in names]
     assert classes == sorted(classes), "catalog order violates ledger class order"
 
     # Within the checked class, older evidence is re-verified first.
-    checked_rounds = [ledger.LAST_CHECKED[n][0] for n in names if cls(n) == 3]
+    checked_rounds = [ledger.LAST_CHECKED[n][0] for n in names if cls(n) == 4]
     assert checked_rounds == sorted(checked_rounds)
 
-    # Everything that has never had a passing driver row sits inside the
-    # 50-entry window the driver actually verifies.
+    # Every ORACLE-BEARING entry that has never had a passing driver row
+    # (plus reds and edited-since-green entries) sits inside the 50-entry
+    # window the driver actually verifies; only rows-only newcomers may
+    # overflow to the next round.
     window = set(names[:50])
-    must_cover = set(ledger.RED) | {n for n in names if never_checked(n)} | set(
-        ledger.CHANGED_SINCE_CHECK
-    )
+    must_cover = set(ledger.RED) | {
+        n for n in names if never_checked(n) and cat[n].oracle is not None
+    } | set(ledger.CHANGED_SINCE_CHECK)
     overflow = must_cover - window
     assert overflow == set(), (
-        f"{len(overflow)} unverified entries fall outside the driver's 50-entry "
-        f"window: {sorted(overflow)} — too many new entries this round, or the "
-        f"ledger was not refreshed (scripts/update_ledger.py)"
+        f"{len(overflow)} unverified oracle entries fall outside the driver's "
+        f"50-entry window: {sorted(overflow)} — too many new entries this round, "
+        f"or the ledger was not refreshed (scripts/update_ledger.py)"
     )
 
 
