@@ -1687,9 +1687,11 @@ def events_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRELY in the JVM as an ``aggregate`` HOF over the user's sorted
     event array (struct accumulator: ewma, alert count, seeded flag), so
     there is no Python anywhere and one user_id shuffle total. Bounded
-    by max-events-per-user (same ceiling as every per-user window here);
-    a pathological user swaps to the chunked-fold variant documented in
-    corpus packing.
+    by max-events-per-user (same ceiling as every per-user window here,
+    named per SCALE.md §4); a user that outgrows one array splits by
+    time range with the EWMA carried across chunk boundaries — the fold
+    is sequential, so chunks must chain, which is exactly the streaming
+    monitor's micro-batch shape: at that scale run the streaming form.
     """
     from live_data_spark.streaming.jobs import SPIKE_ALPHA, SPIKE_FACTOR
 
