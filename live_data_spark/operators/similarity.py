@@ -416,11 +416,7 @@ def ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hash doubles as the centroid id: deterministic, join-key-distinct
     # w.h.p., and a rare collision only merges two inverted lists (still a
     # valid approximate index).
-    centroids = (
-        e.select(F.xxhash64("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-        .orderBy("cid")
-        .limit(k_lists)
-    )
+    centroids = _ivf_centroids(e, k_lists)
 
     lists = _ivf_assign(e, centroids, nprobe=1, id_col="vec_id").select(
         "cid", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
@@ -1336,4 +1332,97 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool_df.sparkSession.createDataFrame(
         [(i, v, round(rel, 6), round(s, 6)) for i, (v, rel, s) in enumerate(sel)],
         "rank int, vec_id long, relevance double, mmr_score double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence — build once, query many (the production lifecycle).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(e: DataFrame, k_lists: int) -> DataFrame:
+    """The deterministic hash-order centroid pick shared by the inline
+    ``ann_ivf_flat`` build and the persisted index below (one rule, so a
+    persisted index answers exactly like a fresh build)."""
+    return (
+        e.select(F.xxhash64("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+        .orderBy("cid")
+        .limit(k_lists)
+    )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str, version: int = 1) -> None:
+    """Persist the IVF index as two artifact tables (artifacts.py
+    versioning: immutable versions, read-latest):
+
+    - ``{index_dir}/centroids`` — k≈√n (cid, cemb) rows;
+    - ``{index_dir}/lists`` — the inverted lists as bare (cid, vec_id)
+      pairs, repartitioned by cid so each list is contiguous (at 100 TB:
+      partition BY cid so a query's nprobe lists are partition-pruned
+      reads; embeddings are NOT duplicated into the index — the query
+      re-joins them from the base table by id).
+
+    This is the missing half of the ANN story at scale: the build cost
+    (n×K scoring) is paid once per corpus version, not per query session.
+    """
+    import math
+
+    from live_data_spark.artifacts import write_artifact
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    n = table_rowcount(sf_dir, "embeddings")
+    k_lists = max(4, int(math.isqrt(n)))
+    centroids = _ivf_centroids(e, k_lists)
+    lists = _ivf_assign(e, centroids, nprobe=1, id_col="vec_id").select("cid", "vec_id")
+    write_artifact(centroids, f"{index_dir}/centroids", version)
+    write_artifact(lists.repartition("cid"), f"{index_dir}/lists", version)
+
+
+def query_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """Top-k ANN against a PERSISTED index (latest version by default):
+    load the k-row centroid table, assign the queries to their nprobe
+    lists, read ONLY those lists' (cid, vec_id) pairs, re-join the
+    embeddings by id, exact re-score. Output schema and results are
+    identical to ``ann_ivf_flat``'s fresh build (pinned in tests) — the
+    only difference is WHERE the lists come from.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from live_data_spark.artifacts import read_artifact
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    n = table_rowcount(sf_dir, "embeddings")
+    k_lists = max(4, int(math.isqrt(n)))
+    nprobe = max(2, k_lists // 4)
+
+    centroids = read_artifact(spark, f"{index_dir}/centroids", version)
+    lists = read_artifact(spark, f"{index_dir}/lists", version)
+
+    queries = _ivf_assign(
+        e.where(F.col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "query_id"),
+        centroids,
+        nprobe=nprobe,
+        id_col="query_id",
+    ).select("cid", "query_id", F.col("emb").alias("qe"))
+
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+    cand = (
+        F.broadcast(queries)
+        .join(lists.withColumnRenamed("vec_id", "neighbor_id"), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .join(ne, "neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("cos")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cosine_sim"))
     )

@@ -354,3 +354,25 @@ def test_apply_in_arrow_centroids_match_jvm_aggregate(spark, sf_dir):
         assert arrow_vals[(r["label"], r["dim"])] == _pt.approx(
             r["centroid_v"], abs=2e-9  # JVM tier quantizes to nanos
         )
+
+
+def test_persisted_ivf_index_answers_like_fresh_build(spark, sf_dir, tmp_path):
+    """Index lifecycle: build → persist (artifacts) → query must equal the
+    inline ann_ivf_flat build exactly (same centroid rule, same nprobe),
+    and a rebuilt v2 becomes the default read."""
+    from live_data_spark.catalog import catalog
+    from live_data_spark.operators.similarity import build_ivf_index, query_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, idx, version=1)
+    got = {tuple(r) for r in query_ivf_index(spark, sf_dir, idx).collect()}
+    want = {tuple(r) for r in catalog()["ann_ivf_flat"].spark(spark, sf_dir).collect()}
+    assert got == want, "persisted-index query diverges from fresh build"
+
+    # versioning: v2 rebuild is picked up by the default (latest) read
+    build_ivf_index(spark, sf_dir, idx, version=2)
+    got2 = {tuple(r) for r in query_ivf_index(spark, sf_dir, idx).collect()}
+    assert got2 == want  # deterministic build → same answers
+    from live_data_spark.artifacts import list_versions
+
+    assert list_versions(spark, f"{idx}/lists") == [1, 2]
