@@ -855,6 +855,16 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = np.stack([np.array(r["emb"], dtype=np.float64) for r in sample_rows])
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     books = _pq_train(sample)
+    return _pq_adc_with_books(spark, e, books, refine)
+
+
+def _pq_adc_with_books(spark: SparkSession, e: DataFrame, books, refine: int) -> DataFrame:
+    """The PQ query path under GIVEN codebooks — shared by the inline
+    entry above (fresh train) and the persisted-index query below, so
+    both answer identically for the same books."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
 
     q_rows = e.where(F.col("vec_id") < N_QUERIES).collect()
     q_ids = np.array([r["vec_id"] for r in q_rows])
@@ -1426,3 +1436,54 @@ def query_ivf_index(
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", F.round("cos", 4).alias("cosine_sim"))
     )
+
+
+def build_pq_codebook(spark: SparkSession, sf_dir: str, index_dir: str, version: int = 1) -> None:
+    """Persist the trained PQ codebooks as a versioned artifact table:
+    one row per (subspace, code) with the codeword vector. The train
+    sample is the deterministic hash-ordered PQ_SAMPLE slice, so a
+    rebuild over the same corpus reproduces the books bit-for-bit —
+    which is what makes the persisted index auditable (retrain, diff
+    against the stored version, alert on drift).
+    """
+    import numpy as np
+
+    from live_data_spark.artifacts import write_artifact
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    sample_rows = (
+        e.select(F.xxhash64("vec_id").alias("h"), "emb").orderBy("h").limit(PQ_SAMPLE).collect()
+    )
+    sample = np.stack([np.array(r["emb"], dtype=np.float64) for r in sample_rows])
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_train(sample)
+    rows = [
+        (j, k, [float(x) for x in books[j, k]])
+        for j in range(books.shape[0])
+        for k in range(books.shape[1])
+    ]
+    df = spark.createDataFrame(rows, "subspace int, code int, codeword array<double>")
+    write_artifact(df, f"{index_dir}/pq_codebook", version)
+
+
+def query_pq_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """PQ-ADC top-k against a PERSISTED codebook (latest by default) —
+    identical results to the inline ``ann_pq_adc`` for the same books
+    (pinned in tests). The codebook collect is bounded at m·ks rows
+    (the same budget the trainer's driver state already holds)."""
+    import numpy as np
+
+    from live_data_spark.artifacts import read_artifact
+
+    rows = read_artifact(spark, f"{index_dir}/pq_codebook", version).collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    ks = 1 + max(r["code"] for r in rows)
+    sub = len(rows[0]["codeword"])
+    books = np.empty((m, ks, sub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["codeword"]
+    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    refine = max(PQ_REFINE_MIN, table_rowcount(sf_dir, "embeddings") // PQ_REFINE_FRAC)
+    return _pq_adc_with_books(spark, e, books, refine)

@@ -376,3 +376,16 @@ def test_persisted_ivf_index_answers_like_fresh_build(spark, sf_dir, tmp_path):
     from live_data_spark.artifacts import list_versions
 
     assert list_versions(spark, f"{idx}/lists") == [1, 2]
+
+
+def test_persisted_pq_codebook_answers_like_fresh_train(spark, sf_dir, tmp_path):
+    """PQ index lifecycle: deterministic train → persist → query equals
+    the inline fresh-train entry exactly."""
+    from live_data_spark.catalog import catalog
+    from live_data_spark.operators.similarity import build_pq_codebook, query_pq_index
+
+    idx = str(tmp_path / "pq")
+    build_pq_codebook(spark, sf_dir, idx)
+    got = {tuple(r) for r in query_pq_index(spark, sf_dir, idx).collect()}
+    want = {tuple(r) for r in catalog()["ann_pq_adc"].spark(spark, sf_dir).collect()}
+    assert got == want, "persisted-codebook query diverges from fresh train"
