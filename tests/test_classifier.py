@@ -109,3 +109,24 @@ def test_logreg_calibration_bins_account_for_everything(spark, sf_dir):
     # positives overall must reconcile with the label base rate
     tot_pos = sum(r["frac_pos"] * r["n_vecs"] for r in rows)
     assert abs(tot_pos - float((y == 1.0).sum())) < 1e-3
+
+
+def test_logreg_sf01_scale_invariants(spark):
+    """sf0.1 (2000 vectors, 4x the fixture SF): the Newton fit must stay
+    convergent (penalized loss non-increasing) and beat the beta=0
+    starting point (n·ln2) — the kmeans/SemDeDup scale-invariant
+    precedent for iterative operators. Accuracy may only MATCH the
+    all-negative base rate here: uniform-random embeddings carry no
+    label signal, and at this n the ridge correctly refuses to overfit
+    past it (the honest outcome; never regress below it)."""
+    import numpy as np
+
+    SF01 = "/root/testdata/sf0.1"
+    hist: list = []
+    beta = cl.logreg_fit(spark, SF01, history=hist)
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a + 1e-6, f"loss increased at sf0.1: {hist}"
+    X, y = _collect_xy(spark, SF01, cl.TARGET_LABEL)
+    assert hist[-1] < len(y) * np.log(2), "fit no better than beta=0"
+    acc = float((((X @ beta) >= 0) == (y == 1.0)).mean())
+    assert acc >= float((y == 0.0).mean())

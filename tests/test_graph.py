@@ -57,3 +57,16 @@ def test_pagerank_entry_topk_stable(spark, sf_dir):
     # reference's top-k (ties at the boundary broken identically)
     want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[: len(top)]
     assert [r["part_id"] for r in top] == [v for v, _ in want_top]
+
+
+def test_pagerank_sf01_scale_invariants(spark):
+    """sf0.1 (10x the fixture's lineitem): mass conservation and
+    positivity must hold on the real-sized graph, and the graph must be
+    non-trivial (edges exist above the support floor)."""
+    import pytest as _pt
+
+    SF01 = "/root/testdata/sf0.1"
+    rows = g.pagerank(spark, SF01).collect()
+    assert len(rows) > 50, "support floor starves the sf0.1 graph"
+    assert sum(r["pr"] for r in rows) == _pt.approx(1.0, abs=1e-9)
+    assert all(r["pr"] > 0 for r in rows)
