@@ -970,3 +970,107 @@ def privacy_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").alias("n_tokens"),
         (F.countDistinct("user_id") - F.countDistinct("token")).alias("n_collisions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Waterfill budget allocator — fair per-source token caps under a budget.
+# ---------------------------------------------------------------------------
+
+WATERFILL_BUDGET_SHARE = 0.5  # allocate 50% of total corpus tokens
+
+_WATERFILL_ORACLE = rf"""
+WITH src AS (
+  SELECT source,
+         cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT cast(floor(sum(toks) * {WATERFILL_BUDGET_SHARE}) AS BIGINT) AS budget,
+         count(*) AS n_src
+  FROM src
+), ranked AS (
+  SELECT source, toks,
+         row_number() OVER (ORDER BY toks, source) AS rn,
+         sum(toks) OVER (ORDER BY toks, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM src
+), lvl AS (
+  -- the water level L: smallest sources fit whole; the level splits the
+  -- rest. The determining rank is the FIRST one where filling every
+  -- remaining source up to THAT source's size would meet the budget —
+  -- the level formula is only valid at that rank (later ranks have
+  -- already overspent the prefix and yield garbage).
+  SELECT (tot.budget - (ranked.prefix - ranked.toks))
+         / cast(tot.n_src - ranked.rn + 1 AS DOUBLE) AS level
+  FROM ranked, tot
+  WHERE ranked.prefix - ranked.toks + (tot.n_src - ranked.rn + 1) * ranked.toks
+        >= tot.budget
+  ORDER BY ranked.rn LIMIT 1
+)
+SELECT r.source, r.toks AS n_tokens,
+       cast(floor(least(cast(r.toks AS DOUBLE), l.level)) AS BIGINT) AS alloc_tokens,
+       CASE WHEN r.toks > l.level THEN 1 ELSE 0 END AS capped
+FROM ranked r, lvl l
+"""
+
+
+@register("corpus_waterfill_caps", oracle=_WATERFILL_ORACLE, tags=("text", "sampling", "pipeline"))
+def corpus_waterfill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling allocator: given a global token budget (50% of the
+    corpus here), find the single cap level L such that every source
+    contributes min(its tokens, L) and the budget is exactly spent —
+    the max-min-fair answer to "which sources shrink, and by how much"
+    (the principled version of a hand-picked per-domain cap: small
+    sources keep everything, over-represented ones share one ceiling).
+
+    Closed form via order statistics, fully declarative: sort sources by
+    size, prefix-sum, and the level is determined at the first rank
+    where filling all remaining sources to that source's size would
+    exceed the budget. Source count is small (thousands at worst), so
+    every frame here is dimension-sized; the only corpus-scale work is
+    the per-source token sum (map-side combined). The level and
+    allocations are exact integer/rational arithmetic until the single
+    final division — floor'd identically on both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("bigint").alias("toks")
+    )
+    tot = src.agg(
+        F.floor(F.sum("toks") * WATERFILL_BUDGET_SHARE).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    w = Window.orderBy("toks", "source")
+    ranked = src.select(
+        "source",
+        "toks",
+        F.row_number().over(w).alias("rn"),
+        F.sum("toks").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("prefix"),
+    )
+    rt = ranked.crossJoin(F.broadcast(tot))
+    feasible = rt.where(
+        F.col("prefix") - F.col("toks")
+        + (F.col("n_src") - F.col("rn") + 1) * F.col("toks")
+        >= F.col("budget")
+    )
+    # the level formula only holds at the FIRST feasible rank (later
+    # ranks' prefixes already overspend the budget and yield garbage)
+    lvl = (
+        feasible.orderBy("rn")
+        .limit(1)
+        .select(
+            (
+                (F.col("budget") - (F.col("prefix") - F.col("toks")))
+                / (F.col("n_src") - F.col("rn") + 1).cast("double")
+            ).alias("level")
+        )
+    )
+    return ranked.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("toks").alias("n_tokens"),
+        # explicit floor: DuckDB's DOUBLE→BIGINT cast rounds half-even
+        # while Spark's truncates — the r1 cast-divergence class
+        F.floor(F.least(F.col("toks").cast("double"), F.col("level")))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        F.when(F.col("toks") > F.col("level"), 1).otherwise(0).alias("capped"),
+    )

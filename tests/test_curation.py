@@ -344,3 +344,37 @@ def test_eval_split_assignment_stable_under_corpus_growth(spark, sf_dir):
     n = len(full)
     frac_train = sum(1 for v in full.values() if v == "train") / n
     assert 0.84 <= frac_train <= 0.95, frac_train
+
+
+def test_waterfill_budget_invariants(spark, sf_dir):
+    """Waterfilling's defining properties — checked OUTSIDE the oracle,
+    because a formula bug shared by both engines hash-matches while
+    allocating garbage (exactly what the first draft did: applying the
+    level formula at every feasible rank instead of the first produced
+    negative allocations that still agreed with DuckDB). Invariants:
+    total allocation exhausts the budget up to per-source floor loss,
+    no source exceeds its own tokens, uncapped sources keep everything,
+    and capped sources all sit at the shared water level (max-min
+    fairness: every capped allocation within 1 token of the level)."""
+    from live_data_spark.operators.curation import (
+        WATERFILL_BUDGET_SHARE,
+        corpus_waterfill_caps,
+    )
+
+    rows = corpus_waterfill_caps(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = int(total * WATERFILL_BUDGET_SHARE)
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    assert alloc <= budget
+    assert budget - alloc < len(rows), "floor loss exceeds one token per source"
+    capped_allocs = []
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["n_tokens"]
+        if r["capped"]:
+            capped_allocs.append(r["alloc_tokens"])
+        else:
+            assert r["alloc_tokens"] == r["n_tokens"]
+    if capped_allocs:
+        assert max(capped_allocs) - min(capped_allocs) <= 1, (
+            "capped sources must share one water level"
+        )

@@ -51,6 +51,7 @@ BNLJ_OK: set[str] = {
     "events_decayed_user_value",  # 1-row max-date anchor frame × events
     "events_benford_digits",  # 1-row total-count scalar × 9 digit rows
     "audit_referential_integrity",  # per-edge 1-row total × 1-row orphan-count frames
+    "corpus_waterfill_caps",  # 1-row budget scalar + 1-row water-level frame
 }
 
 ALL = sorted(catalog())
