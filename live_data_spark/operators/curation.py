@@ -1074,3 +1074,62 @@ def corpus_waterfill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc_tokens"),
         F.when(F.col("toks") > F.col("level"), 1).otherwise(0).alias("capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix schedule — annealed per-step language weights.
+# ---------------------------------------------------------------------------
+
+MIX_STEPS = 20
+MIX_WARMUP = 10
+
+_MIX_SCHED_ORACLE = rf"""
+WITH share AS (
+  SELECT lang,
+         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS toks,
+         count(*) AS n_langs_docs
+  FROM documents GROUP BY lang
+), tot AS (SELECT sum(toks) AS t, count(*) AS n_langs FROM share),
+steps AS (SELECT unnest(generate_series(0, {MIX_STEPS})) AS step)
+SELECT s.step, sh.lang,
+       round((1.0 / tot.n_langs)
+             + (sh.toks / cast(tot.t AS DOUBLE) - 1.0 / tot.n_langs)
+               * least(1.0, s.step / {MIX_WARMUP}.0), 6) AS weight
+FROM steps s, share sh, tot
+"""
+
+
+@register("training_mix_schedule", oracle=_MIX_SCHED_ORACLE, tags=("text", "sampling", "pipeline"))
+def training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum mix schedule: per-training-step language weights that
+    ANNEAL from uniform (every language equally, the early-training
+    regime that stabilizes multilingual models) to the corpus's token
+    share over a warmup horizon — the (step, lang, weight) table a
+    training loader samples from, with Σ_lang weight == 1 at every step
+    by construction (both endpoints are distributions and the anneal is
+    a convex combination).
+
+    Shape: one per-lang token aggregate (corpus-sized, map-side
+    combined), then a steps × langs grid fan-out — schedule-sized, not
+    data-sized. Weights are rationals of token counts evaluated
+    identically on both engines; the convexity invariant is pinned in
+    tests/test_curation.py.
+    """
+    d = load(spark, sf_dir, "documents")
+    share = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("toks")
+    )
+    tot = share.agg(F.sum("toks").alias("t"), F.count(F.lit(1)).alias("n_langs"))
+    steps = spark.range(0, MIX_STEPS + 1).select(F.col("id").cast("int").alias("step"))
+    uniform = 1.0 / F.col("n_langs")
+    target = F.col("toks") / F.col("t").cast("double")
+    anneal = F.least(F.lit(1.0), F.col("step") / float(MIX_WARMUP))
+    return (
+        steps.crossJoin(share)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "step",
+            "lang",
+            F.round(uniform + (target - uniform) * anneal, 6).alias("weight"),
+        )
+    )

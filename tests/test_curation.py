@@ -378,3 +378,28 @@ def test_waterfill_budget_invariants(spark, sf_dir):
         assert max(capped_allocs) - min(capped_allocs) <= 1, (
             "capped sources must share one water level"
         )
+
+
+def test_mix_schedule_rows_are_distributions(spark, sf_dir):
+    """Every step's weights must sum to 1 (convex combination of two
+    distributions) and move monotonically from uniform toward the corpus
+    share across the warmup."""
+    from collections import defaultdict
+
+    from live_data_spark.operators.curation import MIX_STEPS, MIX_WARMUP, training_mix_schedule
+
+    rows = training_mix_schedule(spark, sf_dir).collect()
+    by_step = defaultdict(dict)
+    for r in rows:
+        by_step[r["step"]][r["lang"]] = r["weight"]
+    assert set(by_step) == set(range(MIX_STEPS + 1))
+    for step, w in by_step.items():
+        assert abs(sum(w.values()) - 1.0) < 1e-4, (step, w)
+    # monotone anneal: each lang's weight moves one way during warmup,
+    # then freezes at the target
+    langs = list(by_step[0])
+    for lang in langs:
+        series = [by_step[s][lang] for s in range(MIX_STEPS + 1)]
+        diffs = [b - a for a, b in zip(series, series[1:MIX_WARMUP + 1])]
+        assert all(d >= -1e-9 for d in diffs) or all(d <= 1e-9 for d in diffs), (lang, series)
+        assert all(abs(x - series[MIX_WARMUP]) < 1e-9 for x in series[MIX_WARMUP:])

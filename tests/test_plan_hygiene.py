@@ -52,6 +52,7 @@ BNLJ_OK: set[str] = {
     "events_benford_digits",  # 1-row total-count scalar × 9 digit rows
     "audit_referential_integrity",  # per-edge 1-row total × 1-row orphan-count frames
     "corpus_waterfill_caps",  # 1-row budget scalar + 1-row water-level frame
+    "training_mix_schedule",  # steps grid × L-row share frame × 1-row totals
 }
 
 ALL = sorted(catalog())
