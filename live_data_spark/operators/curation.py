@@ -1133,3 +1133,85 @@ def training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(uniform + (target - uniform) * anneal, 6).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching — padding-waste accounting for inference/training.
+# ---------------------------------------------------------------------------
+
+LEN_BUCKETS = 8
+
+_LENBUCKET_ORACLE = rf"""
+WITH lens AS (
+  SELECT doc_id, cast(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), cuts AS (
+  -- DuckDB percentile_disc requires CONSTANT fractions: 7 explicit calls
+  SELECT [q1, q2, q3, q4, q5, q6, q7] AS qs FROM (
+    SELECT percentile_disc(1/8.0) WITHIN GROUP (ORDER BY n_tokens) AS q1, percentile_disc(2/8.0) WITHIN GROUP (ORDER BY n_tokens) AS q2, percentile_disc(3/8.0) WITHIN GROUP (ORDER BY n_tokens) AS q3, percentile_disc(4/8.0) WITHIN GROUP (ORDER BY n_tokens) AS q4, percentile_disc(5/8.0) WITHIN GROUP (ORDER BY n_tokens) AS q5, percentile_disc(6/8.0) WITHIN GROUP (ORDER BY n_tokens) AS q6, percentile_disc(7/8.0) WITHIN GROUP (ORDER BY n_tokens) AS q7 FROM lens
+  )
+), bucketed AS (
+  SELECT l.doc_id, l.n_tokens,
+         cast(len(list_filter(c.qs, q -> q < l.n_tokens)) AS INTEGER) AS bucket
+  FROM lens l, cuts c
+)
+SELECT bucket,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(min(n_tokens) AS BIGINT) AS min_tokens,
+       cast(max(n_tokens) AS BIGINT) AS max_tokens,
+       cast(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_tokens,
+       round(sum(n_tokens) / cast(count(*) * max(n_tokens) AS DOUBLE), 4)
+         AS fill_efficiency
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@register("corpus_length_buckets", oracle=_LENBUCKET_ORACLE, tags=("text", "packing", "pipeline"))
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign docs to 8 equi-depth token-
+    length buckets and report each bucket's padding waste if batches pad
+    to the bucket max — the number that justifies bucketing at all
+    (padding a mixed batch to the global max wastes the difference; 8
+    buckets typically recover most of it). Fill efficiency is
+    Σtokens / (n·max) per bucket.
+
+    Scale shape: bucket boundaries are ONE 7-row exact-percentile cut
+    frame broadcast against the corpus (the equi-depth histogram
+    pattern) — no global-order window ever touches data. Boundaries are
+    exact integers (percentile_disc over integer lengths), and a doc on
+    a boundary goes to the lower bucket on both engines (strict <
+    comparison against the cut list).
+    """
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    cuts = lens.agg(
+        *[
+            F.expr(f"percentile_disc({x}/{LEN_BUCKETS}.0) WITHIN GROUP (ORDER BY n_tokens)").alias(f"q{x}")
+            for x in range(1, LEN_BUCKETS)
+        ]
+    ).select(F.array(*[f"q{x}" for x in range(1, LEN_BUCKETS)]).alias("qs"))
+    bucketed = lens.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.filter("qs", lambda q: q < F.col("n_tokens"))).alias("bucket"),
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).alias("padding_tokens"),
+        F.round(
+            F.col("sum_tokens") / (F.col("n_docs") * F.col("max_tokens")).cast("double"), 4
+        ).alias("fill_efficiency"),
+    )

@@ -53,6 +53,7 @@ BNLJ_OK: set[str] = {
     "audit_referential_integrity",  # per-edge 1-row total × 1-row orphan-count frames
     "corpus_waterfill_caps",  # 1-row budget scalar + 1-row water-level frame
     "training_mix_schedule",  # steps grid × L-row share frame × 1-row totals
+    "corpus_length_buckets",  # 1-row percentile-cut frame × corpus (equi-depth pattern)
 }
 
 ALL = sorted(catalog())
