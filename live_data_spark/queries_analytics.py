@@ -1809,3 +1809,73 @@ def asof_view_purchase_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id long, user_id long, purchase_ts string, last_view_ts string",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration — Herfindahl index per nation.
+# ---------------------------------------------------------------------------
+
+_HHI_Q = 100000000
+
+_HHI_ORACLE = f"""
+WITH rev AS (
+  SELECT s.s_nationkey AS nation_key,
+         l.l_suppkey AS supp,
+         sum(cast(l.l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT nation_key, sum(r) AS t, count(*) AS n_suppliers FROM rev GROUP BY 1
+), q AS (
+  SELECT rev.nation_key, tot.n_suppliers,
+         cast(floor(power(rev.r / cast(tot.t AS DOUBLE), 2) * {_HHI_Q} + 0.5) AS BIGINT) AS sq
+  FROM rev JOIN tot USING (nation_key)
+)
+SELECT n.n_name AS nation, any_value(q.n_suppliers) AS n_suppliers,
+       round(sum(q.sq) / {_HHI_Q}.0, 6) AS hhi
+FROM q JOIN nation n ON n.n_nationkey = q.nation_key
+GROUP BY n.n_name
+"""
+
+
+@register("supplier_revenue_hhi", oracle=_HHI_ORACLE, tags=("agg", "join"))
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation as the Herfindahl–
+    Hirschman index (Σ share² — 1/n for perfect competition, 1.0 for a
+    monopoly): the market-structure audit shape, and in a data pipeline
+    the "is one supplier/source dominating this partition" skew signal
+    with an economics pedigree. Shares derive from EXACT decimal revenue
+    sums; each share² quantizes to a 1e-8 integer before the cross-row
+    sum (the surprisal recipe) so the index is engine-exact.
+
+    One fact-side aggregate (supplier dim broadcast), a nation-sized
+    totals frame joined back, and a nation-count-sized result.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation_key"), F.col("l_suppkey").alias("supp"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    tot = rev.groupBy("nation_key").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    q = rev.join(F.broadcast(tot), "nation_key").select(
+        "nation_key",
+        "n_suppliers",
+        F.floor(
+            F.pow(F.col("r").cast("double") / F.col("t").cast("double"), 2) * _HHI_Q + 0.5
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    return (
+        q.join(F.broadcast(n), q.nation_key == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.any_value("n_suppliers").alias("n_suppliers"),
+            F.round(F.sum("sq") / float(_HHI_Q), 6).alias("hhi"),
+        )
+    )
