@@ -1583,3 +1583,89 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", F.col("lang").alias("lang_pred"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary divergence — KL(source || corpus) outlier screen.
+# ---------------------------------------------------------------------------
+
+_KL_Q = 100000000
+
+_SOURCE_KL_ORACLE = rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), sw AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+), st AS (
+  SELECT source, sum(c) AS t FROM sw GROUP BY 1
+), cw AS (
+  SELECT w, sum(c) AS cc FROM sw GROUP BY 1
+), tot AS (SELECT sum(cc) AS ctot, count(*) AS v FROM cw),
+grid AS (
+  SELECT s.source, cw.w, coalesce(sw.c, 0) AS c, st.t, cw.cc, tot.ctot, tot.v
+  FROM (SELECT DISTINCT source FROM sw) s
+  CROSS JOIN cw
+  LEFT JOIN sw ON sw.source = s.source AND sw.w = cw.w
+  JOIN st ON st.source = s.source
+  CROSS JOIN tot
+), terms AS (
+  SELECT source,
+         cast(floor(((c + 1) / cast(t + v AS DOUBLE))
+                    * ln(((c + 1) / cast(t + v AS DOUBLE))
+                         / (cc / cast(ctot AS DOUBLE)))
+                    * {_KL_Q} + 0.5) AS BIGINT) AS q,
+         t, v
+  FROM grid
+)
+SELECT source,
+       cast(any_value(t) AS BIGINT) AS n_tokens,
+       round(sum(q) / {_KL_Q}.0, 6) AS kl_vs_corpus
+FROM terms GROUP BY source
+"""
+
+
+@register("source_vocab_divergence", oracle=_SOURCE_KL_ORACLE, tags=("text", "quality", "profiling"))
+def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source unigram distribution ‖ corpus distribution) per source —
+    the vocabulary-outlier screen: a mirror in another language, a
+    spam-heavy domain, or a template farm shows up as a source whose
+    word distribution diverges from the corpus it claims to belong to.
+    Source distributions are add-one smoothed over the global vocab (so
+    absent words contribute finite mass); the corpus reference needs no
+    smoothing (it contains every vocab word by construction). Each KL
+    term quantizes to a 1e-8 integer before the order-free sum (the
+    surprisal recipe).
+
+    Shape: one token-stream aggregate feeds per-(source, word) counts,
+    per-source totals, AND the corpus distribution; the sources × vocab
+    grid is model-sized (the NB-likelihood pattern) and the output is
+    source-count sized.
+    """
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    tok = d.select("source", F.explode(F.split(normalized_text("text"), " ")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    st = sw.groupBy("source").agg(F.sum("c").alias("t"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cc"))
+    tot = cw.agg(F.sum("cc").alias("ctot"), F.count(F.lit(1)).alias("v"))
+    grid = (
+        sw.select("source").distinct()
+        .crossJoin(F.broadcast(cw))
+        .join(sw, ["source", "w"], "left")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.coalesce("c", F.lit(0)) + 1) / (F.col("t") + F.col("v")).cast("double")
+    q = F.col("cc") / F.col("ctot").cast("double")
+    terms = grid.select(
+        "source",
+        "t",
+        F.floor(p * F.ln(p / q) * _KL_Q + 0.5).cast("bigint").alias("q"),
+    )
+    return terms.groupBy("source").agg(
+        F.any_value("t").alias("n_tokens"),
+        F.round(F.sum("q") / float(_KL_Q), 6).alias("kl_vs_corpus"),
+    )

@@ -54,6 +54,7 @@ BNLJ_OK: set[str] = {
     "corpus_waterfill_caps",  # 1-row budget scalar + 1-row water-level frame
     "training_mix_schedule",  # steps grid × L-row share frame × 1-row totals
     "corpus_length_buckets",  # 1-row percentile-cut frame × corpus (equi-depth pattern)
+    "source_vocab_divergence",  # 1-row corpus-total scalar + V-row vocab grid fan-out
 }
 
 ALL = sorted(catalog())
