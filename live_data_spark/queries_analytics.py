@@ -1879,3 +1879,69 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sq") / float(_HHI_Q), 6).alias("hhi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent — nested revenue shares (nation→region→total).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT region, sum(rev) AS reg_rev FROM nat GROUP BY 1
+    ), tot AS (SELECT sum(reg_rev) AS t FROM reg)
+    SELECT nat.region, nat.nation,
+           cast(nat.rev AS DOUBLE) AS revenue,
+           cast(round(nat.rev / reg.reg_rev, 6) AS DOUBLE) AS share_of_region,
+           cast(round(reg.reg_rev / tot.t, 6) AS DOUBLE) AS region_share_of_total
+    FROM nat JOIN reg USING (region), tot
+    """,
+    tags=("agg", "join"),
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two levels in one result: each nation's share
+    of its region's revenue AND each region's share of the total — the
+    BI drill-down shape (treemaps, contribution analyses) that plain
+    ROLLUP subtotals don't directly give. All revenue is exact DECIMAL;
+    the two ratios are decimal/decimal divisions rounded identically, so
+    the shares are engine-exact without quantization games.
+
+    One fact aggregate (dims broadcast), then a region-sized and a 1-row
+    frame joined back — no second pass over orders.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    reg = nat.groupBy("region").agg(F.sum("rev").alias("reg_rev"))
+    tot = reg.agg(F.sum("reg_rev").alias("t"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("revenue"),
+            # cast AFTER the decimal round: decimal scale-6 stringifies
+            # with trailing zeros ('0.122410') while doubles don't
+            F.round(F.col("rev") / F.col("reg_rev"), 6).cast("double").alias("share_of_region"),
+            F.round(F.col("reg_rev") / F.col("t"), 6).cast("double").alias("region_share_of_total"),
+        )
+    )

@@ -55,6 +55,7 @@ BNLJ_OK: set[str] = {
     "training_mix_schedule",  # steps grid × L-row share frame × 1-row totals
     "corpus_length_buckets",  # 1-row percentile-cut frame × corpus (equi-depth pattern)
     "source_vocab_divergence",  # 1-row corpus-total scalar + V-row vocab grid fan-out
+    "revenue_share_of_parent",  # 1-row grand-total scalar × nation rows
 }
 
 ALL = sorted(catalog())
