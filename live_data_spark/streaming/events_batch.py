@@ -1987,3 +1987,59 @@ def incremental_rollup_update(
     shutil.rmtree(rd)
     tmp.rename(rd)
     return touched
+
+
+# ---------------------------------------------------------------------------
+# Stickiness — DAU / trailing-30-day MAU per day.
+# ---------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT cast(ts AS DATE) AS d, user_id FROM events
+), days AS (SELECT DISTINCT d AS anchor FROM du),
+fan AS (
+  SELECT du.d, du.user_id,
+         unnest(generate_series(du.d, du.d + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS anchor
+  FROM du
+), joined AS (
+  SELECT f.d, f.user_id, cast(f.anchor AS DATE) AS anchor
+  FROM fan f JOIN days ON cast(f.anchor AS DATE) = days.anchor
+)
+SELECT strftime(anchor, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN d = anchor THEN user_id END) AS dau,
+       count(DISTINCT user_id) AS mau_30d,
+       round(count(DISTINCT CASE WHEN d = anchor THEN user_id END)
+             / cast(count(DISTINCT user_id) AS DOUBLE), 4) AS stickiness
+FROM joined GROUP BY anchor
+"""
+
+
+@register("events_stickiness", oracle=_STICKINESS_ORACLE, tags=("events", "agg", "window"))
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-30-day MAU per day — the product-engagement
+    stickiness ratio ("what fraction of the monthly audience shows up
+    on a given day"). Same fan-out device as ``events_rolling_dau``
+    (rolling DISTINCT has no window form and pre-aggregated DAU can't
+    sum): the deduped (day, user) frame explodes to its 30 future
+    anchors — exactly 30 rows per pair regardless of history length,
+    hash-joined against the observed-day grid, never a range-condition
+    nested loop. The HLL swap (mergeable per-day sketches, 30-way
+    union) drops the fan-out at 100 TB when ±2% is acceptable, exactly
+    as ``events_rolling_dau_hll`` demonstrates for the 7-day form.
+    """
+    e = load(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("anchor")).distinct()
+    fan = du.select(
+        "d",
+        "user_id",
+        F.explode(F.sequence("d", F.date_add("d", 29))).alias("anchor"),
+    )
+    joined = fan.join(F.broadcast(days), "anchor")
+    dau = F.countDistinct(F.when(F.col("d") == F.col("anchor"), F.col("user_id")))
+    mau = F.countDistinct("user_id")
+    return joined.groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day")).agg(
+        dau.alias("dau"),
+        mau.alias("mau_30d"),
+        F.round(dau / mau.cast("double"), 4).alias("stickiness"),
+    )
