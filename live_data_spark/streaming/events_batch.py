@@ -2043,3 +2043,77 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         mau.alias("mau_30d"),
         F.round(dau / mau.cast("double"), 4).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto cuts — what share of value the top-X% of users drive.
+# ---------------------------------------------------------------------------
+
+PARETO_CUTS = (1, 5, 10, 20, 50)
+
+_PARETO_ORACLE = f"""
+WITH uv AS (
+  SELECT user_id, sum(cast(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT v,
+         row_number() OVER (ORDER BY v DESC, user_id) AS rn,
+         sum(v) OVER (ORDER BY v DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         count(*) OVER () AS n,
+         sum(v) OVER () AS tot
+  FROM uv
+), cuts AS (SELECT unnest([{", ".join(str(c) for c in PARETO_CUTS)}]) AS pct)
+SELECT c.pct AS top_pct,
+       cast(max(CASE WHEN r.rn <= greatest(1, cast(floor(r.n * c.pct / 100.0) AS BIGINT))
+                     THEN r.rn END) AS BIGINT) AS n_users,
+       cast(max(CASE WHEN r.rn = greatest(1, cast(floor(r.n * c.pct / 100.0) AS BIGINT))
+                     THEN round(r.cum / r.tot, 4) END) AS DOUBLE) AS value_share
+FROM ranked r CROSS JOIN cuts c
+GROUP BY c.pct
+"""
+
+
+@register("events_value_pareto", oracle=_PARETO_ORACLE, tags=("events", "agg", "window"))
+def events_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration cut-points: the share of total event value
+    driven by the top 1/5/10/20/50% of users — the "do whales dominate"
+    readout the Gini coefficient compresses into one number, here kept
+    as the curve points a capacity/abuse analysis actually consults.
+    Value sums are exact DECIMAL; each cut reads the cumulative share at
+    rank floor(n·pct/100) (min 1), rank-ordered with a user_id tiebreak
+    so the cut row is engine-exact.
+
+    The ranked frame is USER-sized (one aggregate over events first),
+    so the ordering window runs over ~DAU rows, not events; at a scale
+    where even users overflow one partition, the range-partitioned rank
+    family (functions/ranks.py) is the documented swap-in.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    uv = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    w = Window.orderBy(F.col("v").desc(), "user_id")
+    ranked = uv.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    ).crossJoin(
+        F.broadcast(uv.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot")))
+    )
+    cuts = spark.createDataFrame([(c,) for c in PARETO_CUTS], "top_pct int")
+    cut_rank = F.greatest(F.lit(1), F.floor(F.col("n") * F.col("top_pct") / 100.0).cast("bigint"))
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .groupBy("top_pct")
+        .agg(
+            F.max(F.when(F.col("rn") <= cut_rank, F.col("rn"))).cast("bigint").alias("n_users"),
+            F.max(
+                F.when(F.col("rn") == cut_rank, F.round(F.col("cum") / F.col("tot"), 4))
+            )
+            .cast("double")
+            .alias("value_share"),
+        )
+    )

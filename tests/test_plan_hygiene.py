@@ -56,6 +56,7 @@ BNLJ_OK: set[str] = {
     "corpus_length_buckets",  # 1-row percentile-cut frame × corpus (equi-depth pattern)
     "source_vocab_divergence",  # 1-row corpus-total scalar + V-row vocab grid fan-out
     "revenue_share_of_parent",  # 1-row grand-total scalar × nation rows
+    "events_value_pareto",  # 1-row (n, total) scalar + 5-row cut grid × user ranks
 }
 
 ALL = sorted(catalog())
