@@ -1065,3 +1065,58 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. Dedup token impact — what exact dedup saves, in training tokens.
+# ---------------------------------------------------------------------------
+
+_TOKEN_IMPACT_ORACLE = r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         cast(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), keep AS (
+  SELECT lang, toks,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS keeper
+  FROM t
+)
+SELECT lang,
+       cast(sum(toks) AS BIGINT) AS tokens_raw,
+       cast(sum(CASE WHEN keeper = 1 THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+       cast(sum(CASE WHEN keeper = 0 THEN toks ELSE 0 END) AS BIGINT) AS tokens_removed,
+       round(sum(CASE WHEN keeper = 0 THEN toks ELSE 0 END)
+             / cast(sum(toks) AS DOUBLE), 4) AS removed_share
+FROM keep GROUP BY lang
+"""
+
+
+@register("corpus_dedup_token_impact", oracle=_TOKEN_IMPACT_ORACLE, tags=("dedup", "text", "pipeline"))
+def corpus_dedup_token_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup is actually worth, in the pipeline's own
+    currency: TRAINING TOKENS removed per language (doc counts — the
+    cascade's unit — understate impact when duplicates skew long, and
+    token budgets are what mix planning spends). Keeper = min doc_id per
+    content fingerprint via the single-scan fp-window (the exact_dedup
+    plan shape); one pass, one fp-keyed shuffle, language-sized output.
+    """
+    from live_data_spark.operators.text import fingerprint
+
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("toks"),
+        fingerprint("text").alias("fp"),
+    )
+    keeper = (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))).cast("int")
+    k = d.select("lang", "toks", keeper.alias("keeper"))
+    removed = F.sum(F.when(F.col("keeper") == 0, F.col("toks")).otherwise(0))
+    return k.groupBy("lang").agg(
+        F.sum("toks").alias("tokens_raw"),
+        F.sum(F.when(F.col("keeper") == 1, F.col("toks")).otherwise(0)).alias("tokens_kept"),
+        removed.alias("tokens_removed"),
+        F.round(removed / F.sum("toks").cast("double"), 4).alias("removed_share"),
+    )
