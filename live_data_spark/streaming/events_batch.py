@@ -2117,3 +2117,73 @@ def events_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak burst detection — worst 15-minute error window per day.
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH err AS (
+  SELECT ts FROM events WHERE event_type = 'error'
+), fan AS (
+  SELECT unnest(generate_series(
+           time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 10 MINUTE,
+           time_bucket(INTERVAL 5 MINUTE, ts),
+           INTERVAL 5 MINUTE)) AS ws
+  FROM err
+), win AS (
+  SELECT ws, count(*) AS n FROM fan GROUP BY ws
+), daily AS (
+  SELECT cast(ws AS DATE) AS day, ws, n,
+         row_number() OVER (PARTITION BY cast(ws AS DATE)
+                            ORDER BY n DESC, ws) AS rn
+  FROM win
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       strftime(ws, '%Y-%m-%d %H:%M:%S') AS peak_window_start,
+       cast(n AS BIGINT) AS peak_errors
+FROM daily WHERE rn = 1
+"""
+
+
+@register("events_peak_error_burst", oracle=_PEAK_ORACLE, tags=("events", "window", "quality"))
+def events_peak_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The worst 15-minute error burst per day (sliding 5-minute stride):
+    incident triage's first question — not "how many errors today" but
+    "how bad was the worst quarter hour". Each error fans out to the 3
+    overlapping windows that contain it (the events_sliding_rollup
+    device: exact bounded fan-out, never a range-condition nested
+    loop), windows aggregate, and the per-day argmax takes the earliest
+    window on ties (deterministic on both engines).
+
+    Shape: error-filtered scan (predicate pushdown) → 3× fan-out → one
+    window-keyed aggregate → a day-partitioned top-1. Peak state is
+    day-count sized.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    bucket = (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 300) * 300).cast(
+        "timestamp"
+    )
+    fan = e.select(
+        F.explode(
+            F.sequence(
+                bucket - F.expr("INTERVAL 10 MINUTES"),
+                bucket,
+                F.expr("INTERVAL 5 MINUTES"),
+            )
+        ).alias("ws")
+    )
+    win = fan.groupBy("ws").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(F.col("ws").cast("date")).orderBy(F.col("n").desc(), "ws")
+    return (
+        win.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.date_format(F.col("ws").cast("date"), "yyyy-MM-dd").alias("day"),
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("peak_window_start"),
+            F.col("n").alias("peak_errors"),
+        )
+    )
