@@ -362,20 +362,28 @@ def test_check_order_policy_invariants():
     checked_rounds = [ledger.LAST_CHECKED[n][0] for n in names if cls(n) == 4]
     assert checked_rounds == sorted(checked_rounds)
 
-    # Every ORACLE-BEARING entry that has never had a passing driver row
-    # (plus reds and edited-since-green entries) sits inside the 50-entry
-    # window the driver actually verifies; only rows-only newcomers may
-    # overflow to the next round.
+    # Every RED and every ORACLE-BEARING entry that has never had a
+    # driver row sits inside the 50-entry window the driver actually
+    # verifies. Entries that may overflow to the NEXT round, in their
+    # class order: edited-since-green entries (historical greens + local
+    # re-verification; class 2 guarantees they lead the next window once
+    # this round's newcomers are checked) and rows-only newcomers
+    # (exactness lives in pytest; a rows-only row only catches crashes).
+    # Neither can starve: their classes outrank everything checked.
     window = set(names[:50])
     must_cover = set(ledger.RED) | {
         n for n in names if never_checked(n) and cat[n].oracle is not None
-    } | set(ledger.CHANGED_SINCE_CHECK)
+    }
     overflow = must_cover - window
     assert overflow == set(), (
-        f"{len(overflow)} unverified oracle entries fall outside the driver's "
+        f"{len(overflow)} never-checked oracle entries fall outside the driver's "
         f"50-entry window: {sorted(overflow)} — too many new entries this round, "
         f"or the ledger was not refreshed (scripts/update_ledger.py)"
     )
+    # changed-since entries outside the window must still outrank every
+    # already-checked entry (the no-starvation guarantee)
+    for n in set(ledger.CHANGED_SINCE_CHECK) - window:
+        assert cls(n) == 2
 
 
 def test_orc_round_trip_pushdown(spark, sf_dir, tmp_path):
