@@ -2187,3 +2187,97 @@ def events_peak_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("peak_errors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session depth distribution — engagement histogram over session lengths.
+# ---------------------------------------------------------------------------
+
+_SESSION_DEPTH_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), depth AS (
+  SELECT count(*) AS n_events FROM sessions GROUP BY user_id, session_seq
+), b AS (
+  SELECT CASE WHEN n_events = 1 THEN '01'
+              WHEN n_events <= 3 THEN '02-03'
+              WHEN n_events <= 10 THEN '04-10'
+              WHEN n_events <= 30 THEN '11-30'
+              ELSE '31+' END AS depth_bucket,
+         n_events
+  FROM depth
+), tot AS (SELECT count(*) AS t FROM b)
+SELECT b.depth_bucket,
+       count(*) AS n_sessions,
+       cast(sum(b.n_events) AS BIGINT) AS n_events,
+       round(count(*) / cast(tot.t AS DOUBLE), 4) AS session_share
+FROM b, tot GROUP BY b.depth_bucket, tot.t
+"""
+
+
+@register("events_session_depth", oracle=_SESSION_DEPTH_ORACLE, tags=("events", "session", "agg"))
+def events_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram: how many sessions are bounces (1 event),
+    short visits, or deep engagements — the distribution behind every
+    bounce-rate/engagement dashboard, bucketed on fixed boundaries so
+    cross-period comparisons are stable. Sessionization is the shared
+    30-minute-gap rule (``events_sessionize``'s lag → flag → running
+    sum, ties broken by event_id; the gap compares EPOCH MILLISECONDS —
+    integer on both engines).
+
+    One user_id shuffle covers both window passes and the per-session
+    rollup; the bucket aggregate is 5 rows.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((ms - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))) > 1800000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    depth = sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "01")
+        .when(F.col("n_events") <= 3, "02-03")
+        .when(F.col("n_events") <= 10, "04-10")
+        .when(F.col("n_events") <= 30, "11-30")
+        .otherwise("31+")
+    )
+    b = depth.select(bucket.alias("depth_bucket"), "n_events")
+    tot = b.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("depth_bucket", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.count(F.lit(1)) / F.col("t").cast("double"), 4).alias("session_share"),
+        )
+        .drop("t")
+    )

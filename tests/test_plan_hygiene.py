@@ -57,6 +57,7 @@ BNLJ_OK: set[str] = {
     "source_vocab_divergence",  # 1-row corpus-total scalar + V-row vocab grid fan-out
     "revenue_share_of_parent",  # 1-row grand-total scalar × nation rows
     "events_value_pareto",  # 1-row (n, total) scalar + 5-row cut grid × user ranks
+    "events_session_depth",  # 1-row session-total scalar × 5 bucket rows
 }
 
 ALL = sorted(catalog())
