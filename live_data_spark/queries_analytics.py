@@ -1945,3 +1945,63 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("reg_rev") / F.col("t"), 6).cast("double").alias("region_share_of_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue cohorts — first-order month × months-since revenue matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_revenue",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), placed AS (
+      SELECT f.cohort,
+             (extract(year FROM date_trunc('month', o.o_orderdate)) - extract(year FROM f.cohort)) * 12
+               + (extract(month FROM date_trunc('month', o.o_orderdate)) - extract(month FROM f.cohort))
+               AS months_since,
+             cast(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    )
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+           cast(months_since AS INTEGER) AS months_since,
+           cast(count(*) AS BIGINT) AS n_orders,
+           cast(sum(rev) AS DOUBLE) AS revenue
+    FROM placed GROUP BY cohort, months_since
+    """,
+    tags=("agg", "join", "window"),
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort matrix: customers grouped by FIRST-order month,
+    revenue tracked by months-since-acquisition — the LTV-curve input
+    (read along a row for a cohort's lifetime value, down a column for
+    acquisition-quality drift). Month arithmetic is integer
+    year/month components — no day-diff division, engine-exact; revenue
+    sums in DECIMAL.
+
+    Two aggregates sharing the customer key: first-order month per
+    customer (map-side combined), broadcast back onto orders, then the
+    (cohort, months_since)-keyed rollup — calendar² sized output.
+    """
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    placed = o.join(F.broadcast(first), "o_custkey").select(
+        "cohort",
+        (
+            (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+            + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort"))
+        ).alias("months_since"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    return placed.groupBy(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        F.col("months_since").cast("int").alias("months_since"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
