@@ -2005,3 +2005,60 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase profile — retention economics per nation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_repeat_profile",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_nationkey, o.o_custkey, count(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation,
+           cast(count(*) AS BIGINT) AS n_buyers,
+           cast(count(CASE WHEN p.n_orders >= 2 THEN 1 END) AS BIGINT) AS n_repeat,
+           round(count(CASE WHEN p.n_orders >= 2 THEN 1 END) / cast(count(*) AS DOUBLE), 4)
+             AS repeat_rate,
+           round(sum(p.n_orders) / cast(count(*) AS DOUBLE), 4) AS orders_per_buyer
+    FROM per_cust p JOIN nation n ON n.n_nationkey = p.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "join"),
+)
+def customer_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase economics per nation: how many buyers come back
+    (≥2 orders) and the mean order frequency — the unit-economics split
+    (acquisition vs retention revenue) every commerce dashboard leads
+    with. Integer counts and count ratios only — engine-exact without
+    quantization.
+
+    One fact aggregate keyed on (nation, customer) with the customer
+    dim broadcast, then a nation-sized rollup.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    repeat = F.count(F.when(F.col("n_orders") >= 2, 1))
+    return (
+        per_cust.join(F.broadcast(n), per_cust.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            repeat.alias("n_repeat"),
+            F.round(repeat / F.count(F.lit(1)).cast("double"), 4).alias("repeat_rate"),
+            F.round(F.sum("n_orders") / F.count(F.lit(1)).cast("double"), 4).alias(
+                "orders_per_buyer"
+            ),
+        )
+    )
