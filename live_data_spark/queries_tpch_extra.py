@@ -495,3 +495,68 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 3)
         .select("name_1", "name_2", dist.cast("int").alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier fulfillment speed — delay distribution per supplier.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_fulfillment_speed",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), per_supp AS (
+      SELECT l_suppkey AS supp_key, count(*) AS n_lines,
+             cast(sum(CASE WHEN delay > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             cast(sum(delay) AS BIGINT) AS delay_days_total
+      FROM li GROUP BY 1 HAVING count(*) >= 10
+    )
+    SELECT s.s_name AS supplier, p.n_lines, p.n_late,
+           round(p.n_late / cast(p.n_lines AS DOUBLE), 4) AS late_share,
+           round(p.delay_days_total / cast(p.n_lines AS DOUBLE), 4) AS avg_delay_days
+    FROM per_supp p JOIN supplier s ON s.s_suppkey = p.supp_key
+    ORDER BY late_share DESC, supplier LIMIT 25
+    """,
+    tags=("agg", "join", "topk"),
+)
+def supplier_fulfillment_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-25 suppliers by slow-fulfillment share (order-to-ship lag
+    over 60 days), with a 10-line volume floor so one unlucky shipment
+    can't top the list — the vendor scorecard procurement actually runs
+    (Q21 counts waiting suppliers; this ranks chronic lag and its mean).
+    Lags are integer day differences; shares and means are integer
+    ratios — engine-exact; the cut is TakeOrdered with a name tiebreak.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    per_supp = (
+        li.select(F.col("l_suppkey").alias("supp_key"), delay.alias("delay"))
+        .groupBy("supp_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("delay") > 60, 1).otherwise(0)).alias("n_late"),
+            F.sum("delay").alias("delay_days_total"),
+        )
+        .where(F.col("n_lines") >= 10)
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(s), per_supp.supp_key == s.s_suppkey)
+        .select(
+            F.col("s_name").alias("supplier"),
+            "n_lines",
+            "n_late",
+            F.round(F.col("n_late") / F.col("n_lines").cast("double"), 4).alias("late_share"),
+            F.round(F.col("delay_days_total") / F.col("n_lines").cast("double"), 4).alias(
+                "avg_delay_days"
+            ),
+        )
+        .orderBy(F.col("late_share").desc(), "supplier")
+        .limit(25)
+    )
