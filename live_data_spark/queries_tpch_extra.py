@@ -560,3 +560,74 @@ def supplier_fulfillment_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("late_share").desc(), "supplier")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation trade balance — supply revenue vs demand spend per nation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+    WITH supply AS (
+      SELECT s.s_nationkey AS nk,
+             sum(cast(l.l_extendedprice AS DECIMAL(18,2))) AS supply_rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1
+    ), demand AS (
+      SELECT c.c_nationkey AS nk,
+             sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS demand_spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           cast(coalesce(s.supply_rev, 0) AS DOUBLE) AS supply_rev,
+           cast(coalesce(d.demand_spend, 0) AS DOUBLE) AS demand_spend,
+           cast(coalesce(s.supply_rev, 0) - coalesce(d.demand_spend, 0) AS DOUBLE)
+             AS trade_balance
+    FROM nation n
+    LEFT JOIN supply s ON s.nk = n.n_nationkey
+    LEFT JOIN demand d ON d.nk = n.n_nationkey
+    """,
+    tags=("agg", "join"),
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's position in the trade network: revenue its suppliers
+    EARN vs what its customers SPEND, and the balance — the two-
+    perspective join (one fact read per side, different dim paths) that
+    Q7's bilateral flows aggregate away. Nations with no suppliers or
+    customers zero-fill through the LEFT joins rather than dropping.
+    All money stays DECIMAL until the final double cast.
+
+    Two independent fact aggregates (dims broadcast) meet at a
+    nation-sized join — no fact-to-fact shuffle anywhere.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supply = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supply_rev"))
+    )
+    demand = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("demand_spend"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        n.join(supply, n.n_nationkey == supply.nk, "left")
+        .join(demand, n.n_nationkey == demand.nk, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("supply_rev", zero).cast("double").alias("supply_rev"),
+            F.coalesce("demand_spend", zero).cast("double").alias("demand_spend"),
+            (F.coalesce("supply_rev", zero) - F.coalesce("demand_spend", zero))
+            .cast("double")
+            .alias("trade_balance"),
+        )
+    )
