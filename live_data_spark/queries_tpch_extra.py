@@ -631,3 +631,63 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trade_balance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Price dispersion — exact second moments from integer cents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_price_dispersion",
+    oracle="""
+    WITH c AS (
+      SELECT p_brand, cast(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ), s AS (
+      SELECT p_brand,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(cents) AS BIGINT) AS sc,
+             cast(sum(cents * cents) AS BIGINT) AS scc
+      FROM c GROUP BY p_brand
+    )
+    SELECT p_brand AS brand, n,
+           round(sc / (n * 100.0), 4) AS mean_price,
+           round(sqrt(greatest(n * scc - sc * sc, 0) / cast(n * n AS DOUBLE)) / 100.0, 4)
+             AS stdev_price,
+           round(sqrt(greatest(n * scc - sc * sc, 0) / cast(n * n AS DOUBLE)) / (sc / cast(n AS DOUBLE)), 4)
+             AS cv
+    FROM s
+    """,
+    tags=("agg", "profiling"),
+)
+def brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price dispersion per brand — mean, population stdev, and the
+    coefficient of variation (the catalog-hygiene signal: a brand whose
+    CV explodes has mispriced SKUs or mixed units). Deliberately NOT
+    ``stddev()``: engines disagree on streaming-variance accumulation
+    order, so both sides compute the second moment from EXACT integer
+    CENTS sums (2-dp money → integers, the decimal twin of the
+    integer-sums regression recipe) and take one identical sqrt.
+
+    One map-side-combined aggregate; brand-count-sized output.
+    """
+    p = load(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    s = p.select(F.col("p_brand"), cents.alias("cents")).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).alias("scc"),
+    )
+    var_cents2 = F.greatest(
+        F.col("n") * F.col("scc") - F.col("sc") * F.col("sc"), F.lit(0)
+    ) / (F.col("n") * F.col("n")).cast("double")
+    stdev = F.sqrt(var_cents2)
+    mean_cents = F.col("sc") / F.col("n").cast("double")
+    return s.select(
+        F.col("p_brand").alias("brand"),
+        "n",
+        F.round(F.col("sc") / (F.col("n") * 100.0), 4).alias("mean_price"),
+        F.round(stdev / 100.0, 4).alias("stdev_price"),
+        F.round(stdev / mean_cents, 4).alias("cv"),
+    )

@@ -2281,3 +2281,51 @@ def events_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning — daily activity split by first-seen date.
+# ---------------------------------------------------------------------------
+
+_NEW_RETURNING_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(cast(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+), tagged AS (
+  SELECT cast(e.ts AS DATE) AS day,
+         CASE WHEN cast(e.ts AS DATE) = f.d0 THEN 1 ELSE 0 END AS is_new,
+         e.user_id
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN is_new = 1 THEN user_id END) AS new_users,
+       count(DISTINCT CASE WHEN is_new = 0 THEN user_id END) AS returning_users,
+       cast(sum(is_new) AS BIGINT) AS new_user_events,
+       cast(count(*) - sum(is_new) AS BIGINT) AS returning_events
+FROM tagged GROUP BY day
+"""
+
+
+@register("events_new_vs_returning", oracle=_NEW_RETURNING_ORACLE, tags=("events", "agg"))
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth dashboard's first split: per day, users (and events)
+    from people seen for the FIRST time that day vs returners — what
+    separates an acquisition spike from an engagement change when the
+    DAU line moves. A user's first-seen date is a per-user min (map-side
+    combined, user-count sized) broadcast back onto events; the day
+    rollup is calendar-sized. All classification is exact date equality.
+    """
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    tagged = e.join(F.broadcast(first), "user_id").select(
+        F.to_date("ts").alias("day"),
+        (F.to_date("ts") == F.col("d0")).cast("int").alias("is_new"),
+        "user_id",
+    )
+    return tagged.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct(F.when(F.col("is_new") == 1, F.col("user_id"))).alias("new_users"),
+        F.countDistinct(F.when(F.col("is_new") == 0, F.col("user_id"))).alias(
+            "returning_users"
+        ),
+        F.sum("is_new").alias("new_user_events"),
+        (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_events"),
+    )
