@@ -2329,3 +2329,44 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").alias("new_user_events"),
         (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Load factor — peak-to-mean hourly traffic, the capacity-planning number.
+# ---------------------------------------------------------------------------
+
+_LOAD_FACTOR_ORACLE = """
+WITH hourly AS (
+  SELECT cast(ts AS DATE) AS day, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       cast(count(*) AS BIGINT) AS active_hours,
+       cast(sum(n) AS BIGINT) AS total_events,
+       cast(max(n) AS BIGINT) AS peak_hour_events,
+       round(max(n) * count(*) / cast(sum(n) AS DOUBLE), 4) AS load_factor
+FROM hourly GROUP BY day
+"""
+
+
+@register("events_hourly_load_factor", oracle=_LOAD_FACTOR_ORACLE, tags=("events", "agg"))
+def events_hourly_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-mean hourly load per day — THE capacity-planning number
+    (provision for the peak, pay for the mean; a load factor near 1
+    means steady traffic, high values mean bursty traffic that wants
+    autoscaling or smoothing). Two nested integer aggregates: hourly
+    counts (map-side combined), then a day rollup whose ratio divides
+    exact integers.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.to_date("ts").alias("day"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hourly.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("active_hours"),
+        F.sum("n").alias("total_events"),
+        F.max("n").alias("peak_hour_events"),
+        F.round(
+            F.max("n") * F.count(F.lit(1)) / F.sum("n").cast("double"), 4
+        ).alias("load_factor"),
+    )
