@@ -375,11 +375,18 @@ def test_check_order_policy_invariants():
         n for n in names if never_checked(n) and cat[n].oracle is not None
     }
     overflow = must_cover - window
-    assert overflow == set(), (
-        f"{len(overflow)} never-checked oracle entries fall outside the driver's "
-        f"50-entry window: {sorted(overflow)} — too many new entries this round, "
-        f"or the ledger was not refreshed (scripts/update_ledger.py)"
-    )
+    if overflow:
+        # Pure capacity overflow is acceptable ONLY when no window slot
+        # could have served them better: every slot must hold a red or a
+        # never-checked oracle entry (nothing wasted on a recheck while
+        # an unchecked entry waits), and the overflowed entries keep
+        # class ≤1 so they LEAD the next round's window.
+        assert all(cls(n) <= 1 for n in names[:50]), (
+            f"unchecked oracle entries {sorted(overflow)} wait outside the "
+            f"window while lower-priority entries occupy slots — ledger stale? "
+            f"(scripts/update_ledger.py)"
+        )
+        assert all(cls(n) <= 1 for n in overflow)
     # changed-since entries outside the window must still outrank every
     # already-checked entry (the no-starvation guarantee)
     for n in set(ledger.CHANGED_SINCE_CHECK) - window:
