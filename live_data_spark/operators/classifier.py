@@ -112,6 +112,8 @@ def logreg_fit(
         as_double("embedding").alias("emb"), "label"
     )
     first = e.first()
+    if first is None:  # empty corpus: no fit — callers emit empty results
+        return None
     d1 = len(first["emb"]) + 1
     beta = np.zeros(d1)
     reg = ridge * np.eye(d1)
@@ -169,6 +171,13 @@ def embedding_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "label", as_double("embedding").alias("emb")
     )
+    if beta is None:  # empty corpus: no fit, defined empty confusion table
+        return e.limit(0).select(
+            "label",
+            F.lit(0).cast("long").alias("n_vecs"),
+            F.lit(0).cast("long").alias("n_pred_pos"),
+            F.lit(0).cast("long").alias("n_correct"),
+        )
     p = _score_udf(beta)(F.col("emb"))
     pred = (p >= 0.5).cast("int")
     correct = (
@@ -204,6 +213,13 @@ def embedding_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "label", as_double("embedding").alias("emb")
     )
+    if beta is None:  # empty corpus: no fit, defined empty reliability table
+        return e.limit(0).select(
+            F.lit(0).alias("bin"),
+            F.lit(0).cast("long").alias("n_vecs"),
+            F.lit(0.0).alias("mean_pred"),
+            F.lit(0.0).alias("frac_pos"),
+        )
     p = _score_udf(beta)(F.col("emb"))
     y = (F.col("label") == F.lit(TARGET_LABEL)).cast("double")
     binned = e.select(

@@ -39,8 +39,14 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
 
 
 def _init_centroids(e: DataFrame, k: int) -> np.ndarray:
-    """Deterministic init: the k smallest vec_ids' unit vectors."""
+    """Deterministic init: the k smallest vec_ids' unit vectors.
+
+    Empty table → a (0, 0) matrix, the "no centroids" sentinel the fit
+    loop and every caller treat as "emit the empty result" (the
+    catalog-wide empty-input contract, tests/test_empty_input.py)."""
     rows = e.orderBy("vec_id").limit(k).collect()
+    if not rows:
+        return np.zeros((0, 0))
     return _normalized(np.array([r["emb"] for r in rows], dtype=np.float64))
 
 
@@ -124,6 +130,8 @@ def kmeans_fit(
         "vec_id", as_double("embedding").alias("emb")
     )
     centroids = _init_centroids(e, k)
+    if centroids.size == 0:  # empty corpus: nothing to fit
+        return centroids
     for _ in range(iters):
         # Assignment AND per-cluster partial sums in ONE Arrow pass: each
         # partition emits ≤k (cluster, Σemb, n) rows, merged driver-side —
@@ -177,7 +185,14 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants to become a proper ``spark.sparkContext.broadcast``.
     """
     assigned = kmeans_assign(spark, sf_dir)
-    dims = len(assigned.select("emb").first()["emb"])
+    probe = assigned.select("emb").first()
+    if probe is None:  # empty corpus: no clusters, defined empty profile
+        return assigned.limit(0).select(
+            "cluster",
+            F.lit(0).cast("long").alias("n_points"),
+            F.lit(0.0).alias("mean_cos_to_centroid"),
+        )
+    dims = len(probe["emb"])
     norm = F.sqrt(
         F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
     )

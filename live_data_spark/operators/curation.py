@@ -888,7 +888,7 @@ SELECT
   cast(sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END) AS BIGINT) AS n_risky_rows,
   cast(min(k) AS BIGINT) AS min_k,
   round(count(CASE WHEN k < {K_ANON_THRESHOLD} THEN 1 END)
-        / cast(count(*) AS DOUBLE), 4) AS risky_cell_rate
+        / NULLIF(cast(count(*) AS DOUBLE), 0), 4) AS risky_cell_rate
 FROM cells
 """
 
@@ -921,9 +921,11 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_risky_rows"
         ),
         F.min("k").alias("min_k"),
-        F.round(F.count(risky) / F.count(F.lit(1)).cast("double"), 4).alias(
-            "risky_cell_rate"
-        ),
+        # empty events → 0 cells: NULL rate (mirrors the oracle's NULLIF),
+        # never an ANSI DIVIDE_BY_ZERO job abort
+        F.round(
+            F.count(risky) / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)), 4
+        ).alias("risky_cell_rate"),
     )
 
 

@@ -79,6 +79,12 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # one row per node; carries outdeg so iterations touch no extra table
     n_nodes = deg.count()
+    if n_nodes == 0:  # empty graph: defined empty ranking, no 1/N term
+        return deg.select(
+            F.col("src").alias("part_id"),
+            F.col("outdeg").alias("degree"),
+            F.lit(0.0).alias("pr"),
+        )
     ranks = _truncate_lineage(
         deg.select("src", "outdeg", F.lit(1.0 / n_nodes).alias("pr"))
     )

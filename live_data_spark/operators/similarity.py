@@ -679,7 +679,15 @@ def embedding_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
-    n_dims = len(e.select("emb").first()["emb"])
+    probe = e.select("emb").first()
+    if probe is None:  # empty corpus: no labels, defined empty result
+        return e.limit(0).select(
+            "label",
+            "vec_id",
+            F.lit(1).alias("rnk"),
+            F.lit(0.0).alias("cosine_to_centroid"),
+        )
+    n_dims = len(probe["emb"])
     cvecs = e.groupBy("label").agg(
         F.array(*[F.sum(F.col("emb")[i]) for i in range(n_dims)]).alias("cvec")
     )
@@ -821,6 +829,18 @@ def _pq_train(sample: "np.ndarray", m: int = PQ_M, ks: int = PQ_KS, iters: int =
     return books
 
 
+def _empty_topk(e: DataFrame) -> DataFrame:
+    """Empty (query_id, neighbor_id, rnk, cosine_sim) frame with the ANN
+    result schema — the defined answer on an empty embeddings table
+    (driver-side codebook/query collects have nothing to train on)."""
+    return e.limit(0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).alias("rnk"),
+        F.lit(0.0).alias("cosine_sim"),
+    )
+
+
 @register("ann_pq_adc", oracle=None, tags=("similarity", "vector", "compression"))
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via product quantization + asymmetric
@@ -852,6 +872,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_rows = (
         e.select(F.xxhash64("vec_id").alias("h"), "emb").orderBy("h").limit(PQ_SAMPLE).collect()
     )
+    if not sample_rows:  # empty corpus: nothing to train codebooks on
+        return _empty_topk(e)
     sample = np.stack([np.array(r["emb"], dtype=np.float64) for r in sample_rows])
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     books = _pq_train(sample)
@@ -867,6 +889,8 @@ def _pq_adc_with_books(spark: SparkSession, e: DataFrame, books, refine: int) ->
     from pyspark.sql import Window
 
     q_rows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    if not q_rows:  # no query vectors: defined empty result
+        return _empty_topk(e)
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q = np.stack([np.array(r["emb"], dtype=np.float64) for r in q_rows])
     q /= np.linalg.norm(q, axis=1, keepdims=True)
@@ -974,6 +998,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         e.select(F.xxhash64("vec_id").alias("h"), "emb").orderBy("h").limit(k_lists).collect()
     )
+    if not cent_rows:  # empty corpus: no lists to build
+        return _empty_topk(e)
     cents = np.stack([np.array(r["emb"], dtype=np.float64) for r in cent_rows])
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -986,6 +1012,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_train(resid_sample)
 
     q_rows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    if not q_rows:  # no query vectors: defined empty result
+        return _empty_topk(e)
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q = np.stack([np.array(r["emb"], dtype=np.float64) for r in q_rows])
     q /= np.linalg.norm(q, axis=1, keepdims=True)
@@ -1072,6 +1100,8 @@ def _distributed_moments(e: DataFrame) -> tuple[int, "np.ndarray", "np.ndarray"]
     parts = e.mapInPandas(
         moments, schema="n long, s array<double>, ss array<double>"
     ).collect()
+    if not parts:  # empty corpus: zero-dim moments, callers emit empty
+        return 0, np.zeros(0), np.zeros((0, 0))
     n = sum(r["n"] for r in parts)
     d = len(parts[0]["s"])
     s = np.zeros(d)
@@ -1293,6 +1323,8 @@ def mmr_greedy(pool: "list[tuple[int, float, list[float]]]", k: int, lam: float)
     same bounded-collect contract as the PQ codebook sample."""
     import numpy as np
 
+    if not pool:  # empty corpus: nothing to select
+        return []
     ids = [p[0] for p in pool]
     rel = np.array([p[1] for p in pool])
     V = np.array([p[2] for p in pool])
