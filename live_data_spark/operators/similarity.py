@@ -118,6 +118,96 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRUNC_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb,
+         list_slice(cast(embedding AS DOUBLE[]), 1,
+                    cast(floor(len(embedding) / 2) AS BIGINT)) AS half
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qe, half AS qh FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, c.emb) DESC,
+                                     c.vec_id) AS rnk_full,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qh, c.half) DESC,
+                                     c.vec_id) AS rnk_half
+  FROM q, e c WHERE c.vec_id <> q.query_id
+)
+SELECT query_id,
+       count(CASE WHEN rnk_half <= {TOP_K} THEN 1 END) AS n_overlap,
+       round(count(CASE WHEN rnk_half <= {TOP_K} THEN 1 END)
+             / cast({TOP_K} AS DOUBLE), 4) AS overlap_frac,
+       round(avg(rnk_half), 2) AS mean_half_rank
+FROM scored WHERE rnk_full <= {TOP_K}
+GROUP BY query_id
+"""
+
+
+@register("embedding_truncation_fidelity", oracle=_TRUNC_ORACLE, tags=("similarity", "vector", "compression"))
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation QA: how well does HALF the embedding
+    preserve the full-dimension cosine ranking? Per query: the overlap
+    between the full-dim top-k and the half-dim top-k, and the mean
+    half-dim rank of the full-dim top-k — the go/no-go audit before
+    storing truncated vectors (2× memory/bandwidth cut for ANN shards;
+    the dimension-drop PQ and IVF both benefit from). High overlap ⇒
+    the prefix dims carry the ranking signal and the index can truncate;
+    a low row pinpoints WHICH query's neighborhood collapses.
+
+    Plan: ONE broadcast(queries)×corpus pass computes both cosines (the
+    half vector is an in-plan ``slice`` — no second scan, no collect for
+    the dimension), then two row_number windows over the same per-query
+    partition (one shuffle, two sorts) and a per-query aggregate.
+    Neighbor-id tiebreaks keep both rankings totally ordered; membership
+    at the k-boundary is fp-safe (cosine gaps at the cut ≳1e-4 on this
+    testdata vs ~1e-15 engine drift).
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    half = lambda c: F.slice(c, 1, (F.size(c) / 2).cast("int"))  # noqa: E731
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qe"),
+        half(as_double("embedding")).alias("qh"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("ce"),
+        half(as_double("embedding")).alias("ch"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("cos_full"),
+            cosine(F.col("qh"), F.col("ch")).alias("cos_half"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos_full").desc(), "neighbor_id")
+    wh = Window.partitionBy("query_id").orderBy(F.col("cos_half").desc(), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rnk_full"),
+        F.row_number().over(wh).alias("rnk_half"),
+    )
+    hit = F.when(F.col("rnk_half") <= TOP_K, 1)
+    return (
+        ranked.where(F.col("rnk_full") <= TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.count(hit).alias("n_overlap"),
+            F.round(F.count(hit) / F.lit(float(TOP_K)), 4).alias("overlap_frac"),
+            F.round(F.avg("rnk_half"), 2).alias("mean_half_rank"),
+        )
+    )
+
+
 _NEARDUP_ORACLE = """
 WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
 SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,

@@ -441,13 +441,108 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = e.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+    # broadcast the RIGHT (non-preserved) side — a hint on the preserved
+    # grid side of the outer join is ignored (shuffle-join fallback);
+    # counts is |hours|·|types|-bounded, same as the grid
     return (
-        F.broadcast(grid)
-        .join(counts, ["h", "event_type"], "left")
+        grid.join(F.broadcast(counts), ["h", "event_type"], "left")
         .select(
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation — lag structure of the hourly traffic series.
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 24  # one diurnal cycle of hourly lags
+
+_ACF_ORACLE = f"""
+WITH idx AS (
+  SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) AS hi FROM events
+), b AS (
+  SELECT min(hi) AS lo, max(hi) AS hi_ FROM idx
+), spine AS (
+  SELECT unnest(generate_series(lo, hi_)) AS hi FROM b
+), c AS (
+  SELECT spine.hi, cast(coalesce(k.n, 0) AS DOUBLE) AS n
+  FROM spine LEFT JOIN (SELECT hi, count(*) AS n FROM idx GROUP BY hi) k
+  ON k.hi = spine.hi
+), mu AS (
+  SELECT avg(n) AS mu FROM c
+), d AS (
+  SELECT hi, n - (SELECT mu FROM mu) AS dev FROM c
+), s0 AS (
+  SELECT sum(dev * dev) AS s0 FROM d
+), lags AS (
+  SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag
+)
+SELECT cast(l.lag AS INTEGER) AS lag,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       round(sum(a.dev * b.dev) / NULLIF((SELECT s0 FROM s0), 0), 6) AS acf
+FROM lags l
+JOIN d a ON TRUE
+JOIN d b ON b.hi = a.hi + l.lag
+GROUP BY l.lag
+"""
+
+
+@register("events_hourly_acf", oracle=_ACF_ORACLE, tags=("events", "timeseries"))
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the gap-filled hourly event-count series at
+    lags 1..24 — the lag-structure diagnostic behind seasonality
+    detection (a diurnal corpus shows the lag-24 peak), forecasting-model
+    order selection, and "is this traffic i.i.d. enough to sample
+    uniformly?" checks on event-derived training data. Zero-filled gaps
+    matter: skipping silent hours would splice distant hours together
+    and fabricate correlation.
+
+    Plan: ONE events pass aggregates to integer hour indices (epoch/3600
+    — integer join keys, no timestamp arithmetic anywhere downstream);
+    the spine, deviations, lag fan-out, and the lag-offset self-join all
+    operate on that |hours|-bounded frame (broadcast-sized at any corpus
+    scale — a decade is <90k rows), with mean and Σdev² attached as
+    1-row broadcast scalars. The same tiny deviation frame feeds both
+    sides of the self-join, so the events-scan subtree is shared via
+    exchange reuse — at 100 TB the one real cost stays the single
+    hourly-count aggregate (or read it straight from the
+    ``events_hourly_rollup`` materialization).
+
+    Empty events: NULL bounds → NULL ``sequence`` → zero spine rows →
+    zero output rows, no abort (the empty-input sweep pins it).
+    """
+    e = load(spark, sf_dir, "events")
+    hidx = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600).cast("long")
+    counts = e.select(hidx.alias("hi")).groupBy("hi").agg(F.count(F.lit(1)).alias("k"))
+    bounds = counts.agg(F.min("hi").alias("lo"), F.max("hi").alias("hi_"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi_")).alias("hi"))
+    # broadcast the RIGHT (non-preserved) side: Spark ignores a broadcast
+    # hint on the preserved side of an outer join (HintErrorLogger warns
+    # and silently falls back to a shuffle join)
+    c = spine.join(F.broadcast(counts), "hi", "left").select(
+        "hi", F.coalesce(F.col("k"), F.lit(0)).cast("double").alias("n")
+    )
+    mu = c.agg(F.avg("n").alias("mu"))
+    d = c.crossJoin(F.broadcast(mu)).select("hi", (F.col("n") - F.col("mu")).alias("dev"))
+    s0 = d.agg(F.sum(F.col("dev") * F.col("dev")).alias("s0"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a, b = d.alias("a"), d.alias("b")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("b.hi") == F.col("a.hi") + F.col("lag"))
+        .select("lag", (F.col("a.dev") * F.col("b.dev")).alias("prod"))
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("prod").alias("num"))
+        .crossJoin(F.broadcast(s0))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.nullif(F.col("s0"), F.lit(0.0)), 6).alias("acf"),
         )
     )
 

@@ -58,6 +58,8 @@ BNLJ_OK: set[str] = {
     "revenue_share_of_parent",  # 1-row grand-total scalar × nation rows
     "events_value_pareto",  # 1-row (n, total) scalar + 5-row cut grid × user ranks
     "events_session_depth",  # 1-row session-total scalar × 5 bucket rows
+    "embedding_truncation_fidelity",  # broadcast 10-query set × corpus (exact compare tier, like ann_cosine_topk)
+    "events_hourly_acf",  # 1-row mean/Σdev² scalars + 24-row lag grid × |hours| frame
 }
 
 ALL = sorted(catalog())
