@@ -118,6 +118,103 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_K = 5  # top-k under Hamming distance
+
+_HAMMING_ORACLE = f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         cast(list_sum(list_transform(list_zip(q.qe, c.emb),
+              s -> CASE WHEN (s[1] > 0) <> (s[2] > 0) THEN 1 ELSE 0 END))
+              AS INTEGER) AS hamming
+  FROM q, e c WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cast(rnk AS INTEGER) AS rnk, hamming,
+       round(cos(pi() * hamming / 64.0), 4) AS est_cos
+FROM ranked WHERE rnk <= {HAMMING_K}
+"""
+
+
+@register("embedding_hamming_topk", oracle=_HAMMING_ORACLE, tags=("similarity", "vector", "compression"))
+def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN: sign-binarize each 64-dim vector into TWO
+    packed 32-bit words (16 bytes → the whole vector in one register
+    pair), rank neighbors by Hamming distance via XOR + popcount — the
+    most aggressive compression rung below PQ (4 B/vector there,
+    8 B here, 512 B raw). Under the SRP/hyperplane model Hamming
+    estimates the angle: est_cos = cos(π·h/d), emitted per row so the
+    consumer sees both the integer distance and its cosine reading.
+
+    The packing is the production trick: the corpus scan carries two
+    BIGINT columns instead of array<float>, the distance is two
+    xor+bit_count ops in whole-stage codegen — no UDF, no Arrow, no
+    floats. The oracle counts sign disagreements directly over the raw
+    arrays (definitionally the same number), so the driver hash-checks
+    the packed path against an unpacked spec. Integer ties at the k
+    boundary are broken by neighbor_id on both sides — membership is
+    exact, no fp drift anywhere in the ranking.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    def word(c, start):  # 32 sign bits from dims [start, start+32)
+        return F.aggregate(
+            F.transform(
+                F.slice(c, start + 1, 32),
+                # shiftleft() takes only a literal bit count — build 2^i
+                # via pow (exact in doubles through 2^52, i < 32 here)
+                lambda x, i: F.when(x > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        word(as_double("embedding"), 0).alias("w0"),
+        word(as_double("embedding"), 32).alias("w1"),
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"), F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    ).where(F.col("query_id") < N_QUERIES)
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("w0").alias("c0"), F.col("w1").alias("c1")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("q0").bitwiseXOR(F.col("c0")))
+                + F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= HAMMING_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            "hamming",
+            F.round(F.cos(F.lit(math.pi) * F.col("hamming") / 64.0), 4).alias("est_cos"),
+        )
+    )
+
+
 _TRUNC_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb,

@@ -548,6 +548,75 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUSUM changepoint — where did the daily level shift?
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+), seq AS (
+  SELECT day, n,
+         sum(n) OVER (ORDER BY day) AS cum_n,
+         row_number() OVER (ORDER BY day) AS t
+  FROM daily
+), tot AS (
+  SELECT sum(n) / cast(count(*) AS DOUBLE) AS mu FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       cast(n AS BIGINT) AS n_events,
+       round(cum_n - t * (SELECT mu FROM tot), 4) AS cusum,
+       cast(row_number() OVER (
+         ORDER BY abs(cum_n - t * (SELECT mu FROM tot)) DESC, day
+       ) AS INTEGER) AS shift_rank
+FROM seq
+"""
+
+
+@register("events_changepoint_cusum", oracle=_CUSUM_ORACLE, tags=("events", "timeseries"))
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series:
+    S_t = Σ_{i≤t}(n_i − μ); the day where |S_t| peaks (shift_rank 1) is
+    the level-shift estimate — the classic single-changepoint statistic
+    behind "did ingest volume step-change, and when?" monitoring on a
+    training-data feed. Every day's CUSUM is emitted so the consumer
+    sees the whole excursion, not just the argmax.
+
+    FP discipline: S_t is computed as cum_n − t·μ from the EXACT integer
+    running sum and row index — one multiply and subtract per row, no
+    accumulated float addition — so both engines produce bit-identical
+    values and the |S_t| ordering (and therefore shift_rank) cannot
+    drift. The cumulative window runs over the |days|-bounded daily
+    aggregate (one partition of a tiny frame — same posture as the other
+    post-aggregate global windows), with μ attached as a 1-row broadcast
+    scalar; the single real pass is the daily count aggregate.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wseq = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(wseq).alias("cum_n"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    mu = daily.agg((F.sum("n") / F.count(F.lit(1)).cast("double")).alias("mu"))
+    cusum = F.col("cum_n") - F.col("t") * F.col("mu")
+    return (
+        seq.crossJoin(F.broadcast(mu))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(cusum, 4).alias("cusum"),
+            F.row_number()
+            .over(Window.orderBy(F.abs(cusum).desc(), "day"))
+            .alias("shift_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Retention cohorts — the day-N product-analytics matrix.
 # ---------------------------------------------------------------------------
 

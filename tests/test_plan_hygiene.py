@@ -60,6 +60,8 @@ BNLJ_OK: set[str] = {
     "events_session_depth",  # 1-row session-total scalar × 5 bucket rows
     "embedding_truncation_fidelity",  # broadcast 10-query set × corpus (exact compare tier, like ann_cosine_topk)
     "events_hourly_acf",  # 1-row mean/Σdev² scalars + 24-row lag grid × |hours| frame
+    "embedding_hamming_topk",  # broadcast 10-query packed-word set × corpus (exact compare tier)
+    "events_changepoint_cusum",  # 1-row mean scalar × |days| daily frame
 }
 
 ALL = sorted(catalog())
