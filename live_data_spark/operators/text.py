@@ -1669,3 +1669,255 @@ def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("t").alias("n_tokens"),
         F.round(F.sum("q") / float(_KL_Q), 6).alias("kl_vs_corpus"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocations — adjacent-bigram PMI, the corpus-linguistics classic.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5  # noise floor: a collocation needs ≥5 occurrences
+PMI_TOP = 50
+
+_PMI_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), bi AS (
+  SELECT s[1] AS w1, s[2] AS w2
+  FROM (
+    SELECT unnest(list_zip(list_slice(toks, 1, len(toks) - 1),
+                           list_slice(toks, 2, len(toks)))) AS s
+    FROM w
+  )
+), uni AS (
+  SELECT unnest(toks) AS term FROM w
+), nb AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2),
+nu AS (SELECT term, count(*) AS n_term FROM uni GROUP BY 1),
+tot AS (
+  SELECT (SELECT cast(count(*) AS DOUBLE) FROM uni) AS t,
+         (SELECT cast(count(*) AS DOUBLE) FROM bi) AS b
+)
+SELECT w1, w2, cast(n_pair AS BIGINT) AS n_pair,
+       round(ln(n_pair * t * t / (b * a.n_term * c.n_term)), 6) AS pmi
+FROM nb JOIN nu a ON a.term = nb.w1 JOIN nu c ON c.term = nb.w2
+CROSS JOIN tot
+WHERE n_pair >= {PMI_MIN_PAIR}
+ORDER BY n_pair / cast(a.n_term * c.n_term AS DOUBLE) DESC, w1, w2
+LIMIT {PMI_TOP}
+"""
+
+
+@register("text_collocation_pmi", oracle=_PMI_ORACLE, tags=("text", "ngram"))
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by pointwise mutual information
+    — PMI = ln(p(w1w2) / (p(w1)·p(w2))) over bigram/unigram events, the
+    standard "these words travel together" detector (phrase mining,
+    tokenizer-merge candidates, template discovery in scraped corpora).
+
+    Determinism discipline: the RANKING key is n_pair/(n_a·n_b) — a
+    single IEEE division of exact integer products (engine-identical;
+    the constant T²/B factor cannot reorder) — while the displayed PMI
+    takes the ln only per OUTPUT row, rounded to 6 (libm-vs-JVM last-ulp
+    drift disappears in the rounding; it never touches the order).
+
+    Plan: one explode to bigrams via zip_with over two in-plan slices
+    (no posexplode/index shuffle), vocab-bounded unigram and bigram
+    aggregates, two broadcast joins of the unigram counts, 1-row totals
+    scalar. Nothing corpus-sized shuffles except the term aggregates
+    themselves.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = d.select(F.split(normalized_text("text"), " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("term"))
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    nb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    nu = uni.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    tot = uni.agg(F.count(F.lit(1)).cast("double").alias("t")).crossJoin(
+        bi.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    )
+    scored = (
+        nb.where(F.col("n_pair") >= PMI_MIN_PAIR)
+        .join(F.broadcast(nu.withColumnRenamed("term", "w1").withColumnRenamed("n_term", "na")), "w1")
+        .join(F.broadcast(nu.withColumnRenamed("term", "w2").withColumnRenamed("n_term", "nc")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    ratio = F.col("n_pair") / (F.col("na") * F.col("nc")).cast("double")
+    return (
+        scored.orderBy(ratio.desc(), "w1", "w2")
+        .limit(PMI_TOP)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(
+                F.ln(
+                    F.col("n_pair") * F.col("t") * F.col("t")
+                    / (F.col("b") * F.col("na") * F.col("nc"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth — the Heaps-law curve, bucketed for scale.
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 20
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), mx AS (SELECT max(doc_id) AS m FROM w),
+tb AS (
+  SELECT cast(floor(doc_id * {VOCAB_GROWTH_BUCKETS} / (m + 1)) AS INTEGER) AS bucket,
+         count(*) AS n_tokens
+  FROM w CROSS JOIN mx GROUP BY 1
+), fb AS (
+  SELECT cast(floor(first_doc * {VOCAB_GROWTH_BUCKETS} / (m + 1)) AS INTEGER) AS bucket,
+         count(*) AS n_new_terms
+  FROM (SELECT term, min(doc_id) AS first_doc FROM w GROUP BY term)
+  CROSS JOIN mx GROUP BY 1
+)
+SELECT tb.bucket,
+       cast(sum(tb.n_tokens) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_tokens,
+       cast(sum(coalesce(fb.n_new_terms, 0)) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_vocab
+FROM tb LEFT JOIN fb ON fb.bucket = tb.bucket
+"""
+
+
+@register("text_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE, tags=("text", "stats"))
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct vocabulary
+    vs cumulative tokens at 20 corpus checkpoints (doc_id order) — the
+    sub-linearity diagnostic behind "is this corpus still contributing
+    new vocabulary, or are we re-crawling the same material?" (a curve
+    that flattens early says more data buys no lexical novelty; one that
+    never bends says the source is noise/IDs).
+
+    Cumulative-distinct is computed WITHOUT any corpus-sized window: a
+    term contributes vocabulary exactly at its min(doc_id) bucket, so
+    one term aggregate (vocab-bounded) + one per-bucket count + a
+    running sum over the 20-row bucket frame reproduce the curve
+    exactly. The doc_id→bucket map rides a 1-row max scalar.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    w = d.select("doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("term"))
+    mx = w.agg(F.max("doc_id").alias("m"))
+    bucket_of = lambda c: F.floor(  # noqa: E731
+        F.col(c) * VOCAB_GROWTH_BUCKETS / (F.col("m") + 1)
+    ).cast("int")
+    tb = (
+        w.crossJoin(F.broadcast(mx))
+        .groupBy(bucket_of("doc_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    fb = (
+        w.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(bucket_of("first_doc").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    ws = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        tb.join(F.broadcast(fb), "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(ws).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new_terms", F.lit(0))).over(ws).cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness — Fano factor of per-doc counts (zeros included).
+# ---------------------------------------------------------------------------
+
+BURST_MIN_DF = 20
+BURST_TOP = 50
+
+_BURST_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM w
+), percount AS (
+  SELECT term, doc_id, count(*) AS c FROM w GROUP BY 1, 2
+), stats AS (
+  SELECT term, count(*) AS df, sum(c) AS s1, sum(c * c) AS s2
+  FROM percount GROUP BY term
+)
+SELECT term, cast(df AS BIGINT) AS df, cast(s1 AS BIGINT) AS total_count,
+       round((s2 * n - s1 * s1) / cast(n * s1 AS DOUBLE), 6) AS fano
+FROM stats CROSS JOIN nd
+WHERE df >= {BURST_MIN_DF}
+ORDER BY (s2 * n - s1 * s1) / cast(n * s1 AS DOUBLE) DESC, term
+LIMIT {BURST_TOP}
+"""
+
+
+@register("text_term_burstiness", oracle=_BURST_ORACLE, tags=("text", "stats"))
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 burstiest terms by Fano factor (variance-to-mean ratio of
+    per-doc counts, zero docs included): ≈1 means Poisson background
+    vocabulary; ≫1 means the term clumps into few documents — topical/
+    template words, boilerplate markers, and crawl artifacts all surface
+    here, which is why burstiness is a classic keyword/boilerplate
+    signal that pure frequency misses.
+
+    Zeros never materialize: with Σc and Σc² from occurrence rows and
+    the doc count N as a 1-row scalar, population variance over all N
+    docs is (Σc²·N − (Σc)²)/N² in closed form. Both the ranking key and
+    the emitted fano are ONE IEEE division of exact integer products —
+    engine-identical, no transcendentals, no drift. Shuffles are
+    (term, doc) then term — both vocabulary-bounded.
+    """
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    w = d.select("doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("term"))
+    nd = w.agg(F.countDistinct("doc_id").alias("n"))
+    percount = w.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    stats = percount.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    fano = (F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")) / (
+        F.col("n") * F.col("s1")
+    ).cast("double")
+    return (
+        stats.where(F.col("df") >= BURST_MIN_DF)
+        .crossJoin(F.broadcast(nd))
+        .orderBy(fano.desc(), "term")
+        .limit(BURST_TOP)
+        .select(
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("s1").cast("bigint").alias("total_count"),
+            F.round(fano, 6).alias("fano"),
+        )
+    )

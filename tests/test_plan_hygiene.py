@@ -62,6 +62,9 @@ BNLJ_OK: set[str] = {
     "events_hourly_acf",  # 1-row mean/Σdev² scalars + 24-row lag grid × |hours| frame
     "embedding_hamming_topk",  # broadcast 10-query packed-word set × corpus (exact compare tier)
     "events_changepoint_cusum",  # 1-row mean scalar × |days| daily frame
+    "text_collocation_pmi",  # 1-row (T, B) totals scalar × collocation candidates
+    "text_vocab_growth",  # 1-row max-doc-id scalar × token/first-occurrence frames
+    "text_term_burstiness",  # 1-row doc-count scalar × term-stats frame
 }
 
 ALL = sorted(catalog())
