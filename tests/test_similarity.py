@@ -389,3 +389,44 @@ def test_persisted_pq_codebook_answers_like_fresh_train(spark, sf_dir, tmp_path)
     got = {tuple(r) for r in query_pq_index(spark, sf_dir, idx).collect()}
     want = {tuple(r) for r in catalog()["ann_pq_adc"].spark(spark, sf_dir).collect()}
     assert got == want, "persisted-codebook query diverges from fresh train"
+
+
+def test_hamming_topk_invariants(spark, sf_dir):
+    """Packed-word Hamming distances stay in [0, 64], est_cos in [-1, 1],
+    and a numpy sign-disagreement recompute agrees exactly for one query
+    (the packing must not scramble bit positions)."""
+    import numpy as np
+
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.similarity import HAMMING_K, N_QUERIES, embedding_hamming_topk
+
+    rows = embedding_hamming_topk(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * HAMMING_K
+    for r in rows:
+        assert 0 <= r["hamming"] <= 64 and -1.0 <= r["est_cos"] <= 1.0
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    q0 = [r for r in rows if r["query_id"] == 0]
+    for r in q0:
+        expect = int(((emb[0] > 0) != (emb[r["neighbor_id"]] > 0)).sum())
+        assert r["hamming"] == expect
+
+
+def test_truncation_fidelity_bounds(spark, sf_dir):
+    """One row per query; overlap counts in [0, k] with the fraction
+    consistent; mean half-rank is at least the best-possible mean."""
+    from live_data_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        embedding_truncation_fidelity,
+    )
+
+    rows = embedding_truncation_fidelity(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    best_mean = (TOP_K + 1) / 2  # full top-k occupying half ranks 1..k
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOP_K
+        assert abs(r["overlap_frac"] - r["n_overlap"] / TOP_K) < 1e-9
+        assert r["mean_half_rank"] >= best_mean - 1e-9

@@ -720,3 +720,32 @@ def test_incremental_rollup_update_equals_full_recompute(spark, sf_dir, tmp_path
     pruned = spark.read.parquet(events_dir).where(F.col("hour").isin(touched))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "hour" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_hourly_acf_bounds(spark, sf_dir):
+    """|acf| ≤ 1 (Cauchy-Schwarz over the shared deviation frame),
+    n_pairs = series_length − lag, and all requested lags present."""
+    from live_data_spark.streaming.events_batch import ACF_MAX_LAG, events_hourly_acf
+
+    rows = {r["lag"]: r for r in events_hourly_acf(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, ACF_MAX_LAG + 1))
+    n = rows[1]["n_pairs"] + 1  # spine length
+    for lag, r in rows.items():
+        assert r["n_pairs"] == n - lag
+        assert abs(r["acf"]) <= 1.0 + 1e-9
+
+
+def test_changepoint_cusum_telescopes(spark, sf_dir):
+    """The final CUSUM is exactly 0 (S_N = total − N·total/N telescopes),
+    shift_rank is a permutation of 1..n_days, and the rank-1 day carries
+    the max |cusum|."""
+    from live_data_spark.streaming.events_batch import events_changepoint_cusum
+
+    rows = sorted(events_changepoint_cusum(spark, sf_dir).collect(), key=lambda r: r["day"])
+    assert rows, "daily series must be non-empty on testdata"
+    assert abs(rows[-1]["cusum"]) < 1e-6
+    ranks = sorted(r["shift_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    peak = max(abs(r["cusum"]) for r in rows)
+    top = next(r for r in rows if r["shift_rank"] == 1)
+    assert abs(abs(top["cusum"]) - peak) < 1e-9

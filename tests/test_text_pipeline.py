@@ -332,3 +332,80 @@ def test_round6_text_ops_survive_degenerate_docs(spark, sf_dir, monkeypatch):
 
     ov = cu.dedup_source_overlap(spark, sf_dir).collect()
     assert all(r["containment"] <= 1.0 for r in ov)
+
+
+def test_collocation_pmi_invariants(spark, sf_dir):
+    """Every surviving collocation clears the count floor, carries a
+    finite PMI, and the cut is exactly PMI_TOP (or fewer on a tiny SF)."""
+    from live_data_spark.operators.text import PMI_MIN_PAIR, PMI_TOP, text_collocation_pmi
+
+    rows = text_collocation_pmi(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PMI_TOP
+    import math
+
+    for r in rows:
+        assert r["n_pair"] >= PMI_MIN_PAIR
+        assert math.isfinite(r["pmi"])
+
+
+def test_vocab_growth_curve_shape(spark, sf_dir):
+    """Both cumulative series are nondecreasing, vocabulary never exceeds
+    tokens, and the final checkpoint reproduces the exact corpus totals
+    (the no-window formulation must not lose mass)."""
+    from pyspark.sql import functions as F
+
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.text import (
+        VOCAB_GROWTH_BUCKETS,
+        normalized_text,
+        text_vocab_growth,
+    )
+
+    rows = sorted(text_vocab_growth(spark, sf_dir).collect(), key=lambda r: r["bucket"])
+    assert 0 < len(rows) <= VOCAB_GROWTH_BUCKETS
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"] and b["cum_vocab"] >= a["cum_vocab"]
+    for r in rows:
+        assert r["cum_vocab"] <= r["cum_tokens"]
+    w = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(F.explode(F.split(normalized_text("text"), " ")).alias("t"))
+    )
+    total, vocab = w.agg(F.count("t"), F.countDistinct("t")).first()
+    assert rows[-1]["cum_tokens"] == total and rows[-1]["cum_vocab"] == vocab
+
+
+def test_burstiness_bounds(spark, sf_dir):
+    """Fano factors are positive and finite, the df floor holds, and a
+    numpy zeros-included recompute agrees for the top term."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.text import (
+        BURST_MIN_DF,
+        BURST_TOP,
+        normalized_text,
+        text_term_burstiness,
+    )
+
+    rows = text_term_burstiness(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BURST_TOP
+    for r in rows:
+        assert r["df"] >= BURST_MIN_DF and r["fano"] > 0
+    top = rows[0]["term"]
+    w = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("t"))
+    )
+    n_docs = w.select("doc_id").distinct().count()
+    per = {
+        r["doc_id"]: r["c"]
+        for r in w.where(F.col("t") == top).groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    }
+    counts = np.zeros(n_docs)
+    counts[: len(per)] = list(per.values())  # order-free: moments only
+    fano = counts.var() / counts.mean()
+    assert abs(fano - rows[0]["fano"]) < 1e-4
