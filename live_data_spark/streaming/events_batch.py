@@ -2534,3 +2534,95 @@ def events_hourly_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") * F.count(F.lit(1)) / F.sum("n").cast("double"), 4
         ).alias("load_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable point-query counts, fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256  # small on purpose: collisions are visible at checked SFs
+
+_CMS_ORACLE = f"""
+WITH ev AS (
+  SELECT cast(user_id AS VARCHAR) AS uid, user_id FROM events
+), cells AS (
+  SELECT d.d,
+         cast(('0x' || substr(md5(d.d || ':' || uid), 1, 8)) AS BIGINT) % {CMS_WIDTH} AS bucket,
+         count(*) AS c
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+  ORDER BY exact_n DESC, user_id LIMIT 20
+), est AS (
+  SELECT e.user_id, e.exact_n, min(c.c) AS cms_est
+  FROM exact e
+  JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d ON TRUE
+  JOIN cells c
+    ON c.d = d.d
+   AND c.bucket = cast(('0x' || substr(md5(d.d || ':' || cast(e.user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % {CMS_WIDTH}
+  GROUP BY e.user_id, e.exact_n
+)
+SELECT user_id, cast(exact_n AS BIGINT) AS exact_n,
+       cast(cms_est AS BIGINT) AS cms_est,
+       cast(cms_est - exact_n AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+@register("events_countmin_user_counts", oracle=_CMS_ORACLE, tags=("events", "sketch"))
+def events_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries for the top-20 users, checked
+    against their exact counts — the mergeable sketch family's point-
+    query member (SpaceSaving answers "who is heavy", HLL "how many
+    distinct", quantile sketch "where is p99"; CMS answers "how many of
+    THIS key" in D·W bounded state). The sketch is deliberately small
+    (4×256) so hash collisions actually happen at the checked SFs and
+    the ``overestimate`` column shows the one-sided error the structure
+    guarantees: est ≥ true always, est ≤ true + e/W·N with prob 1−e^−D.
+
+    Everything is relational and engine-portable: bucket =
+    md5(depth:uid)-prefix mod W (the md5→hex→int recipe both engines
+    compute identically), the sketch is ONE ×D-fan-out aggregate into
+    ≤D·W cells (mergeable by construction — cells ADD across shards/
+    batches, same as the streaming SpaceSaving state), and point queries
+    broadcast-join the 20-row query set against the cell table. The
+    DuckDB oracle rebuilds the identical sketch, so even the collision
+    pattern is hash-checked — no rows-only weakening.
+    """
+    e = load(spark, sf_dir, "events")
+    depths = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    bucket = lambda d, uid: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws(":", d, uid)), 1, 8), 16, 10
+    ).cast("long") % CMS_WIDTH
+    cells = (
+        e.select(F.col("user_id").cast("string").alias("uid"))
+        .crossJoin(F.broadcast(depths))
+        .groupBy("d", bucket(F.col("d"), F.col("uid")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    probes = exact.crossJoin(F.broadcast(depths)).select(
+        "user_id",
+        "exact_n",
+        "d",
+        bucket(F.col("d"), F.col("user_id").cast("string")).alias("bucket"),
+    )
+    return (
+        probes.join(cells, ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+        )
+    )

@@ -749,3 +749,25 @@ def test_changepoint_cusum_telescopes(spark, sf_dir):
     peak = max(abs(r["cusum"]) for r in rows)
     top = next(r for r in rows if r["shift_rank"] == 1)
     assert abs(abs(top["cusum"]) - peak) < 1e-9
+
+
+def test_countmin_one_sided_error(spark, sf_dir):
+    """CMS guarantee: the estimate NEVER undercounts, and the top-20
+    probe set's overestimates respect the e/W·N Markov bound with slack
+    (depth 4 makes a bound-breaking min astronomically unlikely)."""
+    import math
+
+    from live_data_spark.catalog import load
+    from live_data_spark.streaming.events_batch import (
+        CMS_WIDTH,
+        events_countmin_user_counts,
+    )
+
+    rows = events_countmin_user_counts(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20  # sf0.001 has <20 distinct users
+    n_total = load(spark, sf_dir, "events").count()
+    bound = math.e / CMS_WIDTH * n_total
+    for r in rows:
+        assert r["overestimate"] >= 0, "CMS must never undercount"
+        assert r["cms_est"] == r["exact_n"] + r["overestimate"]
+        assert r["overestimate"] <= bound, "error beyond the e/W*N guarantee"
