@@ -2543,6 +2543,32 @@ def events_hourly_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_DEPTH = 4
 CMS_WIDTH = 256  # small on purpose: collisions are visible at checked SFs
 
+
+def _cms_depths(spark: SparkSession) -> DataFrame:
+    return spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+
+
+def _cms_bucket(d, uid):
+    """Engine-portable CMS bucket: md5('d:uid') 8-hex prefix mod W — the
+    same expression the DuckDB oracle evaluates, so sketches built by
+    either engine (or merged across both) are cell-identical."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", d, uid)), 1, 8), 16, 10
+    ).cast("long") % CMS_WIDTH
+
+
+def cms_cells(e: DataFrame) -> DataFrame:
+    """(d, bucket, c) cell counts for a slice of events — ONE ×D-fan-out
+    aggregate into ≤D·W rows. Cells from disjoint slices ADD: union +
+    re-sum is the merge, which is what makes the sketch shard-, batch-,
+    and engine-mergeable (the streaming twin in jobs.py relies on it)."""
+    return (
+        e.select(F.col("user_id").cast("string").alias("uid"))
+        .crossJoin(F.broadcast(_cms_depths(e.sparkSession)))
+        .groupBy("d", _cms_bucket(F.col("d"), F.col("uid")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
 _CMS_ORACLE = f"""
 WITH ev AS (
   SELECT cast(user_id AS VARCHAR) AS uid, user_id FROM events
@@ -2593,16 +2619,9 @@ def events_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern is hash-checked — no rows-only weakening.
     """
     e = load(spark, sf_dir, "events")
-    depths = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
-    bucket = lambda d, uid: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat_ws(":", d, uid)), 1, 8), 16, 10
-    ).cast("long") % CMS_WIDTH
-    cells = (
-        e.select(F.col("user_id").cast("string").alias("uid"))
-        .crossJoin(F.broadcast(depths))
-        .groupBy("d", bucket(F.col("d"), F.col("uid")).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    depths = _cms_depths(spark)
+    bucket = _cms_bucket
+    cells = cms_cells(e)
     exact = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_n"))

@@ -770,3 +770,53 @@ def upsert_events_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def countmin_update_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    cells_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of ``events_batch.events_countmin_user_counts``'s
+    sketch build: per micro-batch, aggregate the arriving events into
+    (d, bucket, c) CMS cell partials and APPEND them to the cell store —
+    the sketch's mergeability IS the streaming contract (cells from
+    disjoint batches ADD, so append + sum-on-read equals the batch-built
+    sketch exactly; ``countmin_cells_state`` does the read-side sum).
+
+    Restart safety mirrors the incremental-dedup twin: the file source's
+    checkpoint WAL gives exactly-once per input file, partials carry
+    ``__batch_id`` so a replayed batch's rows are identifiable for
+    idempotent reads (a real deployment MERGE-adds into an ACID table).
+
+    100 TB shape: per-batch state is ≤D·W rows regardless of batch size,
+    the store grows by ≤D·W rows per batch independent of traffic, and
+    the read-side sum is over a cell table bounded by D·W·batches —
+    compact away with any periodic re-sum. No per-key state anywhere.
+    """
+    from live_data_spark.streaming.events_batch import cms_cells
+
+    def add_partials(batch_df: DataFrame, batch_id: int) -> None:
+        cms_cells(batch_df).withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(cells_dir)
+
+    q = (
+        read_events_stream(spark, landing_dir)
+        .writeStream.foreachBatch(add_partials)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def countmin_cells_state(spark: SparkSession, cells_dir: str) -> DataFrame:
+    """Merged CMS cell table from the partial store: sum per (d, bucket)
+    — the sketch-union operation, deduplicating replayed batches first
+    (latest write of a __batch_id wins; partials within one batch are
+    distinct by key, so max-per-key is equivalent and simpler)."""
+    p = spark.read.parquet(cells_dir)
+    latest = p.groupBy("d", "bucket", "__batch_id").agg(F.max("c").alias("c"))
+    return latest.groupBy("d", "bucket").agg(F.sum("c").alias("c"))

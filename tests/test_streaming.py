@@ -771,3 +771,38 @@ def test_countmin_one_sided_error(spark, sf_dir):
         assert r["overestimate"] >= 0, "CMS must never undercount"
         assert r["cms_est"] == r["exact_n"] + r["overestimate"]
         assert r["overestimate"] <= bound, "error beyond the e/W*N guarantee"
+
+
+def test_countmin_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Mergeability end-to-end: CMS cells built by TWO streamed drains
+    over a split landing dir, summed on read, equal the one-shot batch
+    sketch over the same events cell-for-cell — and an empty re-drain
+    adds nothing (exactly-once per file)."""
+    from live_data_spark.catalog import load
+    from live_data_spark.streaming.events_batch import cms_cells
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cells_dir, ckpt = str(tmp_path / "cells"), str(tmp_path / "ckpt")
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(str(landing / "b1"))
+    jobs.countmin_update_stream(spark, f"{landing}/*", cells_dir, ckpt)
+    half2.coalesce(1).write.parquet(str(landing / "b2"))
+    jobs.countmin_update_stream(spark, f"{landing}/*", cells_dir, ckpt)
+
+    merged = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in jobs.countmin_cells_state(spark, cells_dir).collect()
+    }
+    batch = {(r["d"], r["bucket"]): r["c"] for r in cms_cells(ev).collect()}
+    assert merged == batch
+
+    n_rows = spark.read.parquet(cells_dir).count()
+    jobs.countmin_update_stream(spark, f"{landing}/*", cells_dir, ckpt)  # no new files
+    assert spark.read.parquet(cells_dir).count() == n_rows
