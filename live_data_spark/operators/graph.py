@@ -126,3 +126,115 @@ def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP)
         .select("part_id", "degree", F.round("pr", 8).alias("pr_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — local clustering structure of the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+TRI_TOP = 20
+
+_TRI_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_MIN_BOTH}
+), tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.p1 = e1.p2
+  JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+), node_tri AS (
+  SELECT part_id, count(*) AS n_triangles
+  FROM (
+    SELECT a AS part_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+), deg AS (
+  SELECT part_id, count(*) AS degree FROM (
+    SELECT p1 AS part_id FROM pairs UNION ALL SELECT p2 FROM pairs
+  ) GROUP BY 1
+)
+SELECT d.part_id, cast(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       cast(d.degree AS BIGINT) AS degree,
+       round(coalesce(t.n_triangles, 0) * 2.0
+             / NULLIF(d.degree * (d.degree - 1), 0), 6) AS clustering_coeff
+FROM deg d LEFT JOIN node_tri t ON t.part_id = d.part_id
+ORDER BY coalesce(t.n_triangles, 0) DESC, d.part_id
+LIMIT {TRI_TOP}
+"""
+
+
+@register("graph_part_triangles", oracle=_TRI_ORACLE, tags=("graph",))
+def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph,
+    with degree and local clustering coefficient 2T/(d(d−1)) — the
+    community-density complement to PageRank's centrality: a part inside
+    many triangles sits in a tight substitute/bundle cluster, one with
+    high degree but few triangles is a hub bridging unrelated baskets.
+
+    Non-iterative, so unlike PageRank this entry is FULLY oracle-checked:
+    the id-oriented edge list (p1 < p2, same ≥{PR_MIN_BOTH}-order support
+    floor as the PageRank graph) joins itself twice — e1(a,b) ⋈ e2(b,c)
+    ⋈ e3(a,c) counts each triangle exactly once — then one explode and
+    two bounded aggregates. Ranking keys are pure integers (no fp in the
+    cut); the coefficient is one IEEE division per output row.
+
+    Scale: the wedge join shuffles oriented edges on their endpoints —
+    the standard distributed triangle count, with fan-out bounded here
+    by the ≤7-item baskets. On a power-law graph the production hardening
+    is degree-ordered orientation (point every edge at its higher-degree
+    endpoint), which caps wedge fan-out by arboricity instead of max
+    degree; id orientation is kept because it is what the SQL oracle can
+    reproduce verbatim, and the support floor already trims hubs.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= PR_MIN_BOTH)
+        .select("p1", "p2")
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+        .join(e3, (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")))
+        .select(F.col("e1.p1").alias("a"), F.col("e1.p2").alias("b"), F.col("e2.p2").alias("c"))
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.explode(F.array("p1", "p2")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = F.coalesce("n_triangles", F.lit(0))
+    return (
+        deg.join(node_tri, "part_id", "left")
+        .orderBy(t.desc(), "part_id")
+        .limit(TRI_TOP)
+        .select(
+            "part_id",
+            t.cast("bigint").alias("n_triangles"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.round(
+                t * 2.0 / F.nullif((F.col("degree") * (F.col("degree") - 1)).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
