@@ -767,3 +767,68 @@ def part_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity — does a deeper discount move quantity?
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         cast(round(l.l_discount * 100) AS BIGINT) AS x,
+         cast(round(l.l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), s AS (
+  SELECT brand, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM li GROUP BY brand
+)
+SELECT brand, cast(n AS BIGINT) AS n_lines,
+       round((n * sxy - sx * sy)
+             / cast(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS qty_per_point,
+       round(sy / cast(n AS DOUBLE), 4) AS mean_qty
+FROM s
+"""
+
+
+@register("discount_quantity_elasticity", oracle=_ELASTICITY_ORACLE, tags=("tpch", "agg"))
+def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount points — "does a
+    deeper discount actually move volume for this brand?", the pricing
+    team's first regression. ``qty_per_point`` is units gained per extra
+    discount percentage point; near-zero slope says the discount is
+    margin given away (on uniform-random TPC-H data that IS the expected
+    reading — the operator exists for the closed-form-regression shape).
+
+    Both variables quantize exactly (discounts are 2-decimal, quantities
+    integral), so the five sums are exact integers and the slope is one
+    IEEE division — the profile_metric_correlation discipline. One
+    broadcast part join, one brand aggregate; O(brands) rows move after
+    the map-side combine.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_discount", "l_quantity")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    )
+    s = j.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"), F.lit(0.0)
+    )
+    return s.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom, 6).alias(
+            "qty_per_point"
+        ),
+        F.round(F.col("sy") / F.col("n").cast("double"), 4).alias("mean_qty"),
+    )
