@@ -1706,3 +1706,96 @@ def query_pq_index(
     e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
     refine = max(PQ_REFINE_MIN, table_rowcount(sf_dir, "embeddings") // PQ_REFINE_FRAC)
     return _pq_adc_with_books(spark, e, books, refine)
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift — did each label's embedding distribution move?
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+h AS (
+  SELECT vec_id, label, embedding,
+         CASE WHEN vec_id * 2 <= (SELECT m FROM mx) THEN 0 ELSE 1 END AS half
+  FROM embeddings
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS dim
+), ex AS (
+  SELECT e.label, e.half, d.dim, cast(e.embedding[d.dim] AS DOUBLE) AS x
+  FROM h e CROSS JOIN dims d
+), cent AS (
+  SELECT label, half, dim, sum(x) AS cx FROM ex GROUP BY 1, 2, 3
+), cvecs AS (
+  SELECT label, half, list(cx ORDER BY dim) AS cvec FROM cent GROUP BY 1, 2
+), counts AS (
+  SELECT label, half, count(*) AS n FROM h GROUP BY 1, 2
+)
+SELECT a.label,
+       cast(ca.n AS BIGINT) AS n_first,
+       cast(cb.n AS BIGINT) AS n_second,
+       round(list_cosine_similarity(a.cvec, b.cvec), 4) AS centroid_cos
+FROM cvecs a
+JOIN cvecs b ON b.label = a.label AND a.half = 0 AND b.half = 1
+JOIN counts ca ON ca.label = a.label AND ca.half = 0
+JOIN counts cb ON cb.label = b.label AND cb.half = 1
+"""
+
+
+@register("embedding_centroid_drift", oracle=_DRIFT_ORACLE, tags=("similarity", "vector", "stats"))
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the corpus' first and second half
+    (vec_id order): the cosine between the two half-centroids — the
+    embedding-space analog of ``events_value_drift_psi``. Labels whose
+    halves stop agreeing (cos dropping from ~1) signal ingest drift:
+    the encoder changed, the source mix shifted, or the label's meaning
+    moved — exactly what a training pipeline must catch before mixing
+    eras of a corpus into one epoch.
+
+    Cosine is scale-invariant, so half-centroids skip the 1/n
+    normalization (the label_prototypes discipline) and the cosine runs
+    in-plan over the two |labels|-row vector frames — JVM zip_with /
+    aggregate, no Python anywhere. One posexplode pass builds both
+    halves' per-dim sums in a single (label, half, dim) aggregate;
+    nothing data-sized moves after it.
+
+    Empty corpus: NULL max ⇒ the half flag is NULL ⇒ zero grouped rows
+    ⇒ empty output, no abort (empty-input sweep).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    probe = e.select("embedding").first()
+    if probe is None:  # empty corpus: defined empty drift table
+        return e.limit(0).select(
+            "label",
+            F.lit(0).cast("bigint").alias("n_first"),
+            F.lit(0).cast("bigint").alias("n_second"),
+            F.lit(0.0).alias("centroid_cos"),
+        )
+    n_dims = len(probe["embedding"])
+    mx = e.agg(F.max("vec_id").alias("m"))
+    h = e.crossJoin(F.broadcast(mx)).select(
+        "label",
+        F.when(F.col("vec_id") * 2 <= F.col("m"), 0).otherwise(1).alias("half"),
+        as_double("embedding").alias("emb"),
+    )
+    cent = h.groupBy("label", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(F.col("emb")[i]) for i in range(n_dims)]).alias("cvec"),
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_first"), F.col("cvec").alias("va")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_second"), F.col("cvec").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return a.join(b, "label").select(
+        "label",
+        F.col("n_first").cast("bigint").alias("n_first"),
+        F.col("n_second").cast("bigint").alias("n_second"),
+        F.round(dot / (norm("va") * norm("vb")), 4).alias("centroid_cos"),
+    )

@@ -832,3 +832,65 @@ def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("sy") / F.col("n").cast("double"), 4).alias("mean_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supply concentration — single-sourcing risk per part.
+# ---------------------------------------------------------------------------
+
+CONC_TOP = 25
+
+_CONC_ORACLE = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), agg AS (
+  SELECT l_partkey,
+         count(*) AS n_suppliers,
+         sum(n) AS n_lines,
+         max(n) AS top_n
+  FROM ps GROUP BY 1
+)
+SELECT l_partkey AS part_id,
+       cast(n_suppliers AS BIGINT) AS n_suppliers,
+       cast(n_lines AS BIGINT) AS n_lines,
+       round(top_n / cast(n_lines AS DOUBLE), 4) AS top_supplier_share
+FROM agg
+ORDER BY n_lines DESC, l_partkey
+LIMIT {CONC_TOP}
+"""
+
+
+@register("part_supply_concentration", oracle=_CONC_ORACLE, tags=("tpch", "agg"))
+def part_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-sourcing risk screen: for the highest-volume parts, how
+    many suppliers actually ship them and what share the top supplier
+    holds — n_suppliers=1 or a share near 1.0 is the procurement red
+    flag (one supplier failure stops the line); the per-part complement
+    of ``supplier_revenue_hhi``'s market-wide concentration.
+
+    Two stacked aggregates on keys the data wants anyway ((part,supp) →
+    part; the second rides the first's partitioning) and an integer-
+    keyed TakeOrdered cut. ``max(n)`` stands in for the top share
+    numerator without a window — per-part supplier counts are already
+    the aggregation state.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    agg = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("n").alias("n_lines"),
+        F.max("n").alias("top_n"),
+    )
+    return (
+        agg.orderBy(F.col("n_lines").desc(), "l_partkey")
+        .limit(CONC_TOP)
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.round(F.col("top_n") / F.col("n_lines").cast("double"), 4).alias(
+                "top_supplier_share"
+            ),
+        )
+    )
