@@ -317,3 +317,61 @@ def test_ranked_twins_survive_degenerate_frames(spark, monkeypatch):
         assert len(g) == 1
         assert g[0]["gini"] is None, fn.__name__
         assert g[0]["n_users"] == 3
+
+
+def test_mad_anomaly_flag_consistency(spark, sf_dir):
+    """Flag matches the 3.5 cut on the emitted score; rows are the top-10
+    by |robust_z| (every flagged row must outrank every unflagged one)."""
+    from live_data_spark.queries_analytics import MAD_CUT, events_daily_anomaly_mad
+
+    rows = events_daily_anomaly_mad(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        if r["robust_z"] is not None:
+            assert r["is_anomaly"] == (1 if abs(r["robust_z"]) > MAD_CUT else 0)
+    zs = [abs(r["robust_z"]) for r in rows if r["robust_z"] is not None]
+    assert zs == sorted(zs, reverse=True)
+
+
+def test_supply_concentration_shares(spark, sf_dir):
+    """Top share is a valid share: within (0, 1], at least the uniform
+    1/n_suppliers floor, and 1.0 exactly when single-sourced."""
+    from live_data_spark.queries_tpch_extra import part_supply_concentration
+
+    rows = part_supply_concentration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["top_supplier_share"] <= 1.0
+        assert r["top_supplier_share"] >= 1.0 / r["n_suppliers"] - 1e-9
+        if r["n_suppliers"] == 1:
+            assert r["top_supplier_share"] == 1.0
+
+
+def test_reorder_intervals_ordering(spark, sf_dir):
+    """Gaps are positive days and the quantiles are ordered
+    (median ≤ p90); every row clears the gap-count floor."""
+    from live_data_spark.queries_tpch_extra import REORDER_MIN, part_reorder_intervals
+
+    rows = part_reorder_intervals(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] >= REORDER_MIN
+        assert 0 < r["median_days"] <= r["p90_days"]
+
+
+def test_elasticity_covers_all_brands(spark, sf_dir):
+    """One row per brand present in lineitem-joined parts; slope defined
+    (discounts vary within every brand on this testdata)."""
+    from pyspark.sql import functions as F
+
+    from live_data_spark.catalog import load
+    from live_data_spark.queries_tpch_extra import discount_quantity_elasticity
+
+    rows = discount_quantity_elasticity(spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    n_brands = (
+        li.join(p, li.l_partkey == p.p_partkey).select("p_brand").distinct().count()
+    )
+    assert len(rows) == n_brands
+    assert all(r["qty_per_point"] is not None for r in rows)

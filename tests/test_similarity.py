@@ -430,3 +430,18 @@ def test_truncation_fidelity_bounds(spark, sf_dir):
         assert 0 <= r["n_overlap"] <= TOP_K
         assert abs(r["overlap_frac"] - r["n_overlap"] / TOP_K) < 1e-9
         assert r["mean_half_rank"] >= best_mean - 1e-9
+
+
+def test_centroid_drift_counts_and_range(spark, sf_dir):
+    """Half counts cover the whole table, every label appears once, and
+    the cosine stays in [-1, 1]."""
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.similarity import embedding_centroid_drift
+
+    rows = embedding_centroid_drift(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "embeddings")
+    assert len(rows) == e.select("label").distinct().count()
+    assert sum(r["n_first"] + r["n_second"] for r in rows) == e.count()
+    for r in rows:
+        assert -1.0 <= r["centroid_cos"] <= 1.0
+        assert r["n_first"] > 0 and r["n_second"] > 0
