@@ -894,3 +894,87 @@ def part_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn risk — who has gone quiet relative to their own cadence?
+# ---------------------------------------------------------------------------
+
+CHURN_MIN_ORDERS = 5
+CHURN_TOP = 25
+
+_CHURN_ORACLE = f"""
+WITH mx AS (SELECT max(cast(o_orderdate AS DATE)) AS anchor FROM orders),
+g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(cast(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey ORDER BY cast(o_orderdate AS DATE), o_orderkey),
+                   cast(o_orderdate AS DATE)) AS gap,
+         cast(o_orderdate AS DATE) AS d
+  FROM orders
+), s AS (
+  SELECT o_custkey,
+         count(*) AS n_orders,
+         quantile_cont(gap, 0.5) AS median_gap,
+         max(d) AS last_order
+  FROM g GROUP BY o_custkey HAVING count(*) >= {CHURN_MIN_ORDERS}
+)
+SELECT o_custkey AS customer_id,
+       cast(n_orders AS BIGINT) AS n_orders,
+       round(median_gap, 4) AS median_gap_days,
+       cast(date_diff('day', last_order, (SELECT anchor FROM mx)) AS BIGINT) AS days_quiet,
+       CASE WHEN date_diff('day', last_order, (SELECT anchor FROM mx)) > 2 * median_gap
+            THEN 1 ELSE 0 END AS churn_flag
+FROM s
+ORDER BY date_diff('day', last_order, (SELECT anchor FROM mx)) / NULLIF(median_gap, 0)
+         DESC NULLS LAST,
+         o_custkey
+LIMIT {CHURN_TOP}
+"""
+
+
+@register("customer_churn_risk", oracle=_CHURN_ORACLE, tags=("tpch", "timeseries"))
+def customer_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn screen relative to each customer's OWN cadence: rank repeat
+    customers by days-quiet ÷ their median inter-order gap (quiet for 2×
+    your personal rhythm flags churn; a fixed 90-day cutoff misflags
+    both weekly and yearly buyers). The anchor is the corpus max order
+    date, so the screen is reproducible rather than wall-clock-bound.
+
+    One customer-partitioned lag window (frames distribute), one
+    customer aggregate, a 1-row anchor scalar, and an integer-ratio-
+    ordered cut — the ratio is one IEEE division of a day count by an
+    exactly-interpolated median, identical on both engines.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    mx = o.agg(F.max("d").alias("anchor"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select("o_custkey", "d", F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap"))
+    s = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.percentile("gap", F.lit(0.5)).alias("median_gap"),
+            F.max("d").alias("last_order"),
+        )
+        .where(F.col("n_orders") >= CHURN_MIN_ORDERS)
+    )
+    quiet = F.datediff(F.col("anchor"), F.col("last_order"))
+    ratio = quiet / F.nullif(F.col("median_gap"), F.lit(0.0))
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .orderBy(ratio.desc_nulls_last(), "o_custkey")
+        .limit(CHURN_TOP)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round("median_gap", 4).alias("median_gap_days"),
+            quiet.cast("bigint").alias("days_quiet"),
+            F.when(quiet > 2 * F.col("median_gap"), 1).otherwise(0).alias("churn_flag"),
+        )
+    )

@@ -2645,3 +2645,69 @@ def events_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Health digest — the monitoring dashboard's numbers in ONE scan.
+# ---------------------------------------------------------------------------
+
+_DIGEST_ORACLE = """
+WITH s AS (
+  SELECT cast(count(*) AS DOUBLE) AS n_events,
+         cast(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+         round(count(CASE WHEN event_type = 'error' THEN 1 END)
+               / NULLIF(cast(count(*) AS DOUBLE), 0), 6) AS error_rate,
+         round(quantile_cont(value, 0.99), 4) AS p99_value,
+         round(sum(value) / NULLIF(cast(count(*) AS DOUBLE), 0), 4) AS mean_value,
+         cast(count(DISTINCT cast(ts AS DATE)) AS DOUBLE) AS n_days
+  FROM events
+)
+SELECT metric, value FROM (
+  SELECT 'n_events' AS metric, n_events AS value FROM s
+  UNION ALL SELECT 'n_users', n_users FROM s
+  UNION ALL SELECT 'error_rate', error_rate FROM s
+  UNION ALL SELECT 'p99_value', p99_value FROM s
+  UNION ALL SELECT 'mean_value', mean_value FROM s
+  UNION ALL SELECT 'n_days', n_days FROM s
+)
+"""
+
+
+@register("events_health_digest", oracle=_DIGEST_ORACLE, tags=("events", "agg", "pipeline"))
+def events_health_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring dashboard's headline numbers — volume, reach,
+    error rate, value tail and mean, coverage days — as (metric, value)
+    rows from ONE scan: every figure is a conditional aggregate of the
+    same pass (count / distinct / CASE-count / percentile), then a
+    6-row ``stack`` unpivot. The single-scan shape is the point at
+    100 TB: six dashboard tiles that each re-scan events cost six table
+    reads; one fused aggregate costs one. mean_value divides the exact
+    sum by the exact count (no avg() fp-order drift at 6 decimals).
+
+    Empty events: one all-NULL/zero stats row still unpivots to 6
+    defined rows (count(*)=0, NULL percentiles) — no abort.
+    """
+    e = load(spark, sf_dir, "events")
+    s = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        # NULLIF guards: zero-row input makes count(*) a non-null 0 and
+        # ANSI mode aborts the division (the k-anonymity lesson)
+        F.round(
+            F.count(F.when(F.col("event_type") == "error", 1))
+            / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("error_rate"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99_value"),
+        F.round(
+            F.sum("value") / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)), 4
+        ).alias("mean_value"),
+        F.countDistinct(F.col("ts").cast("date")).cast("double").alias("n_days"),
+    )
+    return s.select(
+        F.expr(
+            "stack(6, 'n_events', n_events, 'n_users', n_users,"
+            " 'error_rate', error_rate, 'p99_value', p99_value,"
+            " 'mean_value', mean_value, 'n_days', n_days) AS (metric, value)"
+        )
+    )

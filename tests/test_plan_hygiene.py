@@ -67,6 +67,7 @@ BNLJ_OK: set[str] = {
     "text_term_burstiness",  # 1-row doc-count scalar × term-stats frame
     "events_countmin_user_counts",  # 4-row depth grid × events (sketch fan-out) + × 20-row probe set
     "embedding_centroid_drift",  # 1-row max-vec_id scalar × embeddings (half-split flag)
+    "customer_churn_risk",  # 1-row max-orderdate anchor × customer cadence frame
 }
 
 ALL = sorted(catalog())
