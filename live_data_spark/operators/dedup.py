@@ -1092,6 +1092,104 @@ FROM keep GROUP BY lang
 """
 
 
+_BLOOM_K = 3  # hash probes per key
+_BLOOM_BITS = 1 << 20  # filter width; ~1.5% FPP at 100k store keys
+
+
+@register("dedup_incremental_bloom", oracle=_INCR_ORACLE, tags=("dedup", "pipeline", "sketch"))
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` with a Bloom-filter store probe — the shape
+    the exact fp-join takes when the ingested store is too big to join
+    every batch against: the store's fingerprints compress into a fixed
+    bit array (10 bits/key ⇒ ~1.2 GB at 1B keys) that broadcasts once;
+    the membership test then splits the batch map-side into a
+    definitely-new stream (a Bloom can't false-negative — these SKIP the
+    store join entirely) and a maybe-dup stream that alone pays the
+    exact probe (the Bloom's false positives die there, so the OUTPUT is
+    exactly ``dedup_incremental``'s — same oracle, the filter is pure
+    pruning; Spark's runtime bloom-join injection plays this same trick
+    per-query, materializing the blob amortizes it across an ingest day).
+
+    The filter is built with public codegen'd primitives (Spark's
+    ``bloom_filter_agg``/``might_contain`` pair lives in an internal
+    registry the SQL surface can't reach): ``_BLOOM_K`` seeded
+    ``xxhash64`` positions per key, packed 64/word via ``bit_or``
+    aggregation, gathered into ONE map<word, bits> row — never collected
+    to the driver, broadcast-cross-joined (1-row blob, allowlisted BNLJ).
+    Probe = AND over K bit tests against ``element_at`` lookups; an
+    empty store yields an empty map ⇒ every lookup misses ⇒ all-new, the
+    correct degenerate answer. Blob size is bounded by occupied words ≤
+    min(K·|store|, bits/64). After the map-side split, two map-only
+    branches union into ONE fp-window shuffle for the within-batch
+    keeper decision — the batch never shuffles twice, and the store-side
+    join cost decouples from store size (~(dup rate + FPP)·batch rows).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
+            "in_history"
+        ),
+    )
+    history = d.where("in_history").select("fp").distinct()
+
+    def positions():
+        return [
+            F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_K)
+        ]
+
+    word = F.shiftright(F.col("pos"), 6)
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+    bloom = (
+        history.select(F.explode(F.array(*positions())).alias("pos"))
+        .groupBy(word.alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf"))
+    )
+
+    maybe = F.lit(True)
+    for i in range(_BLOOM_K):
+        p = F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(_BLOOM_BITS))
+        w = F.coalesce(F.element_at(F.col("bf"), F.shiftright(p, 6)), F.lit(0).cast("long"))
+        m = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pmod(xxhash64(fp, {i}), {_BLOOM_BITS}), 64) AS INT))"
+        )
+        maybe = maybe & (w.bitwiseAND(m) != 0)
+
+    batch = (
+        d.where(~F.col("in_history"))
+        .select("doc_id", "fp")
+        .crossJoin(F.broadcast(bloom))
+        .withColumn("maybe", maybe)
+        .drop("bf")
+    )
+    verified = (
+        batch.where("maybe")
+        .join(history.withColumn("seen", F.lit(True)), "fp", "left")
+        .select("doc_id", "fp", "seen")
+    )
+    clean = batch.where(~F.col("maybe")).select(
+        "doc_id", "fp", F.lit(None).cast("boolean").alias("seen")
+    )
+    w = Window.partitionBy("fp")
+    cls = (
+        verified.unionByName(clean)
+        .withColumn("min_batch_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("seen").isNotNull(), "dup_history")
+            .when(F.col("doc_id") > F.col("min_batch_id"), "dup_batch")
+            .otherwise("new")
+            .alias("decision"),
+        )
+    )
+    return cls.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 @register("corpus_dedup_token_impact", oracle=_TOKEN_IMPACT_ORACLE, tags=("dedup", "text", "pipeline"))
 def corpus_dedup_token_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What exact dedup is actually worth, in the pipeline's own

@@ -210,3 +210,45 @@ def test_incremental_minhash_keeps_shingleless_batch_docs(spark, tmp_path):
     )
     want = {r[0]: r[1] for r in con.execute(spec.oracle).fetchall()}
     assert got == want
+
+
+def test_incremental_bloom_matches_exact_probe(spark):
+    """dedup_incremental_bloom shares dedup_incremental's oracle because
+    the bloom is pure pruning: might_contain=false rows can't be in the
+    store (no false negatives), might_contain=true false positives die
+    in the exact verify join. Assert (a) full output parity with the
+    plain store-probe at sf0.001, (b) the plan actually carries the
+    hand-rolled bloom pair (bit_or word-packing build + seeded-xxhash64
+    element_at probes — Spark's bloom_filter_agg/might_contain live in
+    an internal registry the public surface can't reach)."""
+    sfd = "/root/testdata/sf0.001"
+    cat = catalog()
+
+    def rows(name):
+        return {
+            r["decision"]: (r["n_docs"], r["min_doc_id"])
+            for r in cat[name].spark(spark, sfd).collect()
+        }
+
+    assert rows("dedup_incremental_bloom") == rows("dedup_incremental")
+
+    df = cat["dedup_incremental_bloom"].spark(spark, sfd)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "map_from_entries" in plan and "bit_or" in plan and "xxhash64" in plan
+
+
+def test_incremental_bloom_empty_history_all_new(spark, tmp_path):
+    """All-batch carve (every doc_id md5 >= '4') ⇒ empty store ⇒ null
+    bloom blob; the coalesce(False) guard must route every row down the
+    definitely-new branch instead of dropping it on a null predicate."""
+    texts = {1: "one two three four five", 2: "one two three four five", 7: "hi"}
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["decision"]: r["n_docs"]
+        for r in catalog()["dedup_incremental_bloom"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got == {"new": 2, "dup_batch": 1}, got

@@ -41,6 +41,7 @@ BNLJ_OK: set[str] = {
     "ann_cosine_topk",  # exact brute-force tier (broadcast query set)
     "ann_ivf_flat",  # centroid assignment compare (by design)
     "corpus_dedup_cascade",  # 1-row survivor-count x 1-row removed-count
+    "dedup_incremental_bloom",  # 1-row bloom word-map blob broadcast x batch
     "text_bigram_surprisal",  # 1-row vocab-size scalar broadcast
     "text_bm25_topdocs",  # 1-row (N, avgdl) corpus-stats scalar broadcast
     "corpus_vocab_coverage",  # 4-row cutoff grid fan-out over the vocab frame
