@@ -10,10 +10,12 @@ of wide rows). Per-query time is the BEST OF 2 back-to-back runs: the first
 run of a plan pays one-time Janino/JIT compilation of its generated code
 (~1-3 s for wide aggregates) and is exposed to transient host load; a
 long-lived production session amortizes both, so steady-state is the
-representative engine number. Three runs give two post-codegen samples,
-which cuts the run-to-run spread of min() substantially versus the single
-steady-state sample best-of-2 leaves. Total is the sum of per-query
-times; the JSON records runs_per_query for transparency.
+representative engine number. Five runs give four post-codegen samples:
+measured cross-session spread on this shared host reaches 2-3× on
+identical plans (BENCH_r06 note), and min() over four steady-state
+samples is markedly more stable than over the two that best-of-3 leaves.
+Total is the sum of per-query times; the JSON records runs_per_query
+for transparency.
 """
 
 from __future__ import annotations
@@ -54,7 +56,7 @@ def main() -> None:
         _ident(col("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    runs = 3
+    runs = 5
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         best = float("inf")
