@@ -1096,6 +1096,46 @@ _BLOOM_K = 3  # hash probes per key
 _BLOOM_BITS = 1 << 20  # filter width; ~1.5% FPP at 100k store keys
 
 
+def bloom_blob(keys: DataFrame, key: str) -> DataFrame:
+    """1-row Bloom filter over ``keys[key]`` as a map<word, bits> blob.
+
+    ``_BLOOM_K`` seeded ``xxhash64`` bit positions per key, packed 64 to
+    a word via ``bit_or`` aggregation, gathered with ``map_from_entries``
+    — all codegen'd primitives, never collected to the driver. An empty
+    input yields an empty map (every probe misses). Pair with
+    ``bloom_probe`` — same hash family on both sides makes false
+    negatives impossible by construction (the property test pins it).
+    """
+    positions = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+    word = F.shiftright(F.col("pos"), 6)
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+    return (
+        keys.select(F.explode(F.array(*positions)).alias("pos"))
+        .groupBy(word.alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf"))
+    )
+
+
+def bloom_probe(key: str) -> Column:
+    """Membership test column against a cross-joined ``bloom_blob`` row:
+    AND over ``_BLOOM_K`` bit tests, each an ``element_at`` word lookup
+    (absent word ⇒ 0 ⇒ miss). True ⇒ maybe-in-set (FPP-bounded); False ⇒
+    definitely not."""
+    maybe = F.lit(True)
+    for i in range(_BLOOM_K):
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(_BLOOM_BITS))
+        w = F.coalesce(F.element_at(F.col("bf"), F.shiftright(p, 6)), F.lit(0).cast("long"))
+        m = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pmod(xxhash64({key}, {i}), {_BLOOM_BITS}), 64) AS INT))"
+        )
+        maybe = maybe & (w.bitwiseAND(m) != 0)
+    return maybe
+
+
 @register("dedup_incremental_bloom", oracle=_INCR_ORACLE, tags=("dedup", "pipeline", "sketch"))
 def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_incremental`` with a Bloom-filter store probe — the shape
@@ -1132,36 +1172,11 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     history = d.where("in_history").select("fp").distinct()
-
-    def positions():
-        return [
-            F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(_BLOOM_BITS))
-            for i in range(_BLOOM_K)
-        ]
-
-    word = F.shiftright(F.col("pos"), 6)
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
-    bloom = (
-        history.select(F.explode(F.array(*positions())).alias("pos"))
-        .groupBy(word.alias("word"))
-        .agg(F.bit_or(mask).alias("bits"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf"))
-    )
-
-    maybe = F.lit(True)
-    for i in range(_BLOOM_K):
-        p = F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(_BLOOM_BITS))
-        w = F.coalesce(F.element_at(F.col("bf"), F.shiftright(p, 6)), F.lit(0).cast("long"))
-        m = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pmod(xxhash64(fp, {i}), {_BLOOM_BITS}), 64) AS INT))"
-        )
-        maybe = maybe & (w.bitwiseAND(m) != 0)
-
     batch = (
         d.where(~F.col("in_history"))
         .select("doc_id", "fp")
-        .crossJoin(F.broadcast(bloom))
-        .withColumn("maybe", maybe)
+        .crossJoin(F.broadcast(bloom_blob(history, "fp")))
+        .withColumn("maybe", bloom_probe("fp"))
         .drop("bf")
     )
     verified = (

@@ -298,3 +298,30 @@ def test_epoch_hex_threshold_equals_fraction_model(doc_id):
         frac = f - int(f)
         thr = f"{int(frac * 65536):04x}"
         assert (h < thr) == (int(h, 16) < int(frac * 65536))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=40, unique=True),
+    st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=20, unique=True),
+)
+def test_bloom_no_false_negatives(spark, members, probes):
+    """The Bloom pair's load-bearing invariant: every inserted key MUST
+    test positive (a false negative would silently misclassify a
+    dup_history doc as new in dedup_incremental_bloom — the oracle-parity
+    tests only cover two fixed carves). Non-members may false-positive;
+    that's the exact join's job. One blob + one probe job per example."""
+    from live_data_spark.operators.dedup import bloom_blob, bloom_probe
+
+    mdf = spark.createDataFrame([(m,) for m in members], "k string")
+    blob = bloom_blob(mdf, "k")
+    keys = sorted(set(members) | set(probes))
+    pdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["maybe"]
+        for r in pdf.crossJoin(F.broadcast(blob))
+        .withColumn("maybe", bloom_probe("k"))
+        .collect()
+    }
+    missed = [m for m in members if got[m] is not True]
+    assert missed == [], f"bloom false negatives: {missed!r}"
