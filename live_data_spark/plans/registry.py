@@ -67,6 +67,7 @@ class ModelDef:
     partition_by: tuple[str, ...] = ()  # hive-partition columns for table writes
     bucket_by: tuple[str, ...] = ()  # bucket keys for table_bucketed
     n_buckets: int = 0
+    observe: dict[str, str] = field(default_factory=dict)  # metric -> agg SQL expr
     deps: set[str] = field(default_factory=set)  # discovered at build time
 
 
@@ -119,6 +120,8 @@ class Project:
         self._built: dict[str, DataFrame] = {}
         self._building: list[str] = []  # cycle-detection stack
         self._tests: list = []  # populated via plans.testing
+        self.metrics: dict[str, dict] = {}  # model -> observed write metrics
+        self._obs_seq = 0  # Observation names must be fresh per attach
 
     # -- registration ------------------------------------------------------
 
@@ -137,8 +140,22 @@ class Project:
         partition_by: tuple[str, ...] | list[str] = (),
         bucket_by: tuple[str, ...] | list[str] = (),
         n_buckets: int = 0,
+        observe: dict[str, str] | None = None,
     ):
         """Decorator registering a model function (dbt model .sql analog).
+
+        ``observe`` declares single-pass write metrics: a dict of metric
+        name → aggregate SQL expression (``count(1)``,
+        ``sum(cast(x is null as long))``, ``min(o_orderdate)`` …)
+        evaluated BY the materialization job itself via ``df.observe``
+        (Spark accumulator plumbing — zero extra scan, exact even under
+        task retries). After ``build()``, results land in
+        ``project.metrics[model]``. This is the 100 TB answer to
+        "row-count and null-rate checks re-read the table they just
+        wrote": a generic data test costs a second full scan, an
+        observation rides the write for free. Only write-materialized
+        models can observe (a view has no action to piggyback on —
+        declaring it there raises).
 
         ``partition_by`` hive-partitions table/incremental writes — the
         scale posture for fact tables (date partitions → partition
@@ -186,6 +203,11 @@ class Project:
                 raise ValueError("incremental_merge needs unique_key")
             if materialized == "table_bucketed" and not (bucket_by and n_buckets > 0):
                 raise ValueError("table_bucketed needs bucket_by and n_buckets")
+            if observe and materialized == "view":
+                raise ValueError(
+                    "observe metrics need a write to ride on — view models "
+                    "have no materialization action (use a data test instead)"
+                )
             self._models[model_name] = ModelDef(
                 name=model_name,
                 fn=f,
@@ -197,6 +219,7 @@ class Project:
                 partition_by=tuple(partition_by),
                 bucket_by=tuple(bucket_by),
                 n_buckets=n_buckets,
+                observe=dict(observe or {}),
             )
             return f
 
@@ -244,10 +267,12 @@ class Project:
         if mdef.materialized == "table":
             out = self._table_path(mdef)
             cols = df.columns
+            df, obs = self._attach_observation(mdef, df)
             writer = df.write.mode("overwrite")
             if mdef.partition_by:
                 writer = writer.partitionBy(*mdef.partition_by)
             writer.parquet(str(out))
+            self._harvest_observation(mdef, obs)
             # hive layout moves partition columns last on read-back;
             # re-select so the model's declared column order is the contract
             df = self.spark.read.parquet(str(out)).select(*cols)
@@ -257,6 +282,7 @@ class Project:
             cat_name = f"{self.env}_{mdef.schema}_{mdef.name}"
             self.spark.sql(f"DROP TABLE IF EXISTS {cat_name}")
             shutil.rmtree(out, ignore_errors=True)
+            df, obs = self._attach_observation(mdef, df)
             (
                 df.write.mode("overwrite")
                 .bucketBy(mdef.n_buckets, *mdef.bucket_by)
@@ -264,6 +290,7 @@ class Project:
                 .option("path", str(out))
                 .saveAsTable(cat_name)
             )
+            self._harvest_observation(mdef, obs)
             # read via the catalog — spark.read.parquet(path) would lose the
             # bucket spec and re-shuffle on join
             df = self.spark.table(cat_name).select(*cols)
@@ -279,15 +306,20 @@ class Project:
                     # the filter lands on the lazy plan → pushed through
                     # to the model's source scans (row-group pruning)
                     df = df.where(F.col(mdef.incremental_key) > F.lit(hwm))
+                # observed frame = the increment being appended, so
+                # metrics describe THIS build's written rows
+                df, obs = self._attach_observation(mdef, df)
                 writer = df.write.mode("append")
                 if mdef.partition_by:
                     writer = writer.partitionBy(*mdef.partition_by)
                 writer.parquet(str(out))
             else:
+                df, obs = self._attach_observation(mdef, df)
                 writer = df.write.mode("overwrite")
                 if mdef.partition_by:
                     writer = writer.partitionBy(*mdef.partition_by)
                 writer.parquet(str(out))
+            self._harvest_observation(mdef, obs)
             df = self.spark.read.parquet(str(out)).select(*cols)
         elif mdef.materialized == "incremental_merge":
             from pyspark.sql import Window
@@ -314,6 +346,9 @@ class Project:
                 )
                 tmp = out.parent / f"{out.name}.__merge_tmp"
                 shutil.rmtree(tmp, ignore_errors=True)
+                # observed frame = the full post-merge table (that IS the
+                # frame this write evaluates)
+                latest, obs = self._attach_observation(mdef, latest)
                 writer = latest.write.mode("overwrite")
                 if mdef.partition_by:
                     writer = writer.partitionBy(*mdef.partition_by)
@@ -321,15 +356,42 @@ class Project:
                 shutil.rmtree(out)
                 tmp.rename(out)
             else:
+                df, obs = self._attach_observation(mdef, df)
                 writer = df.write.mode("overwrite")
                 if mdef.partition_by:
                     writer = writer.partitionBy(*mdef.partition_by)
                 writer.parquet(str(out))
+            self._harvest_observation(mdef, obs)
             df = self.spark.read.parquet(str(out)).select(*cols)
         # both materializations are queryable by name, like dbt relations
         df.createOrReplaceTempView(name)
         self._built[name] = df
         return df
+
+    def _attach_observation(self, mdef: ModelDef, df: DataFrame):
+        """Wrap the about-to-be-written frame with ``df.observe`` metrics.
+
+        Spark evaluates the declared aggregates inside the write job's
+        tasks (accumulator-backed, retry-exact for completed queries) —
+        the single-pass alternative to re-scanning the freshly written
+        table for row counts / null rates. No-op when the model declares
+        no metrics.
+        """
+        if not mdef.observe:
+            return df, None
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        self._obs_seq += 1
+        obs = Observation(f"{self.env}_{mdef.schema}_{mdef.name}_{self._obs_seq}")
+        return (
+            df.observe(obs, *[F.expr(e).alias(k) for k, e in mdef.observe.items()]),
+            obs,
+        )
+
+    def _harvest_observation(self, mdef: ModelDef, obs) -> None:
+        if obs is not None:
+            self.metrics[mdef.name] = obs.get
 
     def _table_path(self, mdef: ModelDef) -> Path:
         # generate_schema_name passthrough: env-prefixed namespace (D4)

@@ -570,3 +570,71 @@ def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
         F.col("id").alias("a"), (7 - F.col("id")).alias("b")
     ).select(zorder_key(["a", "b"], bits=3).alias("z")).collect()
     assert len({r["z"] for r in probe}) == 8
+
+
+def test_observe_metrics_ride_the_write(spark, tmp_path):
+    """Declared observe metrics are computed BY the materialization job
+    (df.observe accumulators — no second scan of the written table) and
+    land in project.metrics keyed by model; on an incremental rebuild
+    the observed frame is the increment actually appended, not the full
+    table."""
+    proj = Project(spark, warehouse_dir=str(tmp_path))
+
+    @proj.model(
+        materialized="table",
+        observe={
+            "n_rows": "count(1)",
+            "n_null_v": "sum(cast(v IS NULL AS BIGINT))",
+            "max_id": "max(id)",
+        },
+    )
+    def obs_tbl(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "id long, v string"
+        )
+
+    proj.build("obs_tbl")
+    assert proj.metrics["obs_tbl"] == {"n_rows": 3, "n_null_v": 1, "max_id": 3}
+
+    src = tmp_path / "inc_src.parquet"
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(str(src))
+
+    @proj.model(
+        materialized="incremental",
+        incremental_key="id",
+        observe={"n_rows": "count(1)"},
+    )
+    def obs_inc(ctx):
+        return ctx.spark.read.parquet(str(src))
+
+    proj.build("obs_inc")
+    assert proj.metrics["obs_inc"] == {"n_rows": 2}
+
+    # new build sees one row above the high watermark: metrics = increment
+    spark.createDataFrame([(5,)], "id long").write.mode("append").parquet(str(src))
+    proj2 = Project(spark, warehouse_dir=str(tmp_path))
+    proj2._models["obs_inc"] = proj._models["obs_inc"]
+    proj2.build("obs_inc")
+    assert proj2.metrics["obs_inc"] == {"n_rows": 1}
+
+
+def test_observe_on_view_rejected(spark, tmp_path):
+    """A view has no write action for metrics to ride on — declaring
+    observe there is a registration error, not a silent no-op."""
+    proj = Project(spark, warehouse_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="observe"):
+
+        @proj.model(materialized="view", observe={"n": "count(1)"})
+        def bad_view(ctx):  # pragma: no cover - never built
+            return ctx.spark.range(1)
+
+
+def test_fct_write_metrics_observed(project):
+    """The bikeshop fact's declared observe metrics populate on build and
+    carry the join-health signal (orphan counts from each left join)."""
+    project.build("fct_order_products")
+    m = project.metrics["fct_order_products"]
+    assert set(m) == {"n_rows", "n_orphan_products", "n_orphan_orders"}
+    assert m["n_rows"] > 0
+    # every order_product references a real product in the generated data
+    assert m["n_orphan_products"] == 0
