@@ -806,3 +806,24 @@ def test_countmin_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
     n_rows = spark.read.parquet(cells_dir).count()
     jobs.countmin_update_stream(spark, f"{landing}/*", cells_dir, ckpt)  # no new files
     assert spark.read.parquet(cells_dir).count() == n_rows
+
+
+def test_observed_stream_metrics_ride_micro_batches(spark, events_dir, tmp_path):
+    """df.observe on a streaming frame surfaces per-micro-batch write
+    metrics in query progress — the streaming face of the registry's
+    observe materialization metrics. Summed over batches the counts must
+    equal the drained sink exactly (accumulator metrics are per-batch
+    exact for completed batches)."""
+    stream = jobs.read_events_stream(spark, events_dir)
+    sink = tmp_path / "obs_sink"
+    ckpt = tmp_path / "obs_ckpt"
+    got = jobs.run_available_now_observed(
+        stream,
+        str(sink),
+        str(ckpt),
+        {"n_rows": "count(1)", "n_buy": "sum(cast(event_type = 'buy' AS BIGINT))"},
+    )
+    assert got, "no observed metrics in query progress"
+    sunk = spark.read.parquet(str(sink))
+    assert sum(m["n_rows"] for m in got) == sunk.count()
+    assert sum(m["n_buy"] or 0 for m in got) == sunk.where("event_type = 'buy'").count()
