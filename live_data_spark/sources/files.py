@@ -325,6 +325,12 @@ def write_with_metrics(
     ``metrics`` maps name → aggregate Column (e.g. ``F.count(F.lit(1))``,
     ``F.sum(F.col("x").isNull().cast("long"))``). Returns the observed
     values after the write action completes.
+
+    Ad-hoc face of a three-part surface: registry models declare the
+    same thing with ``observe={...}`` (plans/registry.py — rides every
+    materialization kind incl. incremental), and streaming drains use
+    ``streaming/jobs.py::run_available_now_observed`` (per-micro-batch
+    metrics in query progress).
     """
     from pyspark.sql import Observation
 
