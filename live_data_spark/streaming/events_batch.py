@@ -1836,7 +1836,29 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("events_ewma_spikes", oracle=None, tags=("events", "window", "streaming-twin"))
+_EWMA_SPIKES_ORACLE = r"""
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(ts := ts, event_id := event_id, value := value))) AS evs
+  FROM events GROUP BY user_id
+), folded AS (
+  SELECT user_id, len(evs) AS n_events,
+         list_reduce(
+           list_transform(evs, e -> [e.value, 0.0]),
+           (acc, x) -> [0.3 * x[1] + 0.7 * acc[1],
+                        acc[2] + CASE WHEN x[1] > 3.0 * acc[1] THEN 1.0 ELSE 0.0 END]
+         ) AS st
+  FROM per_user
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(st[2] AS BIGINT) AS n_alerts, round(st[1], 4) AS ewma_final
+FROM folded WHERE st[2] >= 1.0 ORDER BY user_id
+"""
+
+
+@register(
+    "events_ewma_spikes", oracle=_EWMA_SPIKES_ORACLE, tags=("events", "window", "streaming-twin")
+)
 def events_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``streaming/jobs.py::value_spike_monitor``: per-user
     EWMA (α=0.3) over events in (ts, event_id) order, alert when a value
@@ -1844,10 +1866,23 @@ def events_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-user alert profile (users with ≥1 alert): n_events,
     n_alerts, final EWMA. This gives the typed-state streaming
     operator's semantics a driver-visible row (the streaming form needs
-    protobuf, absent here; semantics are pinned against a pure-Python
-    replay in tests/test_streaming.py either way).
+    protobuf, absent here; semantics are also pinned against a pure-
+    Python replay in tests/test_streaming.py).
 
-    Rows-only: the fold is inherently sequential per user — but it runs
+    Promoted from rows-only in r6: a sequential IEEE-double fold IS
+    engine-reproducible when the oracle replays the exact operation
+    sequence — DuckDB ``list_reduce`` left-folds with first-element
+    seed, which equals Spark's NULL-init + first step, and
+    ``0.3*x + 0.7*acc`` lowers to the same two multiplies + add in both
+    engines (no FMA fusion on either side). Verified value-identical at
+    sf0.001/0.01/0.1. Two DuckDB traps baked into the oracle's shape:
+    lambda struct-field names resolve POSITIONALLY inside/around
+    ``list_reduce`` (``acc.n_alerts`` silently read ``ewma``!) — the
+    accumulator is a 2-element DOUBLE list indexed positionally instead;
+    and bare decimal literals are DECIMAL, exact here only because each
+    converts to the identical double before DOUBLE arithmetic.
+
+    The fold is inherently sequential per user — but it runs
     ENTIRELY in the JVM as an ``aggregate`` HOF over the user's sorted
     event array (struct accumulator: ewma, alert count, seeded flag), so
     there is no Python anywhere and one user_id shuffle total. Bounded
