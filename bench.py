@@ -56,7 +56,7 @@ def main() -> None:
         _ident(col("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    runs = 5
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         best = float("inf")

@@ -73,3 +73,44 @@ def test_bpe_merges_roundtrip_through_artifact(spark, tmp_path):
     assert ranks_loaded == ranks_mem
     for w in ("low", "lower", "newest", "unseen"):
         assert tk.encode_word(w, ranks_loaded) == tk.encode_word(w, ranks_mem)
+
+
+def test_bench_cli_contract():
+    """bench.py is a driver-facing public surface (the driver records its
+    stdout as BENCH_r{N}.json): run it end-to-end as a subprocess at
+    sf0.001 (1 run/query via SPARK_GRAFT_BENCH_RUNS) and pin the one-
+    JSON-line contract — metric/value/unit/queries/sf keys, every
+    headline query present with a positive time."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from live_data_spark.catalog import catalog
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_RUNS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{") and ln.endswith("}")
+    ]
+    assert len(json_lines) == 1, proc.stdout[-2000:]
+    out = json.loads(json_lines[0])
+    assert out["metric"] == "headline_queries_total_wall"
+    assert out["unit"] == "sec" and out["value"] > 0
+    assert out["sf"] == 0.001 and out["runs_per_query"] == 1
+    headline = {n for n, s in catalog().items() if s.headline}
+    assert set(out["queries"]) == headline
+    assert all(t > 0 for t in out["queries"].values())
+    assert abs(sum(out["queries"].values()) - out["value"]) < 0.01
