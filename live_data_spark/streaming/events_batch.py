@@ -2746,3 +2746,143 @@ def events_health_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'mean_value', mean_value, 'n_days', n_days) AS (metric, value)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing — level+trend forecast over the hourly series.
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.3  # level smoothing
+HOLT_BETA = 0.1  # trend smoothing
+
+# The fold replays Spark's exact IEEE operation sequence (the
+# events_ewma_spikes recipe): list_reduce seeds with the first
+# transformed element ([x0, 0, 0] = level x0, trend 0, abs-err 0), and
+# every arithmetic step is written as the identical expression tree on
+# both engines. The accumulator is a positional DOUBLE list (DuckDB
+# lambda struct fields resolve positionally — the documented trap).
+_HOLT_ORACLE = f"""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+), t AS (
+  SELECT DISTINCT event_type FROM events
+), g AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b CROSS JOIN t
+), c AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), series AS (
+  SELECT g.event_type, g.h, CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+  FROM g LEFT JOIN c ON c.h = g.h AND c.event_type = g.event_type
+), arr AS (
+  SELECT event_type,
+         list_transform(list_sort(list(struct_pack(h := h, x := x))),
+                        s -> [s.x, 0.0, 0.0]) AS xs
+  FROM series GROUP BY event_type
+), folded AS (
+  SELECT event_type, len(xs) AS n_hours,
+         list_reduce(xs, (acc, e) -> [
+           {HOLT_ALPHA} * e[1] + {1.0 - HOLT_ALPHA} * (acc[1] + acc[2]),
+           {HOLT_BETA} * (({HOLT_ALPHA} * e[1] + {1.0 - HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+             + {1.0 - HOLT_BETA} * acc[2],
+           acc[3] + abs(e[1] - (acc[1] + acc[2]))
+         ]) AS st
+  FROM arr
+)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       round(st[1], 4) AS level_final,
+       round(st[2], 4) AS trend_final,
+       round(st[1] + st[2], 4) AS forecast_next,
+       round(st[3] / NULLIF(n_hours - 1, 0), 4) AS mae
+FROM folded ORDER BY event_type
+"""
+
+
+@register("events_holt_trend", oracle=_HOLT_ORACLE, tags=("events", "timeseries", "forecast"))
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=0.3 β=0.1)
+    over each event type's gap-filled hourly count series: the classic
+    short-horizon traffic forecaster (Holt 1957) that EWMA alone can't
+    provide because a level-only smoother lags any ramp. Output per
+    type: final level/trend, the next-hour forecast (level+trend), and
+    the mean absolute one-step-ahead error — the capacity-planning
+    number ("what does the next hour look like, and how wrong are we
+    usually?").
+
+    The series is densified first (zero-filled hours — the
+    events_gapfill_hourly subtree) so the recurrence advances once per
+    HOUR, not once per event: the fold's length is bounded by calendar
+    hours × types, independent of event volume, which is what makes a
+    sequential recurrence scale-safe at 100 TB (the heavy side remains
+    one map-side-combined hash aggregate of the scan; the fold itself
+    runs over a |hours|-long array per type).
+
+    Engine-exactness: the fold is sequential in a deterministic order
+    (sorted dense grid), seeded by the first element (Spark's NULL-init
+    first step ≡ DuckDB list_reduce's first-element seed), and both
+    sides evaluate the same double expression tree — so the driver row
+    is an exact hash match, not a tolerance check. MAE divides by
+    (n_hours − 1) with a NULLIF guard: a single-hour corpus yields NULL
+    rather than an ANSI abort (empty-input contract).
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    grid = bounds.crossJoin(types).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        "event_type",
+    )
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    series = grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x"),
+    )
+    arr = series.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+    a, b = F.lit(HOLT_ALPHA), F.lit(1.0 - HOLT_ALPHA)
+    g, d = F.lit(HOLT_BETA), F.lit(1.0 - HOLT_BETA)
+    init = F.named_struct(
+        F.lit("level"), F.lit(None).cast("double"),
+        F.lit("trend"), F.lit(0.0),
+        F.lit("errs"), F.lit(0.0),
+    )
+
+    def step(acc, x):
+        level1 = a * x + b * (acc["level"] + acc["trend"])
+        return F.when(
+            acc["level"].isNull(),
+            F.named_struct(
+                F.lit("level"), x, F.lit("trend"), F.lit(0.0), F.lit("errs"), F.lit(0.0)
+            ),
+        ).otherwise(
+            F.named_struct(
+                F.lit("level"), level1,
+                F.lit("trend"), g * (level1 - acc["level"]) + d * acc["trend"],
+                F.lit("errs"), acc["errs"] + F.abs(x - (acc["level"] + acc["trend"])),
+            )
+        )
+
+    folded = arr.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        F.aggregate("xs", init, step).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.round("st.level", 4).alias("level_final"),
+        F.round("st.trend", 4).alias("trend_final"),
+        F.round(F.col("st.level") + F.col("st.trend"), 4).alias("forecast_next"),
+        F.round(
+            F.col("st.errs") / F.nullif((F.col("n_hours") - 1).cast("double"), F.lit(0.0)), 4
+        ).alias("mae"),
+    ).orderBy("event_type")

@@ -375,3 +375,36 @@ def test_elasticity_covers_all_brands(spark, sf_dir):
     )
     assert len(rows) == n_brands
     assert all(r["qty_per_point"] is not None for r in rows)
+
+
+def test_holt_trend_matches_python_replay(spark, sf_dir):
+    """events_holt_trend implements textbook Holt smoothing: an
+    independent pandas/pure-Python replay over the same dense hourly
+    series reproduces level/trend/forecast/MAE exactly (same IEEE
+    sequence). This pins the SEMANTICS; oracle parity pins the engines."""
+    import pandas as pd
+
+    from live_data_spark.streaming.events_batch import HOLT_ALPHA, HOLT_BETA
+
+    got = {
+        r["event_type"]: r
+        for r in catalog()["events_holt_trend"].spark(spark, sf_dir).collect()
+    }
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ev["h"] = ev["ts"].dt.floor("h")
+    grid = pd.date_range(ev["h"].min(), ev["h"].max(), freq="h")
+    for etype, g in ev.groupby("event_type"):
+        xs = g.groupby("h").size().reindex(grid, fill_value=0).astype(float).tolist()
+        level, trend, errs = xs[0], 0.0, 0.0
+        for x in xs[1:]:
+            errs += abs(x - (level + trend))
+            l1 = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (l1 - level) + (1.0 - HOLT_BETA) * trend
+            level = l1
+        r = got[etype]
+        assert r["n_hours"] == len(xs)
+        assert r["level_final"] == round(level, 4)
+        assert r["trend_final"] == round(trend, 4)
+        assert r["forecast_next"] == round(level + trend, 4)
+        assert r["mae"] == round(errs / (len(xs) - 1), 4)

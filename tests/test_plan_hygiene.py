@@ -69,6 +69,7 @@ BNLJ_OK: set[str] = {
     "events_countmin_user_counts",  # 4-row depth grid × events (sketch fan-out) + × 20-row probe set
     "embedding_centroid_drift",  # 1-row max-vec_id scalar × embeddings (half-split flag)
     "customer_churn_risk",  # 1-row max-orderdate anchor × customer cadence frame
+    "events_holt_trend",  # 1-row hour-bounds frame × distinct types grid (gapfill subtree)
 }
 
 ALL = sorted(catalog())
