@@ -1233,3 +1233,122 @@ def corpus_dedup_token_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         removed.alias("tokens_removed"),
         F.round(removed / F.sum("toks").cast("double"), 4).alias("removed_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Threshold-sensitivity curve — how much the dedup knob removes.
+# ---------------------------------------------------------------------------
+
+CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+_CURVE_ORACLE = (
+    _SHINGLE_CTE
+    + """
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         count(*) AS n_common, any_value(a.n) AS n1, any_value(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_id_1, doc_id_2, n_common / (n1 + n2 - n_common) AS j
+  FROM pairs WHERE n_common / (n1 + n2 - n_common) >= 0.5
+), grid AS (
+  SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold
+), f AS (
+  SELECT g.threshold, j.doc_id_1, j.doc_id_2
+  FROM grid g JOIN jac j ON j.j >= g.threshold
+), pair_agg AS (
+  SELECT threshold, count(*) AS n_pairs,
+         count(DISTINCT doc_id_2) AS n_removed_greedy
+  FROM f GROUP BY threshold
+), doc_agg AS (
+  SELECT threshold, count(DISTINCT d) AS n_docs
+  FROM (SELECT threshold, doc_id_1 AS d FROM f
+        UNION ALL SELECT threshold, doc_id_2 FROM f)
+  GROUP BY threshold
+)
+SELECT g.threshold,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(p.n_removed_greedy, 0) AS BIGINT) AS n_removed_greedy
+FROM grid g
+LEFT JOIN pair_agg p ON p.threshold = g.threshold
+LEFT JOIN doc_agg d ON d.threshold = g.threshold
+ORDER BY g.threshold
+"""
+)
+
+
+@register("dedup_threshold_curve", oracle=_CURVE_ORACLE, tags=("dedup", "tuning"))
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-knob sensitivity: for Jaccard thresholds 0.5→0.9, how many
+    near-dup pairs fire, how many docs get flagged, and how many a
+    greedy keep-smallest-id policy would remove (a doc is removed iff it
+    has a smaller-id neighbor at ≥ t — the survivorship rule, minus the
+    transitive closure). This is the tuning table every dedup rollout
+    needs BEFORE committing a threshold: the pair/removal counts as a
+    function of t show where the knee is, and a threshold chosen off
+    this curve is the input to dedup_minhash's banding design (bands ×
+    rows trade recall exactly at the chosen t).
+
+    One exact pair subtree (the dedup_ngram_jaccard inverted index with
+    its lossless size-ratio prune, floored at t=0.5) feeds all five
+    thresholds via a broadcast 5-row grid fan-out — the candidate join
+    runs ONCE, not per threshold. Exact ground-truth tier by design
+    (quadratic DuckDB oracle, sf0.01-verified): at 100 TB the same
+    curve comes from the MinHash signatures (estimate Jaccard from
+    signature agreement instead of exact set overlap) — the cascade
+    accounting in corpus_dedup_cascade is that path's rollup.
+    """
+    ex = shingle_rows(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    exn = ex.join(F.broadcast(sizes), "doc_id")
+    a, b = exn.alias("a"), exn.alias("b")
+    floor_t = CURVE_THRESHOLDS[0]
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least("a.n", "b.n") >= floor_t * F.greatest("a.n", "b.n")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = common.join(
+        sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")), "doc_id_1"
+    ).join(sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")), "doc_id_2")
+    j = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    jac = pairs.where(j >= floor_t).select("doc_id_1", "doc_id_2", j.alias("j"))
+
+    grid = spark.createDataFrame(
+        [(float(t),) for t in CURVE_THRESHOLDS], "threshold double"
+    )
+    # broadcast hint: without it the non-equi inner join with the
+    # stats-less local grid degrades to CartesianProduct
+    f = F.broadcast(grid).join(jac, jac["j"] >= grid["threshold"])
+    pair_agg = f.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("doc_id_2").alias("n_removed_greedy"),
+    )
+    doc_agg = (
+        f.select("threshold", F.explode(F.array("doc_id_1", "doc_id_2")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        grid.join(F.broadcast(pair_agg), "threshold", "left")
+        .join(F.broadcast(doc_agg), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_removed_greedy", F.lit(0)).cast("bigint").alias("n_removed_greedy"),
+        )
+        .orderBy("threshold")
+    )

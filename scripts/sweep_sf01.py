@@ -28,6 +28,7 @@ SF = "/root/testdata/sf0.1"
 # DuckDB-side quadratic / recursive oracles — infeasible at sf0.1
 HEAVY = {
     "dedup_ngram_jaccard",
+    "dedup_threshold_curve",
     "dedup_containment",
     "dedup_clusters",
     "dedup_survivors",

@@ -252,3 +252,21 @@ def test_incremental_bloom_empty_history_all_new(spark, tmp_path):
         for r in catalog()["dedup_incremental_bloom"].spark(spark, str(tmp_path)).collect()
     }
     assert got == {"new": 2, "dup_batch": 1}, got
+
+
+def test_threshold_curve_monotone_and_consistent(spark, sf_dir):
+    """The sensitivity curve must be monotone non-increasing in t (a
+    higher threshold can only drop pairs/docs/removals), and its t=0.8
+    pair count must equal dedup_ngram_jaccard's row count — both read
+    the same exact pair subtree."""
+    rows = catalog()["dedup_threshold_curve"].spark(spark, sf_dir).collect()
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for col in ("n_pairs", "n_docs", "n_removed_greedy"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals, reverse=True), (col, vals)
+    for r in rows:
+        assert r["n_removed_greedy"] <= r["n_docs"]
+        assert r["n_docs"] <= 2 * r["n_pairs"]
+    at08 = next(r for r in rows if r["threshold"] == 0.8)
+    n_jaccard = catalog()["dedup_ngram_jaccard"].spark(spark, sf_dir).count()
+    assert at08["n_pairs"] == n_jaccard

@@ -70,6 +70,7 @@ BNLJ_OK: set[str] = {
     "embedding_centroid_drift",  # 1-row max-vec_id scalar × embeddings (half-split flag)
     "customer_churn_risk",  # 1-row max-orderdate anchor × customer cadence frame
     "events_holt_trend",  # 1-row hour-bounds frame × distinct types grid (gapfill subtree)
+    "dedup_threshold_curve",  # 5-row threshold grid × the (small, post-agg) exact pair frame
 }
 
 ALL = sorted(catalog())
