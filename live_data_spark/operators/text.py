@@ -1921,3 +1921,142 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(fano, 6).alias("fano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets — head/middle/tail per language.
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM toks
+), bi AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx
+), bc AS (
+  SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2
+), uc AS (
+  SELECT w1, count(*) AS cu FROM bi GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT x) AS nv FROM (SELECT unnest(w) AS x FROM toks)
+), scored AS (
+  SELECT b.doc_id,
+         cast(floor(ln((bc.cb + 1) / cast(uc.cu + v.nv AS DOUBLE)) * 100000000 + 0.5)
+              AS BIGINT) AS q
+  FROM bi b
+  JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN uc ON uc.w1 = b.w1
+  CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, count(*) AS n, sum(q) AS sq FROM scored GROUP BY doc_id
+), qm AS (
+  SELECT d.lang, p.doc_id,
+         CAST(floor(-p.sq / CAST(p.n AS DOUBLE) + 0.5) AS BIGINT) AS qmean
+  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+), ranked AS (
+  SELECT lang, qmean,
+         row_number() OVER (PARTITION BY lang ORDER BY qmean, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nl
+  FROM qm
+)
+SELECT lang,
+       CASE CAST(floor(3.0 * (rn - 1) / nl) AS INT)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round((sum(qmean) / CAST(count(*) AS DOUBLE)) / 100000000.0, 4) AS mean_surprisal,
+       round(max(qmean) / 100000000.0, 4) AS cut_surprisal
+FROM ranked
+GROUP BY 1, 2 ORDER BY lang, bucket
+"""
+
+
+@register("corpus_perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE, tags=("text", "quality", "lm", "curation"))
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partition: per language, rank docs by
+    LM surprisal and cut into equal thirds — the curation policy behind
+    CCNet/LLaMA's pretraining data ("keep head+middle, drop tail", Wenzek
+    et al. 2020), using the dependency-free in-corpus bigram model from
+    text_bigram_surprisal as the scorer. Per (lang, bucket): doc count,
+    mean surprisal, and the bucket's upper cut — the thresholds a
+    filtering job would then apply map-side.
+
+    Determinism: each doc's mean surprisal is quantized to an INTEGER
+    (1e-8 units) before ranking — rank order, tie-breaks (doc_id), and
+    every bucket aggregate are integer-exact on both engines; no float
+    comparison anywhere near a cut boundary. Bucket id from the rank by
+    integer arithmetic (floor(3·(rn−1)/n)), NOT ntile (whose remainder
+    distribution is engine-specific).
+
+    Scale: the scorer is the shared bigram subtree (one exploded frame,
+    two aggregates, AQE-split Zipf head). The per-lang ranking here uses
+    one row per DOC (not per token); at 100 TB swap the window for the
+    ranged-rank recipe (functions/ranks.py) or compute just the two
+    tercile boundaries via the quantile path — the bucket rule is two
+    broadcast cut values either way.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = F.split(normalized_text("text"), " ")
+    bi = (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.when(
+                    F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = d.select(F.explode(w).alias("x")).agg(F.countDistinct("x").alias("nv"))
+    logp = F.ln((F.col("cb") + 1) / (F.col("cu") + F.col("nv")).cast("double"))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.floor(logp * 100000000 + 0.5).cast("bigint").alias("q"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq")
+    )
+    qm = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "doc_id",
+        F.floor((-F.col("sq")).cast("double") / F.col("n") + 0.5)
+        .cast("bigint")
+        .alias("qmean"),
+    )
+    lw = Window.partitionBy("lang")
+    ranked = qm.select(
+        "lang",
+        "qmean",
+        F.row_number().over(lw.orderBy("qmean", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(lw).alias("nl"),
+    )
+    bucket = (
+        F.when(F.floor(F.lit(3.0) * (F.col("rn") - 1) / F.col("nl")) == 0, "head")
+        .when(F.floor(F.lit(3.0) * (F.col("rn") - 1) / F.col("nl")) == 1, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (F.sum("qmean") / F.count(F.lit(1)).cast("double")) / 100000000.0, 4
+            ).alias("mean_surprisal"),
+            F.round(F.max("qmean") / F.lit(100000000.0), 4).alias("cut_surprisal"),
+        )
+        .orderBy("lang", "bucket")
+    )

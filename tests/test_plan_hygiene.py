@@ -71,6 +71,7 @@ BNLJ_OK: set[str] = {
     "customer_churn_risk",  # 1-row max-orderdate anchor × customer cadence frame
     "events_holt_trend",  # 1-row hour-bounds frame × distinct types grid (gapfill subtree)
     "dedup_threshold_curve",  # 5-row threshold grid × the (small, post-agg) exact pair frame
+    "corpus_perplexity_buckets",  # 1-row vocab-size scalar broadcast (surprisal subtree)
 }
 
 ALL = sorted(catalog())

@@ -409,3 +409,22 @@ def test_burstiness_bounds(spark, sf_dir):
     counts[: len(per)] = list(per.values())  # order-free: moments only
     fano = counts.var() / counts.mean()
     assert abs(fano - rows[0]["fano"]) < 1e-4
+
+
+def test_perplexity_buckets_thirds_and_ordering(spark, sf_dir):
+    """Per lang: the three buckets are equal thirds (±1 doc), bucket
+    means ascend head→middle→tail, and each bucket's upper cut bounds
+    its mean — the properties the CCNet-style filter policy relies on."""
+    rows = catalog()["corpus_perplexity_buckets"].spark(spark, sf_dir).collect()
+    by_lang: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        means = [b[k]["mean_surprisal"] for k in ("head", "middle", "tail")]
+        assert means == sorted(means), (lang, means)
+        for k in ("head", "middle", "tail"):
+            assert b[k]["mean_surprisal"] <= b[k]["cut_surprisal"] + 1e-9
+        assert b["head"]["cut_surprisal"] <= b["middle"]["cut_surprisal"] <= b["tail"]["cut_surprisal"]
