@@ -2060,3 +2060,125 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — stopword-delimited phrases, degree/freq scores.
+# ---------------------------------------------------------------------------
+
+RAKE_MAX_WORDS = 4  # candidate phrases longer than this are noise, not keywords
+RAKE_TOP_K = 20
+_RAKE_DELIM = chr(1)  # phrase separator injected at stopword positions
+
+_RAKE_ORACLE = rf"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+), phr AS (
+  SELECT trim(p) AS phrase
+  FROM (
+    SELECT unnest(str_split(regexp_replace(t, '\b({_STOPWORDS})\b', chr(1), 'g'), chr(1))) AS p
+    FROM norm
+  )
+  WHERE len(regexp_split_to_array(trim(p), ' ')) BETWEEN 2 AND {RAKE_MAX_WORDS}
+    AND trim(p) <> ''
+), pw AS (
+  SELECT phrase, unnest(regexp_split_to_array(phrase, ' ')) AS word,
+         len(regexp_split_to_array(phrase, ' ')) AS np
+  FROM phr
+), wstat AS (
+  SELECT word, count(*) AS freq, sum(np) AS degree FROM pw GROUP BY word
+), wscore AS (
+  SELECT word, CAST(floor(degree / CAST(freq AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS q
+  FROM wstat
+), pcount AS (
+  SELECT phrase, count(*) AS n_occurrences FROM phr GROUP BY phrase
+), pscore AS (
+  SELECT px.phrase, CAST(sum(w.q) AS BIGINT) AS score_q
+  FROM (SELECT DISTINCT phrase, word FROM pw) px
+  JOIN wscore w ON w.word = px.word
+  GROUP BY px.phrase
+)
+SELECT c.phrase,
+       CAST(len(regexp_split_to_array(c.phrase, ' ')) AS BIGINT) AS n_words,
+       CAST(c.n_occurrences AS BIGINT) AS n_occurrences,
+       round(s.score_q / 100000000.0, 4) AS score
+FROM pcount c JOIN pscore s ON s.phrase = c.phrase
+ORDER BY s.score_q DESC, c.n_occurrences DESC, c.phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_ORACLE, tags=("text", "keywords"))
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal stopword-delimited word runs (2-4 words), each word
+    scores degree/freq over the candidate corpus (degree = summed
+    lengths of the phrases it appears in — favors words that travel in
+    long collocations), and a phrase scores the sum of its distinct
+    words' scores. Top-20 corpus keywords with full deterministic
+    tie-breaks — the zero-model keyphrase surface for corpus browsing,
+    topic labeling, and index building.
+
+    Engine determinism: word scores are integer-quantized (1e-8) before
+    the per-phrase sum (order-free integer adds — the surprisal recipe);
+    ranking is on the integer score. Scoring expands DISTINCT
+    (phrase, word) pairs (a word repeated within one phrase counts once
+    — set semantics, pinned in pytest) and joins them to the
+    broadcast-sized word-score table; occurrence counts join back at
+    the end.
+
+    Scale: two token-keyed aggregates (word stats, phrase counts) + one
+    broadcast join; TakeOrdered top-20. No window over raw data; the
+    phrase explode is the only fan-out and is bounded by corpus tokens.
+    """
+    d = load(spark, sf_dir, "documents")
+    phrases = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        normalized_text("text"), rf"\b({_STOPWORDS})\b", _RAKE_DELIM
+                    ),
+                    _RAKE_DELIM,
+                )
+            ).alias("p")
+        )
+        .select(F.trim("p").alias("phrase"))
+        .where(
+            (F.col("phrase") != "")
+            & F.size(F.split("phrase", " ")).between(2, RAKE_MAX_WORDS)
+        )
+    )
+    pw = phrases.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("word"),
+        F.size(F.split("phrase", " ")).alias("np"),
+    )
+    wscore = (
+        pw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("np").alias("degree"))
+        .select(
+            "word",
+            F.floor(F.col("degree") / F.col("freq").cast("double") * 100000000 + 0.5)
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    pcount = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    distinct_pw = pw.select("phrase", "word").distinct()
+    pscore = (
+        distinct_pw.join(F.broadcast(wscore), "word")
+        .groupBy("phrase")
+        .agg(F.sum("q").cast("bigint").alias("score_q"))
+    )
+    return (
+        pcount.join(pscore, "phrase")
+        .orderBy(F.col("score_q").desc(), F.col("n_occurrences").desc(), "phrase")
+        .limit(RAKE_TOP_K)
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("bigint").alias("n_words"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.round(F.col("score_q") / 100000000.0, 4).alias("score"),
+        )
+    )

@@ -428,3 +428,54 @@ def test_perplexity_buckets_thirds_and_ordering(spark, sf_dir):
         for k in ("head", "middle", "tail"):
             assert b[k]["mean_surprisal"] <= b[k]["cut_surprisal"] + 1e-9
         assert b["head"]["cut_surprisal"] <= b["middle"]["cut_surprisal"] <= b["tail"]["cut_surprisal"]
+
+
+def test_rake_keywords_python_replay_on_planted_corpus(spark, tmp_path):
+    """RAKE semantics pinned against a pure-Python reference on a planted
+    corpus that exercises the tricky cases: repeated phrases, a word
+    shared across phrases (degree accumulation), and a word repeated
+    WITHIN one phrase (counts once in that phrase's score — set
+    semantics; but twice in the word's own freq/degree stats)."""
+    import re
+    from collections import defaultdict
+
+    from live_data_spark.operators import text as t
+
+    texts = [
+        "deep neural network and deep neural network for graph learning",
+        "gradient descent is noisy noisy signal on the gradient descent",
+        "kernel methods kernel kernel methods",
+    ]
+    docs = spark.createDataFrame(
+        [(i, s, "en", "s1", len(s)) for i, s in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = t.text_rake_keywords(spark, str(tmp_path)).collect()
+
+    # reference implementation
+    stop = t._STOPWORDS.split("|")
+    phrases = []
+    for s in texts:
+        norm = re.sub(r"\s+", " ", s.lower()).strip()
+        parts = re.split(r"\b(?:%s)\b" % "|".join(stop), norm)
+        for p in parts:
+            p = p.strip()
+            if p and 2 <= len(p.split()) <= t.RAKE_MAX_WORDS:
+                phrases.append(p)
+    freq, degree = defaultdict(int), defaultdict(int)
+    for p in phrases:
+        ws = p.split()
+        for wd in ws:  # every occurrence counts in the word stats
+            freq[wd] += 1
+            degree[wd] += len(ws)
+    q = {wd: int(degree[wd] / freq[wd] * 1e8 + 0.5) for wd in freq}
+    occurrences = defaultdict(int)
+    for p in phrases:
+        occurrences[p] += 1
+    scores = {p: sum(q[wd] for wd in set(p.split())) for p in occurrences}
+    want = sorted(
+        ((p, len(p.split()), occurrences[p], round(scores[p] / 1e8, 4)) for p in scores),
+        key=lambda r: (-scores[r[0]], -r[2], r[0]),
+    )[: t.RAKE_TOP_K]
+    assert [(r["phrase"], r["n_words"], r["n_occurrences"], r["score"]) for r in got] == want
