@@ -2182,3 +2182,142 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_q") / 100000000.0, 4).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine — near-dup/related-doc pairs without embeddings.
+# ---------------------------------------------------------------------------
+
+SPARSE_SIG_TERMS = 10  # per-doc signature: top-M terms by tf-idf
+SPARSE_TOP_PAIRS = 50
+
+_SPARSE_COS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)) AS w
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+), sig AS (
+  SELECT doc_id, term, w FROM (
+    SELECT doc_id, term, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk
+    FROM w
+  ) WHERE rk <= {SPARSE_SIG_TERMS}
+), nrm AS (
+  SELECT doc_id, sum(CAST(floor(w * w * 1000000 + 0.5) AS BIGINT)) AS qn
+  FROM sig GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         count(*) AS n_shared_terms,
+         sum(CAST(floor(a.w * b.w * 1000000 + 0.5) AS BIGINT)) AS qdot
+  FROM sig a JOIN sig b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id_1, d.doc_id_2, d.n_shared_terms,
+         d.qdot / (sqrt(n1.qn) * sqrt(n2.qn)) AS cos
+  FROM dots d
+  JOIN nrm n1 ON n1.doc_id = d.doc_id_1
+  JOIN nrm n2 ON n2.doc_id = d.doc_id_2
+)
+SELECT doc_id_1, doc_id_2, CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+       round(cos, 4) AS cosine
+FROM scored
+ORDER BY cos DESC, doc_id_1, doc_id_2
+LIMIT {SPARSE_TOP_PAIRS}
+"""
+
+
+@register("text_sparse_cosine_topk", oracle=_SPARSE_COS_ORACLE, tags=("text", "similarity"))
+def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector document similarity: cosine over each doc's top-10
+    TF-IDF term signature, top-50 most-similar pairs — the
+    lexical/sparse retrieval tier (what a BM25-ish related-documents or
+    near-topic-dup pass computes) complementing the DENSE embedding
+    ladder in operators/similarity.py. Signature truncation is the
+    standard sparse prune (prefix-filtering family, PPJoin): two docs
+    can only pair if their top-idf terms overlap, so the self-join is an
+    inverted-index join on signature terms — |sig|=10 rows per doc, NOT
+    the full vocabulary, and never all-pairs.
+
+    Engine determinism: tf·idf weights are identical doubles on both
+    engines (integer tf/df/N through one ln), signature selection
+    tie-breaks on term, and every cross-row sum (norms, dots) is
+    integer-quantized (1e-6) before aggregation — the surprisal recipe —
+    so cosine = qdot/(√qn1·√qn2) is a pure function of engine-identical
+    integers and the top-50 cut is exact.
+
+    Scale: at 100 TB add a document-frequency cap on signature terms
+    (df ≤ τ drops corpus-wide terms the idf already down-weights) to
+    bound the hottest inverted-index key; the shuffle stays
+    O(docs·|sig|) either way and candidates travel as bare id pairs.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double"))
+            ).alias("w"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    )
+    sig = w.withColumn("rk", rk).where(F.col("rk") <= SPARSE_SIG_TERMS).drop("rk")
+    qq = lambda c: F.floor(c * 1000000 + 0.5).cast("bigint")  # noqa: E731
+    nrm = sig.groupBy("doc_id").agg(F.sum(qq(F.col("w") * F.col("w"))).alias("qn"))
+    a, b = sig.alias("a"), sig.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.sum(qq(F.col("a.w") * F.col("b.w"))).alias("qdot"),
+        )
+    )
+    n1 = nrm.select(F.col("doc_id").alias("doc_id_1"), F.col("qn").alias("qn1"))
+    n2 = nrm.select(F.col("doc_id").alias("doc_id_2"), F.col("qn").alias("qn2"))
+    cos = F.col("qdot") / (F.sqrt("qn1") * F.sqrt("qn2"))
+    return (
+        dots.join(F.broadcast(n1), "doc_id_1")
+        .join(F.broadcast(n2), "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col("n_shared_terms").cast("bigint").alias("n_shared_terms"),
+            cos.alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id_1", "doc_id_2")
+        .limit(SPARSE_TOP_PAIRS)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "n_shared_terms",
+            F.round("cos", 4).alias("cosine"),
+        )
+    )

@@ -72,6 +72,7 @@ BNLJ_OK: set[str] = {
     "events_holt_trend",  # 1-row hour-bounds frame × distinct types grid (gapfill subtree)
     "dedup_threshold_curve",  # 5-row threshold grid × the (small, post-agg) exact pair frame
     "corpus_perplexity_buckets",  # 1-row vocab-size scalar broadcast (surprisal subtree)
+    "text_sparse_cosine_topk",  # 1-row corpus doc-count scalar (tf-idf subtree)
 }
 
 ALL = sorted(catalog())

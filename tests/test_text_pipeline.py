@@ -479,3 +479,26 @@ def test_rake_keywords_python_replay_on_planted_corpus(spark, tmp_path):
         key=lambda r: (-scores[r[0]], -r[2], r[0]),
     )[: t.RAKE_TOP_K]
     assert [(r["phrase"], r["n_words"], r["n_occurrences"], r["score"]) for r in got] == want
+
+
+def test_sparse_cosine_identical_docs_rank_first(spark, tmp_path):
+    """Two identical docs share a full signature: cosine 1.0 and rank #1;
+    a disjoint-vocabulary doc never pairs with them."""
+    from live_data_spark.operators import text as t
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s1", len(base)),
+            (2, base, "en", "s1", len(base)),
+            (3, "one two three four five six seven eight nine ten", "en", "s1", 49),
+            (4, "alpha beta gamma delta unrelated words here now", "en", "s1", 48),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = t.text_sparse_cosine_topk(spark, str(tmp_path)).collect()
+    assert (rows[0]["doc_id_1"], rows[0]["doc_id_2"]) == (1, 2)
+    assert rows[0]["cosine"] == 1.0
+    pairs = {(r["doc_id_1"], r["doc_id_2"]) for r in rows}
+    assert not any(3 in p and (1 in p or 2 in p) for p in pairs)
