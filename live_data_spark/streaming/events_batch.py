@@ -2886,3 +2886,60 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("st.errs") / F.nullif((F.col("n_hours") - 1).cast("double"), F.lit(0.0)), 4
         ).alias("mae"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend — median of pairwise slopes over the daily series.
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, count(*) AS c
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT (b.c - a.c) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.d > a.d
+)
+SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS slope_per_day
+FROM pairs
+"""
+
+
+@register("events_theil_sen_trend", oracle=_THEIL_SEN_ORACLE, tags=("events", "timeseries", "robust"))
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen trend of daily event volume: the median of all pairwise
+    slopes (c_j−c_i)/(d_j−d_i) — the robust alternative to the OLS line
+    in events_daily_trend (29% breakdown point: a third of the days can
+    be outage zeros or spike days without moving the estimate, where
+    least squares follows them). The pair this makes with
+    events_daily_trend is the robust/classical twin pattern used for
+    median/MAD vs mean/σ elsewhere in the catalog.
+
+    The pairwise expansion is over the DAILY frame, which is calendar-
+    bounded (a decade < 3.7k rows → <7M pairs), not over events — the
+    same |days|/|hours|-bounded-frame argument as events_hourly_acf and
+    events_changepoint_cusum, so the quadratic term is scale-FREE: at
+    100 TB the only data-sized cost is the one map-side-combined daily
+    count aggregate. Determinism: slopes are divisions of exact integer
+    deltas (identical doubles on both engines); the median interpolates
+    the two central order statistics of identical multisets.
+
+    Empty events → zero daily rows → a single (0, 0, NULL) summary row
+    on both engines (count aggregates over an empty pair set).
+    """
+    e = load(spark, sf_dir, "events")
+    didx = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    daily = e.select(didx.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("b.d") > F.col("a.d")).select(
+        ((F.col("b.c") - F.col("a.c")) / (F.col("b.d") - F.col("a.d")).cast("double")).alias(
+            "slope"
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.median("slope"), 6).alias("slope_per_day"),
+    ).crossJoin(F.broadcast(n_days)).select("n_days", "n_pairs", "slope_per_day")

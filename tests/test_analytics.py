@@ -408,3 +408,31 @@ def test_holt_trend_matches_python_replay(spark, sf_dir):
         assert r["trend_final"] == round(trend, 4)
         assert r["forecast_next"] == round(level + trend, 4)
         assert r["mae"] == round(errs / (len(xs) - 1), 4)
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    """A perfectly linear daily series (slope 1) with one 500-event
+    outage/spike day: Theil-Sen returns exactly 1.0 (median pairwise
+    slope), while the OLS slope on the same series is pulled well away —
+    the robustness contract vs events_daily_trend."""
+    import numpy as np
+
+    from live_data_spark.streaming.events_batch import events_theil_sen_trend
+
+    rows = []
+    eid = 0
+    counts = {d: (500 if d == 10 else 10 + d) for d in range(20)}
+    for d, c in counts.items():
+        for i in range(c):
+            rows.append((eid, dt.datetime(2026, 3, 1 + d, 12, 0, 0), 1, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = events_theil_sen_trend(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 20
+    assert r["n_pairs"] == 190
+    assert r["slope_per_day"] == 1.0
+    ols = np.polyfit(list(counts), [counts[d] for d in counts], 1)[0]
+    assert abs(ols - 1.0) > 0.2  # OLS visibly pulled; Theil-Sen exact

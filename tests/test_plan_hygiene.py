@@ -73,6 +73,7 @@ BNLJ_OK: set[str] = {
     "dedup_threshold_curve",  # 5-row threshold grid × the (small, post-agg) exact pair frame
     "corpus_perplexity_buckets",  # 1-row vocab-size scalar broadcast (surprisal subtree)
     "text_sparse_cosine_topk",  # 1-row corpus doc-count scalar (tf-idf subtree)
+    "events_theil_sen_trend",  # pairwise-slope self-join on the |days|-bounded daily frame
 }
 
 ALL = sorted(catalog())
