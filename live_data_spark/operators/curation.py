@@ -1217,3 +1217,71 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_tokens") / (F.col("n_docs") * F.col("max_tokens")).cast("double"), 4
         ).alias("fill_efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — sensitive-value diversity within each QI cell.
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY_THRESHOLD = 3
+
+_LDIV_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         strftime(cast(ts AS DATE), '%Y-%m-%d') AS day,
+         cast(floor(value / 100.0) AS BIGINT) AS value_band,
+         count(*) AS k,
+         count(DISTINCT user_id) AS l
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT
+  cast(count(*) AS BIGINT) AS n_cells,
+  cast(min(l) AS BIGINT) AS min_l,
+  round(sum(l) / NULLIF(cast(count(*) AS DOUBLE), 0), 4) AS mean_l,
+  cast(count(CASE WHEN l < {L_DIVERSITY_THRESHOLD} THEN 1 END) AS BIGINT) AS n_risky_cells,
+  cast(sum(CASE WHEN l < {L_DIVERSITY_THRESHOLD} THEN k ELSE 0 END) AS BIGINT) AS n_risky_rows,
+  round(count(CASE WHEN l < {L_DIVERSITY_THRESHOLD} THEN 1 END)
+        / NULLIF(cast(count(*) AS DOUBLE), 0), 4) AS risky_cell_rate
+FROM cells
+"""
+
+
+@register("privacy_l_diversity", oracle=_LDIV_ORACLE, tags=("events", "privacy", "agg"))
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) over the same
+    quasi-identifier cells as ``privacy_k_anonymity``, with user_id as
+    the sensitive attribute: a cell can be k-anonymous yet still leak
+    (all k rows belong to ONE user — homogeneity attack); l-diversity
+    requires ≥ l distinct sensitive values per cell. Reports the
+    dataset's l number (min over cells), the mean, and the cells/rows
+    below l=3 — the suppression workload k-anonymity alone misses.
+
+    Same scale shape as the k audit: one QI-cell aggregate (the
+    count(DISTINCT user_id) shuffles per cell key, bounded by the QI
+    domain × per-cell users), one 1-row rollup, NULLIF-guarded rates on
+    empty input.
+    """
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") / 100.0).cast("bigint").alias("value_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    risky = F.when(F.col("l") < L_DIVERSITY_THRESHOLD, 1)
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("l").alias("min_l"),
+        F.round(
+            F.sum("l") / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)), 4
+        ).alias("mean_l"),
+        F.count(risky).alias("n_risky_cells"),
+        F.sum(F.when(F.col("l") < L_DIVERSITY_THRESHOLD, F.col("k")).otherwise(0)).alias(
+            "n_risky_rows"
+        ),
+        F.round(
+            F.count(risky) / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)), 4
+        ).alias("risky_cell_rate"),
+    )
