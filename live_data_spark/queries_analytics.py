@@ -2144,3 +2144,132 @@ def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(rz) > MAD_CUT, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier reorder survival — time-to-next-order with censoring.
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS next_date
+  FROM orders
+), anchor AS (
+  SELECT max(o_orderdate) AS a FROM orders
+), obs AS (
+  SELECT CASE WHEN next_date IS NULL THEN datediff('day', o_orderdate, (SELECT a FROM anchor))
+              ELSE datediff('day', o_orderdate, next_date) END AS dur,
+         CASE WHEN next_date IS NULL THEN 0 ELSE 1 END AS ev
+  FROM seq
+), per_t AS (
+  SELECT dur AS t, sum(ev) AS d, count(*) AS m FROM obs GROUP BY dur
+), risk AS (
+  SELECT t, d, m,
+         sum(m) OVER (ORDER BY t DESC) AS n_at_risk
+  FROM per_t
+), terms AS (
+  SELECT t, d, n_at_risk,
+         CASE WHEN d < n_at_risk
+              THEN CAST(floor(ln(1 - d / CAST(n_at_risk AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)
+              ELSE 0 END AS q,
+         CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS dies
+  FROM risk
+), curve AS (
+  SELECT t, d, n_at_risk,
+         sum(q) OVER (ORDER BY t) AS qsum,
+         max(dies) OVER (ORDER BY t) AS dead
+  FROM terms
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(qsum / 100000000.0) END, 4) AS survival
+FROM curve WHERE d > 0 ORDER BY t
+"""
+
+
+@register("customer_reorder_survival", oracle=_KM_ORACLE, tags=("orders", "survival", "window"))
+def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of time-to-next-order (Kaplan & Meier
+    1958): each consecutive-order gap is an observed reorder event, each
+    customer's tail (last order → corpus end) is right-CENSORED — the
+    estimator every churn/LTV model needs, because naive mean-gap stats
+    silently drop the censored tails and understate retention. Output:
+    at every gap length with ≥1 reorder, the at-risk count, event count,
+    and S(t) = Π(1 − d_i/n_i) — "probability a customer goes ≥ t days
+    before reordering".
+
+    Engine determinism: d and n are integers; each KM factor enters as
+    ln(1 − d/n) quantized to 1e-8 INTEGER units and the running product
+    is exp of the integer cumsum (the surprisal recipe applied to a
+    cumulative product) — bit-identical on both engines, including the
+    terminal d = n point where S hits exactly 0 (flagged, not ln(0)).
+
+    Scale: one lead() window per customer (orders already shuffle on
+    o_custkey for every per-customer analytic — shared partitioning),
+    then all remaining frames are |distinct gap|-sized — calendar-
+    bounded, broadcast-scale. The descending-cumsum at-risk trick turns
+    "count obs with dur ≥ t" into one window over that tiny frame
+    instead of a range self-join.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderdate", F.lead("o_orderdate").over(w).alias("next_date")
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("a"))
+    obs = seq.crossJoin(F.broadcast(anchor)).select(
+        F.when(
+            F.col("next_date").isNull(), F.datediff("a", "o_orderdate")
+        )
+        .otherwise(F.datediff("next_date", "o_orderdate"))
+        .alias("dur"),
+        F.when(F.col("next_date").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    per_t = obs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    risk = per_t.withColumn(
+        "n_at_risk",
+        F.sum("m").over(
+            Window.orderBy(F.col("t").desc()).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    q = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.floor(
+            F.ln(1 - F.col("d") / F.col("n_at_risk").cast("double")) * 100000000 + 0.5
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    terms = risk.select(
+        "t",
+        "d",
+        "n_at_risk",
+        q.alias("q"),
+        F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0).alias("dies"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = terms.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.sum("q").over(wt).alias("qsum"),
+        F.max("dies").over(wt).alias("dead"),
+    )
+    return (
+        curve.where(F.col("d") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("t_days"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.round(
+                F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
+                    F.exp(F.col("qsum") / 100000000.0)
+                ),
+                4,
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )

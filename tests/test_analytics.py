@@ -436,3 +436,25 @@ def test_theil_sen_ignores_outlier_day(spark, tmp_path):
     assert r["slope_per_day"] == 1.0
     ols = np.polyfit(list(counts), [counts[d] for d in counts], 1)[0]
     assert abs(ols - 1.0) > 0.2  # OLS visibly pulled; Theil-Sen exact
+
+
+def test_reorder_survival_km_by_hand(spark, tmp_path):
+    """KM estimator on a 3-customer micro-example computable by hand:
+    events at gaps {5,5,10}, censored tails {0,0,10} (anchor = last
+    order date). S(5) = 1-2/4 = 0.5; S(10) = 0.5 * (1-1/2) = 0.25."""
+    from live_data_spark.queries_analytics import customer_reorder_survival
+
+    orders = [
+        # (orderkey, custkey, orderdate)
+        (1, 1, dt.date(2026, 1, 1)), (2, 1, dt.date(2026, 1, 11)),
+        (3, 2, dt.date(2026, 1, 1)),
+        (4, 3, dt.date(2026, 1, 1)), (5, 3, dt.date(2026, 1, 6)), (6, 3, dt.date(2026, 1, 11)),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate date"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = customer_reorder_survival(spark, str(tmp_path)).collect()
+    assert [(r["t_days"], r["n_at_risk"], r["n_events"], r["survival"]) for r in rows] == [
+        (5, 4, 2, 0.5),
+        (10, 2, 1, 0.25),
+    ]
