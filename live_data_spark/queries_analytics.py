@@ -2273,3 +2273,71 @@ def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front) — non-dominated parts on (price ↓, size ↑).
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH g AS (
+  SELECT p_retailprice AS price, max(p_size) AS gmax
+  FROM part GROUP BY p_retailprice
+), cm AS (
+  SELECT price, gmax,
+         max(gmax) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_cummax
+  FROM g
+)
+SELECT p.p_partkey, p.p_name, p.p_retailprice, CAST(p.p_size AS INT) AS p_size
+FROM part p JOIN cm ON cm.price = p.p_retailprice
+WHERE NOT (coalesce(cm.prev_cummax >= p.p_size, FALSE) OR cm.gmax > p.p_size)
+ORDER BY p.p_retailprice, p.p_partkey
+"""
+
+
+@register("part_price_size_skyline", oracle=_SKYLINE_ORACLE, tags=("part", "skyline"))
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query (Börzsönyi et al. 2001): the parts
+    not dominated on (retail price ↓ better, size ↑ better) — another
+    part is never both cheaper-or-equal AND bigger-or-equal with one
+    strict. The multi-objective shortlist shape ("best tradeoffs, no
+    scalarized weights") that product search, supplier choice, and
+    config tuning all ask for, and that plain ORDER BY cannot express.
+
+    2-D skyline in closed form, no pairwise join: collapse to one row
+    per distinct price (max size), take the running max of size over
+    strictly-cheaper prices (ROWS .. 1 PRECEDING on the per-price frame
+    — "strictly cheaper" without a range predicate), then a row is
+    dominated iff a cheaper row reaches its size, or a same-price row
+    strictly exceeds it. Ties on BOTH axes are mutually non-dominating
+    and both survive (pinned in pytest). All comparisons are on exact
+    input values — no derived floats.
+
+    Scale: the window runs over the DISTINCT-price frame. If the price
+    domain is data-sized at 100 TB, the running max is the prefix-
+    aggregation shape of functions/ranks.py (repartitionByRange +
+    per-partition max + P-row broadcast offsets) — same swap as the
+    ranged rank twins; the join back is a broadcast when the skyline
+    frame fits, shuffle-on-price otherwise.
+    """
+    p = load(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    cm = g.withColumn(
+        "prev_cummax",
+        F.max("gmax").over(
+            Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    joined = p.join(F.broadcast(cm), p["p_retailprice"] == cm["price"])
+    dominated = (
+        F.coalesce(F.col("prev_cummax") >= F.col("p_size"), F.lit(False))
+        | (F.col("gmax") > F.col("p_size"))
+    )
+    return (
+        joined.where(~dominated)
+        .select("p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("int"))
+        .orderBy("p_retailprice", "p_partkey")
+    )

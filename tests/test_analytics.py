@@ -458,3 +458,34 @@ def test_reorder_survival_km_by_hand(spark, tmp_path):
         (5, 4, 2, 0.5),
         (10, 2, 1, 0.25),
     ]
+
+
+def test_skyline_dominance_by_hand(spark, tmp_path):
+    """Skyline on a 6-part frame computable by eye, covering: clear
+    dominance, the both-axes tie (both survive), the same-price
+    strictly-smaller case (dominated), and a brute-force cross-check."""
+    from live_data_spark.queries_analytics import part_price_size_skyline
+
+    parts = [
+        # (partkey, name, price, size)
+        (1, "a", 10.0, 5),
+        (2, "b", 10.0, 5),   # exact tie with 1 → both survive
+        (3, "c", 10.0, 4),   # same price, smaller → dominated by 1
+        (4, "d", 20.0, 9),   # pricier but bigger → survives
+        (5, "e", 25.0, 9),   # pricier, same size as 4 → dominated
+        (6, "f", 5.0, 1),    # cheapest → survives
+    ]
+    spark.createDataFrame(
+        parts, "p_partkey long, p_name string, p_retailprice double, p_size int"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    got = [r["p_partkey"] for r in part_price_size_skyline(spark, str(tmp_path)).collect()]
+    assert got == [6, 1, 2, 4]
+
+    # brute-force dominance check agrees
+    def dominated(r, s):
+        return (s[2] <= r[2] and s[3] >= r[3]) and (s[2] < r[2] or s[3] > r[3])
+
+    want = sorted(
+        (r[0] for r in parts if not any(dominated(r, s) for s in parts)),
+    )
+    assert sorted(got) == want
