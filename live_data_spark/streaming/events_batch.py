@@ -2943,3 +2943,98 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.median("slope"), 6).alias("slope_per_day"),
     ).crossJoin(F.broadcast(n_days)).select("n_days", "n_pairs", "slope_per_day")
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the behavior chain — how predictable is the next action?
+# ---------------------------------------------------------------------------
+
+_ENTROPY_RATE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), marg AS (
+  SELECT cur, sum(n) AS ni FROM pairs GROUP BY cur
+), st AS (
+  SELECT count(*) AS s FROM marg
+), cells AS (
+  SELECT p.n,
+         CAST(floor(ln(p.n / CAST(m.ni AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS q
+  FROM pairs p JOIN marg m ON m.cur = p.cur
+)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_transitions,
+       CAST(st.s AS BIGINT) AS n_states,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(-sum(n * q) / NULLIF(CAST(sum(n) AS DOUBLE), 0) / 100000000.0, 4)
+         AS entropy_rate,
+       CASE WHEN st.s > 1 THEN
+         round(1 - (-sum(n * q) / NULLIF(CAST(sum(n) AS DOUBLE), 0) / 100000000.0)
+                   / ln(CAST(st.s AS DOUBLE)), 4)
+       END AS predictability
+FROM cells CROSS JOIN st GROUP BY st.s
+"""
+
+
+@register("events_entropy_rate", oracle=_ENTROPY_RATE_ORACLE, tags=("events", "sequence", "infotheory"))
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order behavior chain: H = −Σ_ij (n_ij/N)
+    · ln(n_ij/n_i) over the transition cells of events_type_markov — the
+    information-theoretic "how predictable is the next action" number
+    (0 = deterministic flows; ln|S| = uniform noise), reported with
+    predictability = 1 − H/ln|S|. Drifts in H flag behavior-mix shifts
+    (bot waves push it down; instrumentation noise pushes it up), making
+    this the 1-row monitor over the Markov surface.
+
+    Shares the Markov subtree: one lead() pass on the standard
+    (user, ts, event_id) partitioning, then everything runs on the
+    ≤|types|² cell frame. Per-cell ln is integer-quantized (1e-8)
+    before the n-weighted sum (n·q stays far inside int64), so H is a
+    pure function of engine-identical integers; ln|S| touches only the
+    final rounded output, guarded for the single-state corpus.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    )
+    pairs = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("cur").agg(F.sum("n").alias("ni"))
+    st = marg.agg(F.count(F.lit(1)).alias("s"))
+    cells = pairs.join(marg, "cur").select(
+        "n",
+        F.floor(F.ln(F.col("n") / F.col("ni").cast("double")) * 100000000 + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+    h = (
+        -F.sum(F.col("n") * F.col("q"))
+        / F.nullif(F.sum("n").cast("double"), F.lit(0.0))
+        / 100000000.0
+    )
+    return (
+        cells.crossJoin(F.broadcast(st))
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_transitions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(h, 4).alias("entropy_rate"),
+            F.when(
+                F.first("s") > 1,
+                F.round(1 - h / F.ln(F.first("s").cast("double")), 4),
+            ).alias("predictability"),
+        )
+        .select(
+            "n_transitions",
+            F.col("s").cast("bigint").alias("n_states"),
+            "n_cells",
+            "entropy_rate",
+            "predictability",
+        )
+    )

@@ -489,3 +489,26 @@ def test_skyline_dominance_by_hand(spark, tmp_path):
         (r[0] for r in parts if not any(dominated(r, s) for s in parts)),
     )
     assert sorted(got) == want
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
+    """A perfectly cyclic behavior chain (view→click→purchase→view…) has
+    entropy rate exactly 0 and predictability exactly 1."""
+    from live_data_spark.streaming.events_batch import events_entropy_rate
+
+    cycle = ["view", "click", "purchase"]
+    rows = []
+    for u in range(3):
+        for i in range(30):
+            rows.append(
+                (u * 100 + i, dt.datetime(2026, 4, 1, 0, 0, 0) + dt.timedelta(minutes=i),
+                 u, cycle[i % 3], 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = events_entropy_rate(spark, str(tmp_path)).collect()[0]
+    assert r["n_states"] == 3
+    assert r["n_cells"] == 3  # one deterministic successor per state
+    assert r["entropy_rate"] == 0.0
+    assert r["predictability"] == 1.0
