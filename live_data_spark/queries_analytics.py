@@ -2341,3 +2341,135 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("int"))
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition — monthly revenue = trend + seasonal + resid.
+# ---------------------------------------------------------------------------
+
+_DECOMP_ORACLE = """
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS idx,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+         month(o_orderdate) AS moy,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2, 3
+), w AS (
+  SELECT idx, ym, moy, c,
+         sum(c)   OVER win13 AS s13,
+         count(*) OVER win13 AS k13,
+         max(idx) OVER win13 - min(idx) OVER win13 AS spread,
+         lag(c, 6)  OVER (ORDER BY idx) AS cm6,
+         lead(c, 6) OVER (ORDER BY idx) AS cp6
+  FROM m
+  WINDOW win13 AS (ORDER BY idx ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+), t AS (
+  SELECT idx, ym, moy, c,
+         CASE WHEN k13 = 13 AND spread = 12 THEN 2 * s13 - cm6 - cp6 END AS w24
+  FROM w
+), season AS (
+  SELECT moy,
+         CAST(floor(sum(24 * c - w24) / (count(*) * 2400.0) * 100000000 + 0.5) AS BIGINT) AS sq
+  FROM t WHERE w24 IS NOT NULL GROUP BY moy
+), adj AS (
+  SELECT sum(sq) / CAST(count(*) AS DOUBLE) AS a FROM season
+)
+SELECT t.ym AS month,
+       round(t.c / 100.0, 2) AS revenue,
+       round(t.w24 / 2400.0, 4) AS trend,
+       round((s.sq - adj.a) / 100000000.0, 4) AS seasonal,
+       round(t.c / 100.0 - t.w24 / 2400.0 - (s.sq - adj.a) / 100000000.0, 4) AS residual
+FROM t JOIN season s ON s.moy = t.moy CROSS JOIN adj
+ORDER BY t.idx
+"""
+
+
+@register("orders_seasonal_decomposition", oracle=_DECOMP_ORACLE, tags=("orders", "timeseries"))
+def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of monthly order revenue
+    (the moving-average method behind every "decompose()" call):
+    trend = centered 13-point MA with half-weight ends (the even-period
+    estimator for 12-month seasonality), seasonal = mean detrended
+    deviation per month-of-year re-centered to sum ~0, residual = the
+    rest. Edge months (< 6 neighbors each side) carry NULL trend — and a
+    contiguity check (index spread = 12 across the window) refuses to
+    average across a gap in the month series rather than smearing it.
+
+    Everything is integer-exact until the final rounds: revenue in
+    cents (decimal→BIGINT), the weighted MA as W = 2·Σ₁₃ − c₋₆ − c₊₆
+    (integer, units of 1/24 cent), detrended deviations summed as
+    integers per month-of-year, and the re-centering mean taken over
+    1e-8-quantized seasonal values — no float addition whose order an
+    engine could choose.
+
+    Scale: one monthly aggregate from the scan (map-side combined,
+    calendar-bounded output); every window runs ROWS-framed over the
+    |months| frame. The month-of-year join is a 12-row broadcast.
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("ym"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    win13 = Window.orderBy("idx").rowsBetween(-6, 6)
+    wseq = Window.orderBy("idx")
+    w = m.select(
+        "idx",
+        "ym",
+        "moy",
+        "c",
+        F.sum("c").over(win13).alias("s13"),
+        F.count(F.lit(1)).over(win13).alias("k13"),
+        (F.max("idx").over(win13) - F.min("idx").over(win13)).alias("spread"),
+        F.lag("c", 6).over(wseq).alias("cm6"),
+        F.lead("c", 6).over(wseq).alias("cp6"),
+    )
+    t = w.select(
+        "idx",
+        "ym",
+        "moy",
+        "c",
+        F.when(
+            (F.col("k13") == 13) & (F.col("spread") == 12),
+            2 * F.col("s13") - F.col("cm6") - F.col("cp6"),
+        ).alias("w24"),
+    )
+    season = (
+        t.where(F.col("w24").isNotNull())
+        .groupBy("moy")
+        .agg(
+            F.floor(
+                F.sum(24 * F.col("c") - F.col("w24"))
+                / (F.count(F.lit(1)) * 2400.0)
+                * 100000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("sq")
+        )
+    )
+    adj = season.agg((F.sum("sq") / F.count(F.lit(1)).cast("double")).alias("a"))
+    return (
+        t.join(F.broadcast(season), "moy")
+        .crossJoin(F.broadcast(adj))
+        .select(
+            F.col("ym").alias("month"),
+            F.round(F.col("c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("w24") / 2400.0, 4).alias("trend"),
+            F.round((F.col("sq") - F.col("a")) / 100000000.0, 4).alias("seasonal"),
+            F.round(
+                F.col("c") / 100.0
+                - F.col("w24") / 2400.0
+                - (F.col("sq") - F.col("a")) / 100000000.0,
+                4,
+            ).alias("residual"),
+            "idx",
+        )
+        .orderBy("idx")
+        .drop("idx")
+    )

@@ -512,3 +512,21 @@ def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
     assert r["n_cells"] == 3  # one deterministic successor per state
     assert r["entropy_rate"] == 0.0
     assert r["predictability"] == 1.0
+
+
+def test_seasonal_decomposition_reconstructs_and_centers(spark, sf_dir):
+    """Where trend is defined the components reconstruct revenue to the
+    rounding quantum; seasonal indices re-center to ~0 over a full year;
+    exactly the 6 edge months each side carry NULL trend."""
+    rows = catalog()["orders_seasonal_decomposition"].spark(spark, sf_dir).collect()
+    assert len(rows) >= 24
+    assert all(r["trend"] is None for r in rows[:6] + rows[-6:])
+    mid = [r for r in rows if r["trend"] is not None]
+    assert len(mid) == len(rows) - 12
+    for r in mid:
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 2e-3
+    season = {}
+    for r in rows:
+        season[r["month"][-2:]] = r["seasonal"]
+    assert len(season) == 12
+    assert abs(sum(season.values())) < 1e-2

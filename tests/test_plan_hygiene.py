@@ -76,6 +76,7 @@ BNLJ_OK: set[str] = {
     "events_theil_sen_trend",  # pairwise-slope self-join on the |days|-bounded daily frame
     "customer_reorder_survival",  # 1-row censoring-anchor (max orderdate) frame × order gaps
     "events_entropy_rate",  # 1-row state-count scalar × the ≤|types|² cell frame
+    "orders_seasonal_decomposition",  # 1-row recentering scalar × the |months| frame
 }
 
 ALL = sorted(catalog())
