@@ -3038,3 +3038,163 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "predictability",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters — level + trend + 24h additive seasonality, still one fold.
+# ---------------------------------------------------------------------------
+
+HW_ALPHA = 0.3  # level
+HW_BETA = 0.1  # trend
+HW_GAMMA = 0.2  # seasonal
+HW_PERIOD = 24  # diurnal cycle on the hourly series
+
+# State layout (positional DOUBLE list, the list_reduce discipline):
+# [1]=level, [2]=trend, [3]=abs-err sum, [4..27]=seasonal ring s1..s24,
+# where s1 is ALWAYS the seasonal of the next arriving hour; each step
+# rotates the ring. Seeds: level = mean of the first 24 hours, trend 0,
+# s_i = x_i − level (the standard classical-decomposition warmup).
+_HW_STEP = f"""[
+  {HW_ALPHA} * (x[1] - acc[4]) + {1.0 - HW_ALPHA} * (acc[1] + acc[2]),
+  {HW_BETA} * (({HW_ALPHA} * (x[1] - acc[4]) + {1.0 - HW_ALPHA} * (acc[1] + acc[2])) - acc[1])
+    + {1.0 - HW_BETA} * acc[2],
+  acc[3] + abs(x[1] - (acc[1] + acc[2] + acc[4]))
+] || list_slice(acc, 5, 27) || [
+  {HW_GAMMA} * (x[1] - ({HW_ALPHA} * (x[1] - acc[4]) + {1.0 - HW_ALPHA} * (acc[1] + acc[2])))
+    + {1.0 - HW_GAMMA} * acc[4]
+]"""
+
+_HW_ORACLE = f"""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+), t AS (
+  SELECT DISTINCT event_type FROM events
+), g AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b CROSS JOIN t
+), c AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT g.event_type,
+         list_transform(list_sort(list(struct_pack(h := g.h, x := CAST(coalesce(c.n, 0) AS DOUBLE)))),
+                        s -> s.x) AS xs
+  FROM g LEFT JOIN c ON c.h = g.h AND c.event_type = g.event_type
+  GROUP BY g.event_type
+), seeded AS (
+  SELECT event_type, xs, len(xs) AS n_hours,
+         list_sum(list_slice(xs, 1, {HW_PERIOD})) / {HW_PERIOD}.0 AS l0
+  FROM arr WHERE len(xs) >= {HW_PERIOD + 1}
+), folded AS (
+  SELECT event_type, n_hours,
+         list_reduce(
+           [[l0, 0.0, 0.0] || list_transform(list_slice(xs, 1, {HW_PERIOD}), v -> v - l0)]
+             || list_transform(list_slice(xs, {HW_PERIOD + 1}, n_hours), v -> [v]),
+           (acc, x) -> {_HW_STEP}
+         ) AS st
+  FROM seeded
+)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       round(st[1], 4) AS level_final,
+       round(st[2], 4) AS trend_final,
+       round(st[1] + st[2] + st[4], 4) AS forecast_next,
+       round(st[3] / (n_hours - {HW_PERIOD}), 4) AS mae
+FROM folded ORDER BY event_type
+"""
+
+
+@register("events_holt_winters", oracle=_HW_ORACLE, tags=("events", "timeseries", "forecast"))
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive smoothing (level + trend + 24-hour seasonal
+    ring, α=.3 β=.1 γ=.2) per event type over the gap-filled hourly
+    series — the diurnal-aware forecaster events_holt_trend can't be
+    (a level+trend model treats every morning ramp as trend change;
+    the seasonal ring absorbs it). Output: final level/trend, the
+    next-hour forecast level+trend+s_next, and the mean absolute
+    one-step-ahead error over the post-warmup steps.
+
+    Still ONE sequential fold, zero Python: the 27-double state vector
+    [level, trend, err, s₁..s₂₄] rotates its seasonal ring each step so
+    s₁ is always the next hour's seasonal — array surgery (slice ++
+    append) that both Spark ``F.aggregate`` and DuckDB ``list_reduce``
+    express over a positional DOUBLE list. Warmup is the classical seed
+    (level = mean of the first day, s_i = x_i − level), computed outside
+    the fold; types shorter than one full day are skipped. Engine
+    exactness: the first-day mean is a sum of integer-valued doubles
+    (order-free) and every fold step is the same expression tree on
+    both engines — exact hash parity, like the Holt and EWMA folds.
+    A pure-Python replay pins the HW recurrence itself.
+
+    Scale: identical to events_holt_trend — the fold length is calendar
+    hours × types (volume-independent); the data-sized cost is the one
+    hourly hash aggregate.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    grid = bounds.crossJoin(types).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        "event_type",
+    )
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    series = grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
+    )
+    arr = series.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+    P = HW_PERIOD
+    seeded = arr.where(F.size("xs") >= P + 1).select(
+        "event_type",
+        "xs",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        (
+            F.aggregate(
+                F.slice("xs", 1, P), F.lit(0.0), lambda a, x: a + x
+            )
+            / float(P)
+        ).alias("l0"),
+    )
+    al, bl = F.lit(HW_ALPHA), F.lit(1.0 - HW_ALPHA)
+    be, de = F.lit(HW_BETA), F.lit(1.0 - HW_BETA)
+    ga, dg = F.lit(HW_GAMMA), F.lit(1.0 - HW_GAMMA)
+
+    def step(acc, x):
+        l, b, e_, s1 = (F.element_at(acc, i) for i in (1, 2, 3, 4))
+        l1 = al * (x - s1) + bl * (l + b)
+        return F.concat(
+            F.array(
+                l1,
+                be * (l1 - l) + de * b,
+                e_ + F.abs(x - (l + b + s1)),
+            ),
+            F.slice(acc, 5, P - 1),
+            F.array(ga * (x - l1) + dg * s1),
+        )
+
+    init = F.concat(
+        F.array(F.col("l0"), F.lit(0.0), F.lit(0.0)),
+        F.transform(F.slice("xs", 1, P), lambda v: v - F.col("l0")),
+    )
+    folded = seeded.select(
+        "event_type",
+        "n_hours",
+        F.aggregate(
+            F.slice("xs", P + 1, F.size("xs") - P), init, step
+        ).alias("st"),
+    )
+    st = lambda i: F.element_at("st", i)  # noqa: E731
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.round(st(1), 4).alias("level_final"),
+        F.round(st(2), 4).alias("trend_final"),
+        F.round(st(1) + st(2) + st(4), 4).alias("forecast_next"),
+        F.round(st(3) / (F.col("n_hours") - P), 4).alias("mae"),
+    ).orderBy("event_type")

@@ -530,3 +530,42 @@ def test_seasonal_decomposition_reconstructs_and_centers(spark, sf_dir):
         season[r["month"][-2:]] = r["seasonal"]
     assert len(season) == 12
     assert abs(sum(season.values())) < 1e-2
+
+
+def test_holt_winters_matches_python_replay(spark, sf_dir):
+    """The 27-state Holt-Winters fold implements the textbook additive
+    recurrence: an independent pandas/pure-Python replay (classical
+    first-day seed, rotating seasonal ring) reproduces every output."""
+    import pandas as pd
+
+    from live_data_spark.streaming.events_batch import (
+        HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD, events_holt_winters,
+    )
+
+    got = {
+        r["event_type"]: r for r in events_holt_winters(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ev["h"] = ev["ts"].dt.floor("h")
+    grid = pd.date_range(ev["h"].min(), ev["h"].max(), freq="h")
+    for etype, g in ev.groupby("event_type"):
+        xs = g.groupby("h").size().reindex(grid, fill_value=0).astype(float).tolist()
+        if len(xs) < HW_PERIOD + 1:
+            assert etype not in got
+            continue
+        level = sum(xs[:HW_PERIOD]) / float(HW_PERIOD)
+        trend, errs = 0.0, 0.0
+        seas = [x - level for x in xs[:HW_PERIOD]]  # ring: seas[0] is next hour's
+        for x in xs[HW_PERIOD:]:
+            s1 = seas.pop(0)
+            errs += abs(x - (level + trend + s1))
+            l1 = HW_ALPHA * (x - s1) + (1.0 - HW_ALPHA) * (level + trend)
+            trend = HW_BETA * (l1 - level) + (1.0 - HW_BETA) * trend
+            seas.append(HW_GAMMA * (x - l1) + (1.0 - HW_GAMMA) * s1)
+            level = l1
+        r = got[etype]
+        assert r["n_hours"] == len(xs)
+        assert r["level_final"] == round(level, 4)
+        assert r["trend_final"] == round(trend, 4)
+        assert r["forecast_next"] == round(level + trend + seas[0], 4)
+        assert r["mae"] == round(errs / (len(xs) - HW_PERIOD), 4)
