@@ -3198,3 +3198,112 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st(1) + st(2) + st(4), 4).alias("forecast_next"),
         F.round(st(3) / (F.col("n_hours") - P), 4).alias("mae"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting — new / retained / resurrected / churned users per week.
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+), seq AS (
+  SELECT user_id, w,
+         min(w)  OVER (PARTITION BY user_id) AS first_w,
+         lag(w)  OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+         lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+  FROM uw
+), active AS (
+  SELECT w,
+         count(CASE WHEN w = first_w THEN 1 END) AS n_new,
+         count(CASE WHEN prev_w = w - 1 THEN 1 END) AS n_retained,
+         count(CASE WHEN prev_w IS NOT NULL AND prev_w < w - 1 THEN 1 END) AS n_resurrected
+  FROM seq GROUP BY w
+), churn AS (
+  SELECT w + 1 AS w, count(*) AS n_churned
+  FROM seq WHERE next_w IS NULL OR next_w > w + 1
+  GROUP BY w + 1
+), mx AS (
+  SELECT max(w) AS maxw FROM uw
+)
+SELECT a.w - (SELECT min(w) FROM uw) AS week,
+       CAST(a.n_new AS BIGINT) AS n_new,
+       CAST(a.n_retained AS BIGINT) AS n_retained,
+       CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned,
+       round((a.n_new + a.n_resurrected)
+             / NULLIF(CAST(coalesce(c.n_churned, 0) AS DOUBLE), 0), 4) AS quick_ratio
+FROM active a LEFT JOIN churn c ON c.w = a.w CROSS JOIN mx
+WHERE a.w <= mx.maxw
+ORDER BY a.w
+"""
+
+
+@register("events_growth_accounting", oracle=_GROWTH_ORACLE, tags=("events", "retention", "window"))
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the DAU/MAU decomposition every product team
+    runs, popularized by the a16z "growth accounting" framework): each
+    active user-week is NEW (first week ever), RETAINED (active the week
+    before), or RESURRECTED (returning after a gap), and a user active
+    in week w but not w+1 counts as CHURNED in w+1 — so
+    active_w = new + retained + resurrected, and
+    active_w − active_{w−1} = new + resurrected − churned by
+    construction. quick_ratio = (new+resurrected)/churned is the
+    headline health number. Weeks are epoch-week indices reported
+    relative to the first observed week.
+
+    Shapes: one distinct (user, week) aggregate over the scan (the only
+    data-sized step), lag/lead windows on the per-user week sequence
+    (bounded by weeks-per-user), then |weeks|-sized aggregates.
+    All-integer classification — no boundary floats anywhere.
+
+    Complements events_retention_cohorts (forward-looking cohort decay)
+    with the week-over-week stock/flow view; the churn attribution via
+    lead() needs no dense week spine — a user's gap IS the signal.
+    """
+    e = load(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 604800)
+        .cast("long")
+        .alias("w"),
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("w")
+    seq = uw.select(
+        "w",
+        F.min("w").over(Window.partitionBy("user_id")).alias("first_w"),
+        F.lag("w").over(wu).alias("prev_w"),
+        F.lead("w").over(wu).alias("next_w"),
+    )
+    active = seq.groupBy("w").agg(
+        F.count(F.when(F.col("w") == F.col("first_w"), 1)).alias("n_new"),
+        F.count(F.when(F.col("prev_w") == F.col("w") - 1, 1)).alias("n_retained"),
+        F.count(
+            F.when(F.col("prev_w").isNotNull() & (F.col("prev_w") < F.col("w") - 1), 1)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        seq.where(F.col("next_w").isNull() | (F.col("next_w") > F.col("w") + 1))
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    bounds = uw.agg(F.min("w").alias("minw"), F.max("w").alias("maxw"))
+    return (
+        active.join(F.broadcast(churn), "w", "left")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("w") <= F.col("maxw"))
+        .select(
+            (F.col("w") - F.col("minw")).alias("week"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.col("n_retained").cast("bigint").alias("n_retained"),
+            F.col("n_resurrected").cast("bigint").alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected"))
+                / F.nullif(F.coalesce("n_churned", F.lit(0)).cast("double"), F.lit(0.0)),
+                4,
+            ).alias("quick_ratio"),
+        )
+        .orderBy("week")
+    )

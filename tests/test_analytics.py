@@ -569,3 +569,31 @@ def test_holt_winters_matches_python_replay(spark, sf_dir):
         assert r["trend_final"] == round(trend, 4)
         assert r["forecast_next"] == round(level + trend + seas[0], 4)
         assert r["mae"] == round(errs / (len(xs) - HW_PERIOD), 4)
+
+
+def test_growth_accounting_lifecycle_by_hand(spark, tmp_path):
+    """Three users with known lifecycles: A weeks 0-1 (churns at 2),
+    B weeks 0 and 2 (resurrects at 2), C week 1 only (churns at 2).
+    Verifies every classification and the beyond-horizon churn cutoff."""
+    from live_data_spark.streaming.events_batch import events_growth_accounting
+
+    base = dt.datetime(2026, 1, 5, 12, 0, 0)
+    weeks = {"A": [0, 1], "B": [0, 2], "C": [1]}
+    rows, eid = [], 0
+    for u, (name, ws) in enumerate(weeks.items()):
+        for w in ws:
+            rows.append((eid, base + dt.timedelta(weeks=w), u, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["week"]: r for r in events_growth_accounting(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0]["n_new"], got[0]["n_retained"], got[0]["n_resurrected"], got[0]["n_churned"]) == (2, 0, 0, 0)
+    assert (got[1]["n_new"], got[1]["n_retained"], got[1]["n_resurrected"], got[1]["n_churned"]) == (1, 1, 0, 1)
+    assert got[1]["quick_ratio"] == 1.0
+    assert (got[2]["n_new"], got[2]["n_retained"], got[2]["n_resurrected"], got[2]["n_churned"]) == (0, 0, 1, 2)
+    assert got[2]["quick_ratio"] == 0.5
+    # stock/flow identity: active_w = new + retained + resurrected
+    for r in got.values():
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] >= 1

@@ -78,6 +78,7 @@ BNLJ_OK: set[str] = {
     "customer_reorder_survival",  # 1-row censoring-anchor (max orderdate) frame × order gaps
     "events_entropy_rate",  # 1-row state-count scalar × the ≤|types|² cell frame
     "orders_seasonal_decomposition",  # 1-row recentering scalar × the |months| frame
+    "events_growth_accounting",  # 1-row week-bounds scalar × the |weeks| frame
 }
 
 ALL = sorted(catalog())
