@@ -2321,3 +2321,138 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 4).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability — Flesch-Kincaid grade from regex-countable proxies.
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade
+FROM c
+"""
+
+
+@register("text_readability", oracle=_READABILITY_ORACLE, tags=("text", "quality"))
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document (Kincaid et al. 1975):
+    0.39·(words/sentence) + 11.8·(syllables/word) − 15.59, with
+    sentences counted as terminal-punctuation runs (floored at 1 — a
+    fragment is one sentence) and syllables approximated by vowel-group
+    runs — the standard dictionary-free proxy. Readability is a routine
+    curation facet: a corpus slice whose grade collapses (boilerplate
+    lists) or explodes (OCR noise, code) is a filter candidate, and
+    grade-banded sampling is how child-directed / simplified-text
+    subsets get assembled.
+
+    Pure map-side regex counts (three integers per doc) → two exact
+    integer ratios through one rounded output; zero shuffles beyond the
+    scan. Blank docs are excluded (no token base); single-fragment docs
+    hit the sentence floor, pinned in pytest.
+    """
+    t = F.col("text")
+    c = (
+        load(spark, sf_dir, "documents")
+        .where(F.trim(t) != "")
+        .select(
+            "doc_id",
+            F.greatest(
+                F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+            ).alias("n_sentences"),
+            F.size(F.split(F.trim(t), r"\s+")).alias("n_words"),
+            F.size(
+                F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+            ).alias("n_syllables"),
+        )
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        F.round(
+            0.39 * (F.col("n_words") / F.col("n_sentences").cast("double"))
+            + 11.8 * (F.col("n_syllables") / F.col("n_words").cast("double"))
+            - 15.59,
+            4,
+        ).alias("fk_grade"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — pretokens per word, by language.
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = rf"""
+WITH m AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+           AS n_words,
+         len(list_filter(regexp_extract_all(lower(text), '{_PRETOKEN_RE.replace("'", "''")}'),
+                         x -> NOT regexp_full_match(x, '\s+'))) AS n_pretokens
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_pretokens) AS BIGINT) AS n_pretokens,
+       round(sum(n_pretokens) / CAST(sum(n_words) AS DOUBLE), 4) AS fertility,
+       round(sum(n_chars) / CAST(sum(n_pretokens) AS DOUBLE), 4) AS chars_per_token
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE, tags=("text", "tokenizer"))
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: pre-tokens per whitespace word
+    (and chars per pre-token) under the GPT-2-style pre-tokenizer — THE
+    standard cross-lingual tokenizer-equity metric (a language with
+    fertility 2× pays twice the sequence length for the same text, which
+    skews both training-mix token budgets and inference cost). Reading
+    it per LANG over one corpus is how a tokenizer/budget review spots
+    the languages a vocabulary underserves, and the fertility number
+    converts word-denominated corpus stats into token budgets.
+
+    Map-only counting (the text_pretokenize_count subtree with its
+    escape-safe column-API regex), then a |langs|-row aggregate of
+    integer sums — exact ratios at the end, blank docs excluded.
+    """
+    d = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = F.filter(
+        F.regexp_extract_all(F.lower("text"), F.lit(_PRETOKEN_RE), F.lit(0)),
+        lambda x: ~x.rlike(r"^\s+$"),
+    )
+    m = d.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(normalized_text("text"), " ")).alias("n_words"),
+        F.size(toks).alias("n_pretokens"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pretokens").cast("bigint").alias("n_pretokens"),
+            F.round(
+                F.sum("n_pretokens") / F.sum("n_words").cast("double"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_pretokens").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

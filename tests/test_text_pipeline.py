@@ -502,3 +502,31 @@ def test_sparse_cosine_identical_docs_rank_first(spark, tmp_path):
     assert rows[0]["cosine"] == 1.0
     pairs = {(r["doc_id_1"], r["doc_id_2"]) for r in rows}
     assert not any(3 in p and (1 in p or 2 in p) for p in pairs)
+
+
+def test_readability_and_fertility_on_planted_docs(spark, tmp_path):
+    """Hand-checkable FK grade and a fertility > 1 corpus (contractions
+    and punctuation split into extra pretokens; the sentence floor
+    catches the fragment doc)."""
+    from live_data_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            # "go now. stop here! done?" → 3 sentences, 5 words, 7 vowel runs
+            # (go:1 now:1 stop:1 he-re:2 do-ne:2)
+            (1, "go now. stop here! done?", "en", "s1", 24),
+            (2, "fragment without terminal punctuation", "en", "s1", 37),
+            (3, "don't stop, can't wait!", "en", "s1", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    read = {r["doc_id"]: r for r in t.text_readability(spark, str(tmp_path)).collect()}
+    assert (read[1]["n_sentences"], read[1]["n_words"], read[1]["n_syllables"]) == (3, 5, 7)
+    assert read[1]["fk_grade"] == round(0.39 * (5 / 3) + 11.8 * (7 / 5) - 15.59, 4)
+    assert read[2]["n_sentences"] == 1  # fragment floor
+
+    fert = {r["lang"]: r for r in t.tokenizer_fertility_by_lang(spark, str(tmp_path)).collect()}
+    # doc 3 alone: don|'t|stop|,|can|'t|wait|! = 8 pretokens over 4 words
+    assert fert["en"]["fertility"] > 1.0
