@@ -2473,3 +2473,99 @@ def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("idx")
         .drop("idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA — does line price differ across return flags?
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS grp,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM lineitem
+), g AS (
+  SELECT grp, count(*) AS n, CAST(sum(c) AS DECIMAL(38,0)) AS s,
+         sum(CAST(c AS DECIMAL(38,0)) * c) AS ss
+  FROM x GROUP BY grp
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(s) AS DOUBLE) AS s_all,
+         CAST(sum(ss) AS DOUBLE) AS ss_all,
+         list_reduce(
+           list_transform(list_sort(list(struct_pack(grp := grp,
+                           t := CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n))),
+                          e -> e.t),
+           (a, b) -> a + b
+         ) AS sum_s2n
+  FROM g
+)
+SELECT n AS n_rows, k AS n_groups,
+       round((sum_s2n - s_all * s_all / n) / (k - 1)
+             / ((ss_all - sum_s2n) / (n - k)), 4) AS f_stat,
+       round((sum_s2n - s_all * s_all / n)
+             / (ss_all - s_all * s_all / n), 6) AS eta_squared
+FROM t WHERE n > k AND k > 1
+"""
+
+
+@register("lineitem_price_anova", oracle=_ANOVA_ORACLE, tags=("lineitem", "stats"))
+def lineitem_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of line price across return flags: F = (SSB/(k−1)) /
+    (SSW/(n−k)) plus effect size η² = SSB/SST — the continuous-outcome
+    member of the statistical-testing family beside the χ² drift test
+    (corpus_lang_source_chi2). The pairing matters at this row count:
+    everything is "significant" at 600k lines, only η² says whether
+    returned lines actually price differently.
+
+    Numeric discipline: per-group Σx and Σx² in DECIMAL(38,0) cents
+    (Σx² overflows BIGINT at sf ≥ 0.1; decimal sums are exact and
+    order-free). The only float additions — the k per-group (Σx)²/n
+    terms — run as a SEQUENTIAL fold over the grp-sorted group frame
+    (Spark F.aggregate ≡ DuckDB list_reduce, the EWMA-fold recipe), so
+    even their 1-ulp association is engine-identical and the 1-row
+    output hash-matches without any quantization of 1e26-scale terms.
+    Degenerate inputs (k ≤ 1, n ≤ k) drop the row rather than abort.
+    """
+    x = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
+    ).select(
+        "grp",
+        "n",
+        "s",
+        "ss",
+        (F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")).alias("t"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s").cast("double").alias("s_all"),
+        F.sum("ss").cast("double").alias("ss_all"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("grp", "t"))),
+            F.lit(0.0),
+            lambda a, e: a + e["t"],
+        ).alias("sum_s2n"),
+    )
+    ssb = F.col("sum_s2n") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("ss_all") - F.col("sum_s2n")
+    sst = F.col("ss_all") - F.col("s_all") * F.col("s_all") / F.col("n")
+    return (
+        tot.where((F.col("n") > F.col("k")) & (F.col("k") > 1))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("k").alias("n_groups"),
+            F.round(ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k"))), 4).alias(
+                "f_stat"
+            ),
+            F.round(ssb / sst, 6).alias("eta_squared"),
+        )
+    )

@@ -597,3 +597,32 @@ def test_growth_accounting_lifecycle_by_hand(spark, tmp_path):
     # stock/flow identity: active_w = new + retained + resurrected
     for r in got.values():
         assert r["n_new"] + r["n_retained"] + r["n_resurrected"] >= 1
+
+
+def test_anova_matches_numpy_on_planted_groups(spark, tmp_path):
+    """F and eta-squared agree with a direct numpy computation on planted
+    groups with a real mean difference (and F >> 1 there)."""
+    import numpy as np
+
+    from live_data_spark.queries_analytics import lineitem_price_anova
+
+    rng = {"A": [100.0 + i for i in range(50)], "N": [200.0 + i for i in range(50)],
+           "R": [150.0 + i for i in range(50)]}
+    rows, i = [], 0
+    for flag, vals in rng.items():
+        for v in vals:
+            rows.append((i, flag, v)); i += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = lineitem_price_anova(spark, str(tmp_path)).collect()[0]
+
+    groups = [np.array(v) for v in rng.values()]
+    allv = np.concatenate(groups)
+    ssb = sum(len(g) * (g.mean() - allv.mean()) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / 2) / (ssw / (len(allv) - 3))
+    assert r["n_rows"] == 150 and r["n_groups"] == 3
+    assert abs(r["f_stat"] - f) < 1e-2
+    assert abs(r["eta_squared"] - ssb / (ssb + ssw)) < 1e-6
+    assert r["f_stat"] > 100
