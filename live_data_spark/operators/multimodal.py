@@ -423,3 +423,136 @@ def multimodal_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing — pHash near-dup candidates over binary payloads.
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 8  # 8 × 8-bit bands over the 63-bit hash
+PHASH_BAND_BITS = 8
+PHASH_MAX_HAMMING = 16
+
+PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def _phash64(payload: bytes) -> int:
+    """63-bit pHash of the fake-decoded pixel surface: the 64-byte body
+    IS an 8×8 grayscale surface (no tiling — a periodic tile would give
+    unrelated media correlated low-frequency spectra), 2-D DCT-II via an
+    explicit cosine-basis matmul (numpy only, no scipy), all 63 AC
+    coefficients thresholded at their median. The standard pHash recipe
+    (Zauner 2010) on the deterministic fake decode: a real deploy swaps
+    the byte surface for PIL's grayscale-resize(8,8) of the decoded
+    image and nothing else changes. Locality is the point: one flipped
+    payload byte = one pixel = a few sign flips, while independent
+    surfaces disagree on ~half the bits."""
+    import numpy as np
+
+    body = (payload[16:] + b"\x00" * 64)[:64]
+    m = np.frombuffer(body, dtype=np.uint8).astype(np.float64).reshape(8, 8)
+    n = 8
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis[0, :] = np.sqrt(1.0 / n)
+    d = basis @ m @ basis.T
+    ac = d.flatten()[1:]  # drop the DC term → 63 bits
+    med = np.median(ac)
+    bits = 0
+    for i, v in enumerate(ac):
+        if v > med:
+            bits |= 1 << i
+    return bits  # 63 bits: always fits signed int64
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """payload → 64-bit pHash via Arrow-batched mapInPandas (the decode
+    stage's shape: binary in, 16 bytes out per row, no shuffle)."""
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [_phash64(p) for p in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(ph, schema=PHASH_SCHEMA)
+
+
+@register("multimodal_phash_neardup", oracle=None, tags=("multimodal", "dedup"))
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection without decoding pixels twice:
+    64-bit pHash per payload (Arrow batch stage), then the SimHash-style
+    scale path — split each hash into 8×8-bit bands, candidate pairs
+    must collide on ≥1 band (pigeonhole: any pair within hamming ≤ 7
+    must; near-dups collide with high probability beyond), verify with
+    bit_count(xor) ≤ 16 in codegen. The media twin of dedup_simhash:
+    re-encoded/resized/lightly-edited assets hash near each other while
+    unrelated content sits at hamming ≈ 32.
+
+    The corpus is the synthetic media table plus planted perturbations
+    (one payload byte flipped) so the operator's recall is measurable:
+    tests/test_multimodal.py pins that every planted pair is found at
+    distance < the unrelated-pair baseline. Rows-only driver check
+    (binary + BLAS-side DCT aren't SQL-reproducible).
+
+    Scale: band explode = 4 rows/asset; the candidate shuffle carries
+    bare (band_key → id, hash) pairs; verification touches candidates
+    only. Never all-pairs — same contract as the text dedup ladder.
+    """
+    base = media_table(spark, n=300)
+    # planted near-dups: ids 10000+k are byte-flipped copies of ids < 20
+    perturbed = base.where(F.col("media_id") < 20).select(
+        (F.col("media_id") + 10000).alias("media_id"),
+        "kind",
+        F.concat(
+            F.expr("substring(payload, 1, length(payload) - 1)"),
+            F.unhex(F.lit("00")),
+        ).alias("payload"),
+    )
+    hashed = phash_media(base.unionByName(perturbed))
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("key"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_1"),
+            F.col("b.media_id").alias("media_id_2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.select("media_id_1", "media_id_2", ham.alias("hamming"))
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("hamming", "media_id_1", "media_id_2")
+    )

@@ -156,3 +156,31 @@ def test_mp4_box_parse_variants():
     # malformed inner size: outer type still detected, fields None
     bad = box(b"ftyp", b"isom") + struct.pack(">I", 3) + b"moov"
     assert parse_media_header(bad) == ("mp4", None, None, None)
+
+
+def test_phash_neardup_finds_planted_flips(spark):
+    """Every byte-flipped copy must pair with its original at small
+    hamming distance; locality sanity: a one-pixel change never looks
+    like an unrelated surface (distance stays far below the ~31-bit
+    random baseline)."""
+    from live_data_spark.catalog import catalog
+    from live_data_spark.operators.multimodal import _phash64, media_table
+
+    rows = catalog()["multimodal_phash_neardup"].spark(spark, "unused").collect()
+    planted = {
+        r["media_id_1"]: r["hamming"]
+        for r in rows
+        if r["media_id_2"] == r["media_id_1"] + 10000
+    }
+    assert set(planted) == set(range(20))  # all 20 planted pairs found
+    assert all(h <= 10 for h in planted.values())
+    assert all(r["hamming"] <= 16 for r in rows)
+
+    # random-baseline sanity on the hash itself: unrelated payloads
+    # disagree on roughly half the 63 bits
+    pays = {r["media_id"]: bytes(r["payload"]) for r in media_table(spark, n=10).collect()}
+    dists = [
+        bin(_phash64(pays[i]) ^ _phash64(pays[j])).count("1")
+        for i in pays for j in pays if i < j
+    ]
+    assert min(dists) > 16
