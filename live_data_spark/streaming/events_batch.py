@@ -3307,3 +3307,75 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward-fill (LOCF) — carry the last observation across silent days.
+# ---------------------------------------------------------------------------
+
+_LOCF_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), u AS (
+  SELECT DISTINCT user_id FROM daily
+), spine AS (
+  SELECT u.user_id, unnest(generate_series(b.lo, b.hi)) AS d
+  FROM u CROSS JOIN b
+), joined AS (
+  SELECT s.user_id, s.d, daily.v
+  FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+)
+SELECT user_id, d - (SELECT lo FROM b) AS day,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled,
+       CASE WHEN v IS NULL THEN 0 ELSE 1 END AS is_observed
+FROM joined
+"""
+
+
+@register("events_locf_daily", oracle=_LOCF_ORACLE, tags=("events", "timeseries", "imputation"))
+def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (last observation carried forward): every
+    user gets a dense day spine over the corpus range, and silent days
+    inherit the user's last observed daily value — the standard
+    imputation step before per-user time-series modeling, feature
+    snapshots, or "current balance"-style point-in-time reads (days
+    before a user's first observation stay NULL rather than inventing
+    history). is_observed keeps the imputed rows distinguishable for
+    downstream weighting.
+
+    Mechanics: ``last_value(ignorenulls=True)`` over a running frame per
+    user — Spark's LOCF idiom — against a spine built in-plan (1-row
+    bounds × distinct users, no driver collect). Daily values aggregate
+    in DECIMAL before the one rounded double output, so fills are
+    engine-exact. Scale: the spine is |users|·|days| — the window
+    partitions by user (bounded by calendar days each), and the heavy
+    side stays the one daily aggregate of the scan.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    b = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    users = daily.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(b)).select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("d"), "lo"
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    w = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "user_id",
+        (F.col("d") - F.col("lo")).alias("day"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_filled"),
+        F.when(F.col("v").isNull(), 0).otherwise(1).alias("is_observed"),
+    )

@@ -626,3 +626,27 @@ def test_anova_matches_numpy_on_planted_groups(spark, tmp_path):
     assert abs(r["f_stat"] - f) < 1e-2
     assert abs(r["eta_squared"] - ssb / (ssb + ssw)) < 1e-6
     assert r["f_stat"] > 100
+
+
+def test_locf_fills_by_hand(spark, tmp_path):
+    """LOCF on a 2-user frame: gaps inherit the last observed value,
+    days before a user's first observation stay NULL."""
+    from live_data_spark.streaming.events_batch import events_locf_daily
+
+    rows = [
+        # user 1 observed day 0 (v=10) and day 2 (v=30); user 2 only day 1 (v=5)
+        (0, dt.datetime(2026, 5, 1, 8), 1, "view", 10.0, "{}"),
+        (1, dt.datetime(2026, 5, 3, 8), 1, "view", 30.0, "{}"),
+        (2, dt.datetime(2026, 5, 2, 8), 2, "view", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["user_id"], r["day"]): (r["v_filled"], r["is_observed"])
+        for r in events_locf_daily(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 0): (10.0, 1), (1, 1): (10.0, 0), (1, 2): (30.0, 1),
+        (2, 0): (None, 0), (2, 1): (5.0, 1), (2, 2): (5.0, 0),
+    }

@@ -79,6 +79,7 @@ BNLJ_OK: set[str] = {
     "events_entropy_rate",  # 1-row state-count scalar × the ≤|types|² cell frame
     "orders_seasonal_decomposition",  # 1-row recentering scalar × the |months| frame
     "events_growth_accounting",  # 1-row week-bounds scalar × the |weeks| frame
+    "events_locf_daily",  # 1-row day-bounds frame × distinct users (spine build)
 }
 
 ALL = sorted(catalog())
