@@ -3379,3 +3379,92 @@ def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_filled"),
         F.when(F.col("v").isNull(), 0).otherwise(1).alias("is_observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves — cumulative value per user by signup-week cohort.
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH uw AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), fc AS (
+  SELECT user_id, min(w) AS w0 FROM uw GROUP BY user_id
+), base AS (
+  SELECT min(w) AS minw FROM uw
+), size_ AS (
+  SELECT w0, count(*) AS cohort_size FROM fc GROUP BY w0
+), cell AS (
+  SELECT fc.w0, uw.w - fc.w0 AS off,
+         count(*) AS n_active, CAST(sum(uw.cents) AS BIGINT) AS cents
+  FROM uw JOIN fc ON fc.user_id = uw.user_id
+  GROUP BY 1, 2
+), cum AS (
+  SELECT w0, off, n_active,
+         sum(cents) OVER (PARTITION BY w0 ORDER BY off
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM cell
+)
+SELECT c.w0 - b.minw AS cohort_week,
+       CAST(c.off AS BIGINT) AS offset_weeks,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       round(c.cum_cents / 100.0 / s.cohort_size, 4) AS ltv_cum_per_user
+FROM cum c JOIN size_ s ON s.w0 = c.w0 CROSS JOIN base b
+ORDER BY cohort_week, offset_weeks
+"""
+
+
+@register("events_cohort_ltv", oracle=_LTV_ORACLE, tags=("events", "retention", "ltv"))
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-seen week, cumulative
+    event value per cohort member at each week offset — the
+    payback/lifetime-value triangle that sits beside the retention
+    triangle (events_retention_cohorts counts WHO comes back; this sums
+    WHAT they're worth, normalized by the original cohort size so
+    churned users correctly drag the average). Flattening curves =
+    monetization decay; a cohort whose curve crosses an older one's is
+    the canonical product-improvement signal.
+
+    Exactness: per-cell value sums in DECIMAL cents → BIGINT, the
+    cumulative along each curve as an integer window sum, one division
+    by the (integer) cohort size at output. Scale: one (user, week)
+    aggregate from the scan, the per-user first-week aggregate reused
+    via its user_id partitioning, then |cohorts|×|offsets| cells — the
+    triangle is calendar²-bounded regardless of event volume.
+    """
+    e = load(spark, sf_dir, "events")
+    uw = e.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 604800)
+        .cast("long")
+        .alias("w"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
+    )
+    fc = uw.groupBy("user_id").agg(F.min("w").alias("w0"))
+    base = uw.agg(F.min("w").alias("minw"))
+    size = fc.groupBy("w0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cell = (
+        uw.join(fc, "user_id")
+        .groupBy("w0", (F.col("w") - F.col("w0")).alias("off"))
+        .agg(F.count(F.lit(1)).alias("n_active"), F.sum("cents").cast("bigint").alias("cents"))
+    )
+    wc = Window.partitionBy("w0").orderBy("off").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cell.withColumn("cum_cents", F.sum("cents").over(wc))
+    return (
+        cum.join(F.broadcast(size), "w0")
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("w0") - F.col("minw")).alias("cohort_week"),
+            F.col("off").cast("bigint").alias("offset_weeks"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.round(F.col("cum_cents") / 100.0 / F.col("cohort_size"), 4).alias(
+                "ltv_cum_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )

@@ -650,3 +650,30 @@ def test_locf_fills_by_hand(spark, tmp_path):
         (1, 0): (10.0, 1), (1, 1): (10.0, 0), (1, 2): (30.0, 1),
         (2, 0): (None, 0), (2, 1): (5.0, 1), (2, 2): (5.0, 0),
     }
+
+
+def test_cohort_ltv_by_hand(spark, tmp_path):
+    """Two cohorts with known per-week spend: cumulative curves divide by
+    the ORIGINAL cohort size (a churned user keeps dragging the mean)."""
+    from live_data_spark.streaming.events_batch import events_cohort_ltv
+
+    base = dt.datetime(2026, 1, 5, 12)
+    rows = [
+        # cohort 0: users 1,2 — u1 spends 10 each of weeks 0,1; u2 spends 30 week 0 then churns
+        (0, base, 1, "purchase", 10.0, "{}"),
+        (1, base + dt.timedelta(weeks=1), 1, "purchase", 10.0, "{}"),
+        (2, base, 2, "purchase", 30.0, "{}"),
+        # cohort 1: user 3 spends 50 in week 1 (its offset 0)
+        (3, base + dt.timedelta(weeks=1), 3, "purchase", 50.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["cohort_week"], r["offset_weeks"]): r
+        for r in events_cohort_ltv(spark, str(tmp_path)).collect()
+    }
+    assert got[(0, 0)]["cohort_size"] == 2 and got[(0, 0)]["ltv_cum_per_user"] == 20.0
+    assert got[(0, 1)]["n_active"] == 1  # u2 churned
+    assert got[(0, 1)]["ltv_cum_per_user"] == 25.0  # (40+10)/2 — churned u2 still in denominator
+    assert got[(1, 0)]["cohort_size"] == 1 and got[(1, 0)]["ltv_cum_per_user"] == 50.0

@@ -80,6 +80,7 @@ BNLJ_OK: set[str] = {
     "orders_seasonal_decomposition",  # 1-row recentering scalar × the |months| frame
     "events_growth_accounting",  # 1-row week-bounds scalar × the |weeks| frame
     "events_locf_daily",  # 1-row day-bounds frame × distinct users (spine build)
+    "events_cohort_ltv",  # 1-row base-week scalar × the cohort triangle
 }
 
 ALL = sorted(catalog())
