@@ -3468,3 +3468,99 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "offset_weeks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency — sweep-line max of simultaneously-active windows.
+# ---------------------------------------------------------------------------
+
+_DAY_MS = 86_400_000
+
+_PEAK_ORACLE = f"""
+WITH iv AS (
+  SELECT epoch_ms(ts) AS s, epoch_ms(ts) + {ACTIVE_WINDOW_MS} AS e FROM events
+), pieces AS (
+  SELECT d, greatest(s, d * {_DAY_MS}) AS ps, least(e, (d + 1) * {_DAY_MS}) AS pe
+  FROM (
+    SELECT s, e, unnest(generate_series(s // {_DAY_MS}, (e - 1) // {_DAY_MS})) AS d
+    FROM iv
+  )
+), bounds AS (
+  SELECT d, ps AS t, 1 AS delta FROM pieces
+  UNION ALL
+  SELECT d, pe AS t, -1 AS delta FROM pieces
+), swept AS (
+  SELECT d, t, delta,
+         sum(delta) OVER (PARTITION BY d ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM bounds
+), peak AS (
+  SELECT d, max(conc) AS peak FROM swept GROUP BY d
+)
+SELECT p.d - (SELECT min(d) FROM pieces) AS day,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       CAST(min(s.t) AS BIGINT) AS peak_at_ms
+FROM peak p JOIN swept s ON s.d = p.d AND s.conc = p.peak
+GROUP BY p.d, p.peak ORDER BY day
+"""
+
+
+@register("events_peak_concurrency", oracle=_PEAK_ORACLE, tags=("events", "interval", "capacity"))
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day: the classic sweep-line — every 5-minute
+    activity window contributes a +1 at its start and a −1 at its end,
+    and the running sum's maximum is the most sessions ever active at
+    once, with the first instant it was reached. This is THE capacity
+    number (max simultaneous load), which no aggregate of counts can
+    give: events_hourly_load_factor bounds the hour, the sweep finds the
+    instant. End-before-start tie order (delta ascending at equal t)
+    makes touching windows non-concurrent — half-open [s, e) semantics.
+
+    Midnight-crossing windows split into per-day pieces in-plan (an
+    explode over their ≤2 covered days), so each day's sweep is
+    self-contained and the window partitions by day. Per-day boundary
+    counts are data-sized at 100 TB — the running sum is a prefix
+    aggregation, so the ranged-rank recipe (functions/ranks.py:
+    repartitionByRange + per-partition sums + P-row offsets) is the
+    documented swap, exactly as the spend-decile twins demonstrate.
+    All arithmetic on epoch-ms integers — engine-exact.
+    """
+    e = load(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    iv = e.select(ms.alias("s"), (ms + ACTIVE_WINDOW_MS).alias("e"))
+    pieces = iv.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _DAY_MS).cast("long"),
+                F.floor((F.col("e") - 1) / _DAY_MS).cast("long"),
+            )
+        ).alias("d"),
+    ).select(
+        "d",
+        F.greatest("s", F.col("d") * _DAY_MS).alias("ps"),
+        F.least("e", (F.col("d") + 1) * _DAY_MS).alias("pe"),
+    )
+    bounds = pieces.select("d", F.col("ps").alias("t"), F.lit(1).alias("delta")).unionByName(
+        pieces.select("d", F.col("pe").alias("t"), F.lit(-1).alias("delta"))
+    )
+    ws = Window.partitionBy("d").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = bounds.withColumn("conc", F.sum("delta").over(ws))
+    peak = swept.groupBy("d").agg(F.max("conc").alias("peak"))
+    base = pieces.agg(F.min("d").alias("mind"))
+    return (
+        swept.join(peak, "d")
+        .where(F.col("conc") == F.col("peak"))
+        .groupBy("d", "peak")
+        .agg(F.min("t").alias("peak_at_ms"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("d") - F.col("mind")).alias("day"),
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            F.col("peak_at_ms").cast("bigint").alias("peak_at_ms"),
+        )
+        .orderBy("day")
+    )

@@ -677,3 +677,27 @@ def test_cohort_ltv_by_hand(spark, tmp_path):
     assert got[(0, 1)]["n_active"] == 1  # u2 churned
     assert got[(0, 1)]["ltv_cum_per_user"] == 25.0  # (40+10)/2 — churned u2 still in denominator
     assert got[(1, 0)]["cohort_size"] == 1 and got[(1, 0)]["ltv_cum_per_user"] == 50.0
+
+
+def test_peak_concurrency_sweep_by_hand(spark, tmp_path):
+    """Three overlapping 5-min windows peak at 3; a window starting
+    exactly when another ends does NOT overlap it (half-open [s,e))."""
+    from live_data_spark.streaming.events_batch import events_peak_concurrency
+
+    base = dt.datetime(2026, 6, 3, 12, 0, 0)
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=2), 3, "view", 1.0, "{}"),  # 3 active 12:02-12:05
+        (3, base + dt.timedelta(minutes=5), 4, "view", 1.0, "{}"),  # starts as #0 ends
+        # next day: two disjoint singletons → peak 1
+        (4, base + dt.timedelta(days=1), 5, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(days=1, minutes=30), 6, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["day"]: r for r in events_peak_concurrency(spark, str(tmp_path)).collect()}
+    assert got[0]["peak_concurrency"] == 3
+    assert got[0]["peak_at_ms"] == int((base + dt.timedelta(minutes=2)).timestamp() * 1000)
+    assert got[1]["peak_concurrency"] == 1

@@ -81,6 +81,7 @@ BNLJ_OK: set[str] = {
     "events_growth_accounting",  # 1-row week-bounds scalar × the |weeks| frame
     "events_locf_daily",  # 1-row day-bounds frame × distinct users (spine build)
     "events_cohort_ltv",  # 1-row base-week scalar × the cohort triangle
+    "events_peak_concurrency",  # 1-row first-day scalar × the |days| peak frame
 }
 
 ALL = sorted(catalog())
