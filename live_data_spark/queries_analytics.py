@@ -2569,3 +2569,95 @@ def lineitem_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ssb / sst, 6).alias("eta_squared"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov fit test — is ship latency exponential?
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH lat AS (
+  SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS x
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM lat
+), per_x AS (
+  SELECT x, count(*) AS c FROM lat GROUP BY x
+), cum AS (
+  SELECT x, c,
+         sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM per_x
+), dev AS (
+  SELECT greatest(
+           abs(cum.cumc / CAST(s.n AS DOUBLE) - (1 - exp(-(cum.x * s.n / CAST(s.sx AS DOUBLE))))),
+           abs((cum.cumc - cum.c) / CAST(s.n AS DOUBLE)
+               - (1 - exp(-(cum.x * s.n / CAST(s.sx AS DOUBLE)))))
+         ) AS d,
+         s.n AS n, s.sx AS sx
+  FROM cum CROSS JOIN s
+)
+SELECT CAST(n AS BIGINT) AS n_lines,
+       round(sx / CAST(n AS DOUBLE), 4) AS mean_days,
+       round(max(d), 6) AS ks_stat,
+       CAST(CASE WHEN max(d) > 1.358 / sqrt(n) THEN 1 ELSE 0 END AS INT) AS reject_exp_5pct
+FROM dev GROUP BY n, sx
+"""
+
+
+@register("orders_ship_latency_ks", oracle=_KS_ORACLE, tags=("orders", "stats", "fit"))
+def orders_ship_latency_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov goodness-of-fit: does order→ship latency follow
+    the exponential distribution an M/M/-style fulfillment model
+    assumes? D = sup|F_emp − F_exp(λ=1/mean)|, with the both-sides
+    (pre/post step) deviation at every distinct latency — the tie-aware
+    form integer day counts require — and the asymptotic 5% critical
+    value 1.358/√n as the reject flag. The distribution-FIT member of
+    the testing family (χ²: categorical; ANOVA: group means; KS:
+    whole-shape), and the principled upgrade over eyeballing quantiles
+    when choosing simulation/SLA models.
+
+    Exactness: counts and the latency sum are integers; λx = x·n/Σx,
+    F_exp, and each deviation are identical doubles from identical
+    integers; the max over the |distinct latencies| frame (calendar-
+    bounded) compares identical doubles. The only data-sized steps are
+    the fact join (orderkey-partitioned — the same co-location story as
+    every lineitem⋈orders plan here) and one per-value count.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(F.datediff("l_shipdate", "o_orderdate").alias("x"))
+    )
+    s = lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    per_x = lat.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    cum = per_x.withColumn(
+        "cumc",
+        F.sum("c").over(Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    f_exp = 1 - F.exp(-(F.col("x") * F.col("n") / F.col("sx").cast("double")))
+    dev = cum.crossJoin(F.broadcast(s)).select(
+        "n",
+        "sx",
+        F.greatest(
+            F.abs(F.col("cumc") / F.col("n").cast("double") - f_exp),
+            F.abs((F.col("cumc") - F.col("c")) / F.col("n").cast("double") - f_exp),
+        ).alias("d"),
+    )
+    return dev.groupBy("n", "sx").agg(
+        F.round(F.max("d"), 6).alias("ks_stat"),
+        F.when(F.max("d") > 1.358 / F.sqrt(F.col("n")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_exp_5pct"),
+    ).select(
+        F.col("n").alias("n_lines"),
+        F.round(F.col("sx") / F.col("n").cast("double"), 4).alias("mean_days"),
+        "ks_stat",
+        "reject_exp_5pct",
+    )

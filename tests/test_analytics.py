@@ -701,3 +701,31 @@ def test_peak_concurrency_sweep_by_hand(spark, tmp_path):
     assert got[0]["peak_concurrency"] == 3
     assert got[0]["peak_at_ms"] == int((base + dt.timedelta(minutes=2)).timestamp() * 1000)
     assert got[1]["peak_concurrency"] == 1
+
+
+def test_ks_stat_matches_numpy_replay(spark, sf_dir):
+    """The tie-aware KS statistic agrees with a direct numpy computation
+    over the same latencies."""
+    import numpy as np
+    import pandas as pd
+
+    from live_data_spark.queries_analytics import orders_ship_latency_ks
+
+    r = orders_ship_latency_ks(spark, sf_dir).collect()[0]
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    x = (
+        (m["l_shipdate"].dt.normalize() - m["o_orderdate"].dt.normalize()).dt.days
+    ).to_numpy()
+    x = x[x >= 0]
+    n, lam = len(x), 1.0 / x.mean()
+    xs = np.sort(x)
+    fexp = 1 - np.exp(-lam * xs)
+    emp_hi = np.arange(1, n + 1) / n
+    emp_lo = np.arange(0, n) / n
+    d = max(np.abs(emp_hi - fexp).max(), np.abs(emp_lo - fexp).max())
+    assert r["n_lines"] == n
+    assert abs(r["ks_stat"] - d) < 1e-4
+    assert r["reject_exp_5pct"] == int(d > 1.358 / np.sqrt(n))

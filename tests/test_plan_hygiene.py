@@ -82,6 +82,7 @@ BNLJ_OK: set[str] = {
     "events_locf_daily",  # 1-row day-bounds frame × distinct users (spine build)
     "events_cohort_ltv",  # 1-row base-week scalar × the cohort triangle
     "events_peak_concurrency",  # 1-row first-day scalar × the |days| peak frame
+    "orders_ship_latency_ks",  # 1-row (n, Σx) scalar × the distinct-latency frame
 }
 
 ALL = sorted(catalog())
