@@ -3564,3 +3564,100 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test — the significance companion to Theil–Sen.
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, count(*) AS c
+  FROM events GROUP BY 1
+), n_ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+), s_ AS (
+  SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON b.d > a.d
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tsum
+  FROM (SELECT count(*) AS t FROM daily GROUP BY c) WHERE t > 1
+)
+SELECT n_.n AS n_days, s_.s AS s_stat,
+       round((n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tsum) / 18.0, 4) AS var_s,
+       round(CASE WHEN s_.s > 0 THEN (s_.s - 1)
+                  WHEN s_.s < 0 THEN (s_.s + 1)
+                  ELSE 0 END
+             / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tsum) / 18.0), 4) AS z_stat,
+       CAST(CASE WHEN abs(CASE WHEN s_.s > 0 THEN (s_.s - 1)
+                               WHEN s_.s < 0 THEN (s_.s + 1) ELSE 0 END
+                      / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tsum) / 18.0)) > 1.96
+            THEN 1 ELSE 0 END AS INT) AS trend_5pct
+FROM n_ CROSS JOIN s_ CROSS JOIN ties
+WHERE n_.n >= 3
+"""
+
+
+@register("events_mann_kendall", oracle=_MK_ORACLE, tags=("events", "timeseries", "stats"))
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on daily event volume — the significance
+    companion to events_theil_sen_trend (the pair every hydrology/
+    monitoring handbook prescribes: Theil–Sen estimates the slope, MK
+    says whether a monotone trend exists at all). S = Σ sign(x_j − x_i)
+    over ordered day pairs, variance with the tie correction
+    (Σt(t−1)(2t+5) — integer-count series tie heavily), continuity-
+    corrected z, and the 5% two-sided flag.
+
+    Everything up to the final sqrt is INTEGER: S, n, and the tie sum
+    are exact on both engines, so the statistic can't drift. The pair
+    expansion runs on the calendar-bounded daily frame (same argument
+    as Theil–Sen: quadratic in |days|, scale-free in volume); ties
+    aggregate over distinct counts. n < 3 yields no row (no variance).
+    """
+    e = load(spark, sf_dir, "events")
+    didx = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    daily = e.select(didx.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    n_ = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s_ = a.join(F.broadcast(b), F.col("b.d") > F.col("a.d")).agg(
+        F.sum(
+            F.when(F.col("b.c") > F.col("a.c"), 1)
+            .when(F.col("b.c") < F.col("a.c"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tsum")
+    ) / 18.0
+    s_adj = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    z = s_adj / F.sqrt(var_s)
+    return (
+        n_.crossJoin(F.broadcast(s_))
+        .crossJoin(F.broadcast(ties))
+        .where(F.col("n") >= 3)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.round(var_s, 4).alias("var_s"),
+            F.round(z, 4).alias("z_stat"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("trend_5pct"),
+        )
+    )

@@ -729,3 +729,23 @@ def test_ks_stat_matches_numpy_replay(spark, sf_dir):
     assert r["n_lines"] == n
     assert abs(r["ks_stat"] - d) < 1e-4
     assert r["reject_exp_5pct"] == int(d > 1.358 / np.sqrt(n))
+
+
+def test_mann_kendall_detects_planted_trend(spark, tmp_path):
+    """A strictly increasing daily series has S = n(n-1)/2 (every pair
+    concordant), no tie correction, and a significant positive z."""
+    from live_data_spark.streaming.events_batch import events_mann_kendall
+
+    rows, eid = [], 0
+    for d in range(15):
+        for i in range(d + 1):  # day d has d+1 events: strictly increasing
+            rows.append((eid, dt.datetime(2026, 7, 1 + d, 10, 0, 0), 1, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = events_mann_kendall(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 15
+    assert r["s_stat"] == 15 * 14 // 2  # all pairs concordant
+    assert r["var_s"] == round(15 * 14 * 35 / 18.0, 4)
+    assert r["trend_5pct"] == 1 and r["z_stat"] > 1.96

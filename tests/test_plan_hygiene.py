@@ -75,6 +75,7 @@ BNLJ_OK: set[str] = {
     "corpus_perplexity_buckets",  # 1-row vocab-size scalar broadcast (surprisal subtree)
     "text_sparse_cosine_topk",  # 1-row corpus doc-count scalar (tf-idf subtree)
     "events_theil_sen_trend",  # pairwise-slope self-join on the |days|-bounded daily frame
+    "events_mann_kendall",  # sign-pair self-join on the same |days|-bounded frame
     "customer_reorder_survival",  # 1-row censoring-anchor (max orderdate) frame × order gaps
     "events_entropy_rate",  # 1-row state-count scalar × the ≤|types|² cell frame
     "orders_seasonal_decomposition",  # 1-row recentering scalar × the |months| frame
