@@ -2661,3 +2661,99 @@ def orders_ship_latency_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ks_stat",
         "reject_exp_5pct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U — do returned lines price differently? (rank-based)
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH x AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+), per_v AS (
+  SELECT v, count(*) AS t, sum(g1) AS t1 FROM x GROUP BY v
+), ranked AS (
+  SELECT v, t, t1,
+         sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_v
+), agg AS (
+  SELECT CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t - t1) AS BIGINT) AS n2,
+         CAST(sum(t1 * (2 * (cum - t + 1) + (t - 1))) AS BIGINT) AS r1x2,
+         CAST(sum(CAST(t AS BIGINT) * t * t - t) AS BIGINT) AS tie3
+  FROM ranked
+)
+SELECT n1, n2,
+       round((r1x2 - n1 * (n1 + 1)) / 2.0 - 0.0, 4) AS u_stat,
+       round(((r1x2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0
+                    * ((n1 + n2 + 1) - tie3 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+             4) AS z_stat,
+       CAST(CASE WHEN abs(((r1x2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+                      / sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0
+                             * ((n1 + n2 + 1) - tie3 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))
+                  > 1.96
+            THEN 1 ELSE 0 END AS INT) AS reject_5pct
+FROM agg WHERE n1 > 0 AND n2 > 0
+"""
+
+
+@register("lineitem_price_mannwhitney", oracle=_MWU_ORACLE, tags=("lineitem", "stats"))
+def lineitem_price_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U: do RETURNED lines (flag R) stochastically dominate
+    non-returned (N) on price? The rank-based two-sample test that needs
+    no normality assumption — the nonparametric seat in the testing
+    family (ANOVA compares means under normality; U compares whole rank
+    distributions). Tie-aware midranks via the distinct-value frame:
+    rank sums accumulate in 2× INTEGER units (midrank·2 = 2·start+(t−1)
+    is always integral) and the tie term Σ(t³−t) corrects the variance,
+    so everything before the final sqrt is exact integer arithmetic.
+
+    Scale: one distinct-cents aggregate (map-side combined), the
+    ranking cumsum over the |distinct prices| frame, a 1-row result.
+    The guards (either group empty) drop the row rather than abort.
+    """
+    x = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .select(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+        )
+    )
+    per_v = x.groupBy("v").agg(F.count(F.lit(1)).alias("t"), F.sum("g1").alias("t1"))
+    ranked = per_v.withColumn(
+        "cum",
+        F.sum("t").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n2"),
+        F.sum(F.col("t1") * (2 * (F.col("cum") - F.col("t") + 1) + (F.col("t") - 1)))
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("t").cast("bigint") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    u = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    n = F.col("n1") + F.col("n2")
+    var = (
+        F.col("n1") * F.col("n2").cast("double") / 12.0
+        * ((n + 1) - F.col("tie3") / (n.cast("double") * (n - 1)))
+    )
+    z = (u - mu) / F.sqrt(var)
+    return (
+        agg.where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "n1",
+            "n2",
+            F.round(u, 4).alias("u_stat"),
+            F.round(z, 4).alias("z_stat"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("reject_5pct"),
+        )
+    )

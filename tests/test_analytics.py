@@ -749,3 +749,46 @@ def test_mann_kendall_detects_planted_trend(spark, tmp_path):
     assert r["s_stat"] == 15 * 14 // 2  # all pairs concordant
     assert r["var_s"] == round(15 * 14 * 35 / 18.0, 4)
     assert r["trend_5pct"] == 1 and r["z_stat"] > 1.96
+
+
+def test_mannwhitney_matches_scipy_free_reference(spark, tmp_path):
+    """U and z agree with a direct midrank computation on a planted
+    two-group frame with heavy ties and a real location shift."""
+    import numpy as np
+
+    from live_data_spark.queries_analytics import lineitem_price_mannwhitney
+
+    g1 = [10.0] * 5 + [20.0] * 10 + [30.0] * 5   # R: centered at 20
+    g2 = [10.0] * 10 + [20.0] * 5 + [15.0] * 5   # N: lower
+    rows = [(i, "R", v) for i, v in enumerate(g1)] + [
+        (100 + i, "N", v) for i, v in enumerate(g2)
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = lineitem_price_mannwhitney(spark, str(tmp_path)).collect()[0]
+
+    allv = np.array(g1 + g2)
+    # midranks
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1, n2 = len(g1), len(g2)
+    r1 = ranks[:n1].sum()
+    u = r1 - n1 * (n1 + 1) / 2
+    _, counts = np.unique(allv, return_counts=True)
+    tie3 = float((counts**3 - counts).sum())
+    n = n1 + n2
+    var = n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u - n1 * n2 / 2.0) / np.sqrt(var)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["u_stat"] == round(u, 4)
+    assert r["z_stat"] == round(z, 4)
+    assert r["reject_5pct"] == int(abs(z) > 1.96) == 1
