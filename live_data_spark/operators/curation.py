@@ -1285,3 +1285,106 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(risky) / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)), 4
         ).alias("risky_cell_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional entropy — how much does knowing the source tell about lang?
+# ---------------------------------------------------------------------------
+
+_CONDENT_ORACLE = """
+WITH cell AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT source, sum(n) AS ns FROM cell GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n FROM cell
+), lmarg AS (
+  SELECT lang, sum(n) AS nl FROM cell GROUP BY lang
+), hcond AS (
+  SELECT CAST(sum(c.n * CAST(floor(ln(c.n / CAST(m.ns AS DOUBLE)) * 100000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS q
+  FROM cell c JOIN m ON m.source = c.source
+), hlang AS (
+  SELECT CAST(sum(l.nl * CAST(floor(ln(l.nl / CAST(t.n AS DOUBLE)) * 100000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS q
+  FROM lmarg l CROSS JOIN tot t
+)
+SELECT t.n AS n_docs,
+       CAST((SELECT count(*) FROM m) AS BIGINT) AS n_sources,
+       CAST((SELECT count(*) FROM lmarg) AS BIGINT) AS n_langs,
+       round(-hl.q / CAST(t.n AS DOUBLE) / 100000000.0, 4) AS h_lang,
+       round(-hc.q / CAST(t.n AS DOUBLE) / 100000000.0, 4) AS h_lang_given_source,
+       round((hc.q - hl.q) / CAST(t.n AS DOUBLE) / 100000000.0, 4) AS mutual_information
+FROM tot t CROSS JOIN hcond hc CROSS JOIN hlang hl
+WHERE t.n > 0
+"""
+
+
+@register("corpus_lang_source_entropy", oracle=_CONDENT_ORACLE, tags=("text", "infotheory", "curation"))
+def corpus_lang_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(lang | source) and mutual information
+    I(lang; source) over the corpus — the information-theoretic summary
+    of how language-pure the sources are: H(lang|source) ≈ 0 means
+    routing by source IS routing by language (per-source pipelines can
+    skip lang-id); I near H(lang) means the source label carries nearly
+    all language signal. The χ² test (corpus_lang_source_chi2) asks "is
+    there ANY association"; this quantifies HOW MUCH, in nats — the
+    number that actually drives pipeline design.
+
+    Both entropies are n-weighted sums of per-cell quantized lns
+    (1e-8 integer units, weighted by exact counts — n·q stays far
+    inside int64), so H and I are pure functions of engine-identical
+    integers. The cell frame is |sources|×|langs|; everything after the
+    one corpus aggregate is broadcast-scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    m = cell.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("n"))
+    lmarg = cell.groupBy("lang").agg(F.sum("n").alias("nl"))
+    qcell = (
+        cell.join(m, "source")
+        .select(
+            (
+                F.col("n")
+                * F.floor(
+                    F.ln(F.col("n") / F.col("ns").cast("double")) * 100000000 + 0.5
+                ).cast("bigint")
+            ).alias("nq")
+        )
+        .agg(F.sum("nq").cast("bigint").alias("q"))
+    )
+    qlang = (
+        lmarg.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("nl")
+                * F.floor(
+                    F.ln(F.col("nl") / F.col("n").cast("double")) * 100000000 + 0.5
+                ).cast("bigint")
+            ).alias("nq")
+        )
+        .agg(F.sum("nq").cast("bigint").alias("q"))
+    )
+    n_sources = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    n_langs = lmarg.agg(F.count(F.lit(1)).cast("bigint").alias("n_langs"))
+    hc = qcell.select(F.col("q").alias("qc"))
+    hl = qlang.select(F.col("q").alias("ql"))
+    nd = F.col("n").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(n_sources))
+        .crossJoin(F.broadcast(n_langs))
+        .where(F.col("n") > 0)
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_sources",
+            "n_langs",
+            F.round(-F.col("ql") / nd / 100000000.0, 4).alias("h_lang"),
+            F.round(-F.col("qc") / nd / 100000000.0, 4).alias("h_lang_given_source"),
+            F.round((F.col("qc") - F.col("ql")) / nd / 100000000.0, 4).alias(
+                "mutual_information"
+            ),
+        )
+    )

@@ -403,3 +403,18 @@ def test_mix_schedule_rows_are_distributions(spark, sf_dir):
         diffs = [b - a for a, b in zip(series, series[1:MIX_WARMUP + 1])]
         assert all(d >= -1e-9 for d in diffs) or all(d <= 1e-9 for d in diffs), (lang, series)
         assert all(abs(x - series[MIX_WARMUP]) < 1e-9 for x in series[MIX_WARMUP:])
+
+
+def test_lang_source_entropy_pure_sources(spark, tmp_path):
+    """Language-pure sources → H(lang|source)=0 and I = H(lang) exactly;
+    information inequalities hold on any input."""
+    from live_data_spark.operators.curation import corpus_lang_source_entropy
+
+    docs = [(i, f"t{i}", ["en", "de"][i % 2], f"s_{i % 2}", 5) for i in range(40)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = corpus_lang_source_entropy(spark, str(tmp_path)).collect()[0]
+    assert r["h_lang_given_source"] == 0.0
+    assert r["mutual_information"] == r["h_lang"]
+    assert abs(r["h_lang"] - 0.6931) < 1e-4  # ln 2: a fair 2-language split

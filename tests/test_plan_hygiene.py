@@ -84,6 +84,7 @@ BNLJ_OK: set[str] = {
     "events_cohort_ltv",  # 1-row base-week scalar × the cohort triangle
     "events_peak_concurrency",  # 1-row first-day scalar × the |days| peak frame
     "orders_ship_latency_ks",  # 1-row (n, Σx) scalar × the distinct-latency frame
+    "corpus_lang_source_entropy",  # 1-row entropy scalars × the |sources|×|langs| cell frame
 }
 
 ALL = sorted(catalog())
