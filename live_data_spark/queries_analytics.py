@@ -2757,3 +2757,97 @@ def lineitem_price_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("reject_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — monotone association, tie-aware, exact.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH x AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS xv,
+         CAST(l_quantity AS BIGINT) AS yv
+  FROM lineitem
+), rx AS (
+  SELECT xv, 2 * (sum(c) OVER (ORDER BY xv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - c + 1) + (c - 1) AS r2
+  FROM (SELECT xv, count(*) AS c FROM x GROUP BY xv)
+), ry AS (
+  SELECT yv, 2 * (sum(c) OVER (ORDER BY yv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - c + 1) + (c - 1) AS r2
+  FROM (SELECT yv, count(*) AS c FROM x GROUP BY yv)
+), j AS (
+  SELECT CAST(rx.r2 AS DECIMAL(38,0)) AS a, CAST(ry.r2 AS DECIMAL(38,0)) AS b
+  FROM x JOIN rx ON rx.xv = x.xv JOIN ry ON ry.yv = x.yv
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+         CAST(sum(a * a) AS DOUBLE) AS saa, CAST(sum(b * b) AS DOUBLE) AS sbb,
+         CAST(sum(a * b) AS DOUBLE) AS sab
+  FROM j
+)
+SELECT n AS n_rows,
+       round((n * sab - sa * sb)
+             / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS spearman_rho
+FROM s WHERE n > 1 AND (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+"""
+
+
+@register("discount_quantity_spearman", oracle=_SPEARMAN_ORACLE, tags=("lineitem", "stats"))
+def discount_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between discount and quantity — the
+    monotone-association companion to discount_quantity_elasticity's
+    linear regression (a saturating or stepped discount schedule shows
+    up here even when the linear fit washes out). Tie-aware midranks in
+    doubled integer units (both variables are heavily tied: ~11 discount
+    levels, ~50 quantities), then Pearson's formula over the exact rank
+    sums — DECIMAL(38,0) accumulators because Σr² crosses int64 near
+    sf1, doubles only at the final ratio. Degenerate variance (either
+    variable constant) drops the row rather than dividing by zero.
+
+    Scale: two tiny distinct-value rank frames broadcast back onto the
+    fact, one map-side-combined sum pass — no row-level window anywhere.
+    """
+    x = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint").alias("xv"),
+        F.col("l_quantity").cast("bigint").alias("yv"),
+    )
+
+    def rank2(col: str):
+        per = x.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return per.select(
+            col,
+            (
+                2 * (F.sum("c").over(w) - F.col("c") + 1) + (F.col("c") - 1)
+            ).alias("r2"),
+        )
+
+    rx = rank2("xv").withColumnRenamed("r2", "a")
+    ry = rank2("yv").withColumnRenamed("r2", "b")
+    j = (
+        x.join(F.broadcast(rx), "xv")
+        .join(F.broadcast(ry), "yv")
+        .select(
+            F.col("a").cast("decimal(38,0)").alias("a"),
+            F.col("b").cast("decimal(38,0)").alias("b"),
+        )
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+    )
+    vx = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vy = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    return (
+        s.where((F.col("n") > 1) & (vx > 0) & (vy > 0))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round(num / F.sqrt(vx * vy), 6).alias("spearman_rho"),
+        )
+    )

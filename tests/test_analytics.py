@@ -792,3 +792,39 @@ def test_mannwhitney_matches_scipy_free_reference(spark, tmp_path):
     assert r["u_stat"] == round(u, 4)
     assert r["z_stat"] == round(z, 4)
     assert r["reject_5pct"] == int(abs(z) > 1.96) == 1
+
+
+def test_spearman_matches_reference_and_detects_monotone(spark, tmp_path):
+    """rho on a planted monotone-but-nonlinear relation (y = x^3 with
+    ties) equals a direct midrank-Pearson computation and is ~1."""
+    import numpy as np
+
+    from live_data_spark.queries_analytics import discount_quantity_spearman
+
+    xs = [0.01, 0.01, 0.02, 0.03, 0.03, 0.05, 0.06, 0.08, 0.09, 0.10]
+    ys = [1, 1, 2, 5, 5, 20, 30, 60, 80, 100]  # monotone in x, heavily tied
+    rows = [(i, x, float(y)) for i, (x, y) in enumerate(zip(xs, ys))]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_discount double, l_quantity double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = discount_quantity_spearman(spark, str(tmp_path)).collect()[0]
+
+    def midranks(v):
+        v = np.asarray(v)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    ra, rb = midranks(xs), midranks(ys)
+    rho = np.corrcoef(ra, rb)[0, 1]
+    assert r["n_rows"] == 10
+    assert r["spearman_rho"] == round(rho, 6)
+    assert r["spearman_rho"] > 0.99
