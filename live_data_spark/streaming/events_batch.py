@@ -3661,3 +3661,109 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("trend_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap — CI on the daily mean without RNG state.
+# ---------------------------------------------------------------------------
+
+BOOT_REPLICATES = 200
+# Poisson(1) inverse CDF as INTEGER thresholds in [0, 1e9): u < t[k] → k.
+# floor(cdf * 1e9) of e^{-1}·Σ 1/j! — integer compares, no float boundary.
+_POIS1_THRESH = (367879441, 735758882, 919698602, 981011843, 996340153, 999405815, 999916758)
+
+_BOOT_CASE = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_THRESH)
+) + " ELSE 7 END"
+
+_BOOT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, count(*) AS c
+  FROM events GROUP BY 1
+), reps AS (
+  SELECT unnest(generate_series(1, {BOOT_REPLICATES})) AS b
+), u_ AS (
+  SELECT daily.d, daily.c, reps.b,
+         CAST(('0x' || substr(md5(daily.d || ':' || reps.b), 1, 15)) AS BIGINT)
+           % 1000000000 AS u
+  FROM daily CROSS JOIN reps
+), w_ AS (
+  SELECT d, c, b, {_BOOT_CASE} AS w FROM u_
+), rep_means AS (
+  SELECT b, sum(w * c) / CAST(sum(w) AS DOUBLE) AS m
+  FROM w_ GROUP BY b HAVING sum(w) > 0
+)
+SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_replicates,
+       round((SELECT sum(c) / CAST(count(*) AS DOUBLE) FROM daily), 4) AS mean_daily,
+       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+       round(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM rep_means
+"""
+
+
+@register("events_bootstrap_daily_mean", oracle=_BOOT_ORACLE, tags=("events", "stats", "resampling"))
+def events_bootstrap_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval on mean daily event volume — by the
+    POISSON bootstrap (Chamandy et al. 2012, the bootstrap that works on
+    distributed data: each element enters replicate b with an i.i.d.
+    Poisson(1) weight, no shared sampling state, mergeable partial
+    sums), derandomized the engine way: the weight is the Poisson(1)
+    inverse CDF applied to an md5-derived integer uniform, so every
+    (day, replicate) weight is a pure function of the data — identical
+    across engines, runs, and partitionings, yet distributionally a
+    faithful bootstrap. INTEGER thresholds (floor(cdf·1e9)) mean not
+    even the CDF comparison touches a float.
+
+    The 2.5/97.5 percentile band over 200 replicate means is the
+    uncertainty every "the mean moved" dashboard claim needs. Scale:
+    the ×B fan-out runs on the |days| frame (calendar-bounded), NOT on
+    events — the same trick as every daily/hourly operator here; at
+    element-level granularity the identical recipe rides the raw scan
+    with w as one more projected column (mergeable by construction).
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    reps = spark.range(1, BOOT_REPLICATES + 1).select(F.col("id").alias("b"))
+    # 15 hex chars = 60 bits before the mod — an 8-char (32-bit) draw
+    # mod 1e9 is visibly non-uniform (2^32/1e9 ≈ 4.3 wraps → ~7% low-u
+    # excess → mean weight 0.92, caught by the Poisson-sanity test);
+    # at 60 bits the wrap bias is ~1e-9.
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("d"), F.col("b"))), 1, 15), 16, 10
+    ).cast("bigint") % 1000000000
+    w = F.lit(7)
+    for k, t in reversed(list(enumerate(_POIS1_THRESH))):
+        w = F.when(F.col("u") < t, k).otherwise(w)
+    weighted = (
+        daily.crossJoin(F.broadcast(reps)).withColumn("u", u).withColumn("w", w)
+    )
+    rep_means = (
+        weighted.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("c")).alias("swc"), F.sum("w").alias("sw"))
+        .where(F.col("sw") > 0)
+        .select((F.col("swc") / F.col("sw").cast("double")).alias("m"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("c") / F.count(F.lit(1)).cast("double")).alias("mean_daily"),
+    )
+    return (
+        rep_means.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+            F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_days",
+            "n_replicates",
+            F.round("mean_daily", 4).alias("mean_daily"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -828,3 +828,28 @@ def test_spearman_matches_reference_and_detects_monotone(spark, tmp_path):
     assert r["n_rows"] == 10
     assert r["spearman_rho"] == round(rho, 6)
     assert r["spearman_rho"] > 0.99
+
+
+def test_bootstrap_ci_brackets_mean_and_weights_are_poisson1(spark, sf_dir):
+    """The 95% band brackets the point estimate, and the hash-derived
+    weights are distributionally Poisson(1): mean ~1, P(0) ~ 1/e."""
+    from live_data_spark.streaming.events_batch import (
+        _POIS1_THRESH, events_bootstrap_daily_mean,
+    )
+
+    r = events_bootstrap_daily_mean(spark, sf_dir).collect()[0]
+    assert r["n_replicates"] == 200
+    assert r["ci_lo"] <= r["mean_daily"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+
+    # weight sanity via the same integer thresholds on a fresh uniform grid
+    import hashlib
+
+    ws = []
+    for d in range(30):
+        for b in range(200):
+            u = int(hashlib.md5(f"{d}:{b}".encode()).hexdigest()[:15], 16) % 1_000_000_000
+            ws.append(next((k for k, t in enumerate(_POIS1_THRESH) if u < t), 7))
+    n = len(ws)
+    assert abs(sum(ws) / n - 1.0) < 0.05
+    assert abs(ws.count(0) / n - 0.3679) < 0.03

@@ -85,6 +85,7 @@ BNLJ_OK: set[str] = {
     "events_peak_concurrency",  # 1-row first-day scalar × the |days| peak frame
     "orders_ship_latency_ks",  # 1-row (n, Σx) scalar × the distinct-latency frame
     "corpus_lang_source_entropy",  # 1-row entropy scalars × the |sources|×|langs| cell frame
+    "events_bootstrap_daily_mean",  # B-row replicate grid × the |days| frame (Poisson bootstrap fan-out)
 }
 
 ALL = sorted(catalog())
