@@ -1799,3 +1799,82 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_second").cast("bigint").alias("n_second"),
         F.round(dot / (norm("va") * norm("vb")), 4).alias("centroid_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Procrustes drift — is the "drift" just a rotation of the whole space?
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_procrustes_drift", oracle=None, tags=("similarity", "vector", "stats"))
+def embedding_procrustes_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment between the first- and second-half
+    label centroids: find the rotation R = UVᵀ (SVD of AᵀB, Schönemann
+    1966) that best maps half-1 centroids onto half-2, and report each
+    label's centroid distance BEFORE vs AFTER alignment. This separates
+    the two drift stories embedding_centroid_drift conflates: an encoder
+    re-deploy typically rotates the whole space (per-label cosines all
+    drop, but residual-after ≈ 0 — embeddings are still mutually
+    consistent, fix = one linear map), while real semantic drift leaves
+    residuals after the best rotation (no linear map reconciles the
+    eras — the halves must not be mixed in one training epoch).
+
+    Plumbing: the per-(label, half) centroid aggregate is the
+    embedding_centroid_drift subtree (one posexplode pass, JVM-side);
+    only the 2·|labels| centroid ROWS are collected for the d×d SVD —
+    the bounded-driver-state pattern shared with k-means and the PQ
+    codebook (|labels|·d doubles, scale-free). Rows-only driver check
+    (SVD isn't SQL-reproducible); a planted pure-rotation corpus pins
+    residual-after ≈ 0 in pytest while the unaligned distance stays
+    large.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id").alias("m"))
+    h = e.crossJoin(F.broadcast(mx)).select(
+        "label",
+        F.when(F.col("vec_id") * 2 <= F.col("m"), 0).otherwise(1).alias("half"),
+        as_double("embedding").alias("emb"),
+    )
+    cent = (
+        h.select("label", "half", F.posexplode("emb").alias("dim", "x"))
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label", "half")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", (F.col("sx") / F.col("n")).alias("v")))
+            ).alias("cv"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            "label",
+            "half",
+            "n",
+            F.transform("cv", lambda s: s["v"]).alias("c"),
+        )
+    )
+    rows = cent.collect()  # 2·|labels| rows of d doubles — bounded driver state
+    labels = sorted({r["label"] for r in rows})
+    by = {(r["label"], r["half"]): (np.array(r["c"]), r["n"]) for r in rows}
+    pairs = [l for l in labels if (l, 0) in by and (l, 1) in by]
+    schema = "label int, n_first long, n_second long, dist_before double, dist_after double"
+    if not pairs:  # empty corpus / no label present in both halves
+        return spark.createDataFrame([], schema)
+    A = np.stack([by[(l, 0)][0] for l in pairs])
+    B = np.stack([by[(l, 1)][0] for l in pairs])
+    u, _, vt = np.linalg.svd(A.T @ B)
+    R = u @ vt
+    AR = A @ R
+    out = [
+        (
+            int(l),
+            int(by[(l, 0)][1]),
+            int(by[(l, 1)][1]),
+            round(float(np.linalg.norm(A[i] - B[i])), 4),
+            round(float(np.linalg.norm(AR[i] - B[i])), 4),
+        )
+        for i, l in enumerate(pairs)
+    ]
+    return spark.createDataFrame(out, schema).orderBy("label")

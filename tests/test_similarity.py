@@ -445,3 +445,49 @@ def test_centroid_drift_counts_and_range(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r["centroid_cos"] <= 1.0
         assert r["n_first"] > 0 and r["n_second"] > 0
+
+
+def test_procrustes_separates_rotation_from_geometry_change(spark, tmp_path):
+    """A pure rotation of the space zeroes the aligned residual (rotation
+    preserves pairwise centroid geometry), while a norm-changing drift
+    survives alignment — the diagnostic the plain cosine drift can't
+    make."""
+    import numpy as np
+
+    from live_data_spark.operators.similarity import embedding_procrustes_drift
+
+    rng = np.random.RandomState(7)
+    d = 16
+    # a fixed orthogonal matrix
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    base = {l: rng.randn(d) * (l + 1) for l in range(4)}
+
+    def mk(case):
+        rows = []
+        vid = 0
+        for l, mu in base.items():
+            for _ in range(40):  # first half: around mu
+                rows.append((vid, (mu + 0.01 * rng.randn(d)).astype("float32").tolist(), l))
+                vid += 1
+        for l, mu in base.items():
+            for _ in range(40):  # second half: transformed
+                if case == "rotation":
+                    v = q @ mu
+                elif case == "scale" and l == 0:
+                    v = 3.0 * mu  # label 0's norm triples: geometry changed
+                else:
+                    v = mu
+                rows.append((vid, (v + 0.01 * rng.randn(d)).astype("float32").tolist(), l))
+                vid += 1
+        p = tmp_path / case
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(str(p / "embeddings.parquet"))
+        return {r["label"]: r for r in embedding_procrustes_drift(spark, str(p)).collect()}
+
+    rot = mk("rotation")
+    assert all(r["dist_after"] < 0.05 for r in rot.values())
+    assert max(r["dist_before"] for r in rot.values()) > 1.0  # rotation looked like drift
+
+    sc = mk("scale")
+    assert sc[0]["dist_after"] > 1.0  # no rotation explains a norm change
