@@ -29,6 +29,7 @@ SF = "/root/testdata/sf0.1"
 HEAVY = {
     "dedup_ngram_jaccard",
     "dedup_threshold_curve",
+    "text_sparse_cosine_topk",  # 31-word testdata vocab → ~12M candidate pairs BOTH engines
     "dedup_containment",
     "dedup_clusters",
     "dedup_survivors",
