@@ -3767,3 +3767,151 @@ def events_bootstrap_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention decay fit — is the curve exponential (doomed) or power-law?
+# ---------------------------------------------------------------------------
+
+_RETFIT_Q = 1_000_000  # 1e-6 ln quantum: products stay far inside int64
+
+_RETFIT_ORACLE = f"""
+WITH fs AS (
+  SELECT user_id, min(cast(ts AS DATE)) AS c FROM events GROUP BY user_id
+), mx AS (
+  SELECT max(cast(ts AS DATE)) AS m FROM events
+), act AS (
+  SELECT DISTINCT e.user_id, date_diff('day', f.c, cast(e.ts AS DATE)) AS t
+  FROM events e JOIN fs f ON f.user_id = e.user_id
+), num AS (
+  SELECT t, count(*) AS a FROM act WHERE t >= 1 GROUP BY t
+), csz AS (
+  SELECT c, count(*) AS s FROM fs GROUP BY c
+), grid AS (
+  SELECT unnest(generate_series(1, date_diff('day', (SELECT min(c) FROM fs), (SELECT m FROM mx)))) AS t
+), den AS (
+  SELECT g.t, sum(csz.s) AS d
+  FROM grid g JOIN csz ON csz.c <= (SELECT m FROM mx) - to_days(CAST(g.t AS INT))
+  CROSS JOIN mx GROUP BY g.t
+), pts AS (
+  SELECT num.t,
+         CAST(floor(ln(num.a / CAST(den.d AS DOUBLE)) * {_RETFIT_Q} + 0.5) AS BIGINT) AS qy,
+         CAST(floor(ln(CAST(num.t AS DOUBLE)) * {_RETFIT_Q} + 0.5) AS BIGINT) AS qlt,
+         CAST(num.t AS BIGINT) AS qt
+  FROM num JOIN den ON den.t = num.t WHERE num.a > 0 AND den.d > 0
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qt) AS BIGINT) AS sx1, CAST(sum(qt * qt) AS BIGINT) AS sxx1,
+         CAST(sum(qlt) AS BIGINT) AS sx2, CAST(sum(qlt * qlt) AS BIGINT) AS sxx2,
+         CAST(sum(qy) AS BIGINT) AS sy, CAST(sum(qy * qy) AS BIGINT) AS syy,
+         CAST(sum(qt * qy) AS BIGINT) AS sxy1, CAST(sum(qlt * qy) AS BIGINT) AS sxy2
+  FROM pts
+)
+SELECT n AS n_offsets,
+       CASE WHEN (n * sxy1 - sx1 * sy) < 0 THEN
+         round(-ln(2) / ((n * sxy1 - sx1 * sy) / CAST(n * sxx1 - sx1 * sx1 AS DOUBLE) / {_RETFIT_Q}), 4)
+       END AS exp_halflife_days,
+       round(pow(CAST(n * sxy1 - sx1 * sy AS DOUBLE), 2)
+             / (CAST(n * sxx1 - sx1 * sx1 AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS exp_r2,
+       round((n * sxy2 - sx2 * sy) / CAST(n * sxx2 - sx2 * sx2 AS DOUBLE), 4) AS pow_exponent,
+       round(pow(CAST(n * sxy2 - sx2 * sy AS DOUBLE), 2)
+             / (CAST(n * sxx2 - sx2 * sx2 AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS pow_r2,
+       CASE WHEN pow(CAST(n * sxy2 - sx2 * sy AS DOUBLE), 2)
+                 / (CAST(n * sxx2 - sx2 * sx2 AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+               > pow(CAST(n * sxy1 - sx1 * sy AS DOUBLE), 2)
+                 / (CAST(n * sxx1 - sx1 * sx1 AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+            THEN 'power' ELSE 'exponential' END AS better_fit
+FROM s WHERE n >= 3 AND (n * sxx1 - sx1 * sx1) > 0 AND (n * sxx2 - sx2 * sx2) > 0
+          AND (n * syy - sy * sy) > 0
+"""
+
+
+@register("events_retention_decay_fit", oracle=_RETFIT_ORACLE, tags=("events", "retention", "fit"))
+def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the pooled retention curve r(t) two ways and say which shape
+    wins: exponential (ln r ~ t — constant churn hazard; the product is
+    losing everyone eventually, half-life reported) vs power-law
+    (ln r ~ ln t — decay slows; a loyal core asymptotes out), the
+    standard growth-analysis diagnosis on top of the retention triangle
+    (events_retention_cohorts renders the triangle; this reads its
+    verdict). r(t) pools cohorts with an observation window ≥ t, so
+    right-censoring can't fake decay.
+
+    Exactness: numerators/denominators are integer distinct-counts;
+    ln r and ln t are quantized to 1e-6 integers and all five regression
+    sums are exact integer arithmetic — both fits and their r² are pure
+    functions of engine-identical integers. Every frame after the two
+    user-keyed aggregates is |days|-bounded.
+    """
+    e = load(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("c"))
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("m"))
+    act = (
+        e.join(fs, "user_id")
+        .select("user_id", F.datediff(F.col("ts").cast("date"), "c").alias("t"))
+        .where(F.col("t") >= 1)
+        .distinct()
+    )
+    num = act.groupBy("t").agg(F.count(F.lit(1)).alias("a"))
+    csz = fs.groupBy("c").agg(F.count(F.lit(1)).alias("s"))
+    bounds = fs.agg(F.min("c").alias("c0")).crossJoin(F.broadcast(mx))
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.datediff("m", "c0"))).alias("t"), "m"
+    )
+    den = (
+        grid.join(F.broadcast(csz), F.col("c") <= F.date_sub(F.col("m"), 0) - F.col("t"))
+        .groupBy("t")
+        .agg(F.sum("s").alias("d"))
+    )
+    q = _RETFIT_Q
+    pts = (
+        num.join(den, "t")
+        .where((F.col("a") > 0) & (F.col("d") > 0))
+        .select(
+            F.col("t").cast("bigint").alias("qt"),
+            F.floor(F.ln(F.col("t").cast("double")) * q + 0.5).cast("bigint").alias("qlt"),
+            F.floor(F.ln(F.col("a") / F.col("d").cast("double")) * q + 0.5)
+            .cast("bigint")
+            .alias("qy"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qt").cast("bigint").alias("sx1"),
+        F.sum(F.col("qt") * F.col("qt")).cast("bigint").alias("sxx1"),
+        F.sum("qlt").cast("bigint").alias("sx2"),
+        F.sum(F.col("qlt") * F.col("qlt")).cast("bigint").alias("sxx2"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qy") * F.col("qy")).cast("bigint").alias("syy"),
+        F.sum(F.col("qt") * F.col("qy")).cast("bigint").alias("sxy1"),
+        F.sum(F.col("qlt") * F.col("qy")).cast("bigint").alias("sxy2"),
+    )
+    n = F.col("n")
+    v1 = (n * F.col("sxx1") - F.col("sx1") * F.col("sx1")).cast("double")
+    v2 = (n * F.col("sxx2") - F.col("sx2") * F.col("sx2")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    c1 = (n * F.col("sxy1") - F.col("sx1") * F.col("sy")).cast("double")
+    c2 = (n * F.col("sxy2") - F.col("sx2") * F.col("sy")).cast("double")
+    exp_r2 = F.pow(c1, 2) / (v1 * vy)
+    pow_r2 = F.pow(c2, 2) / (v2 * vy)
+    return (
+        s.where(
+            (n >= 3)
+            & ((n * F.col("sxx1") - F.col("sx1") * F.col("sx1")) > 0)
+            & ((n * F.col("sxx2") - F.col("sx2") * F.col("sx2")) > 0)
+            & ((n * F.col("syy") - F.col("sy") * F.col("sy")) > 0)
+        )
+        .select(
+            n.alias("n_offsets"),
+            # no decay (slope ≥ 0) → NULL half-life, not a negative number
+            F.when(c1 < 0, F.round(-F.log(F.lit(2.0)) / (c1 / v1 / q), 4)).alias(
+                "exp_halflife_days"
+            ),
+            F.round(exp_r2, 6).alias("exp_r2"),
+            F.round(c2 / v2, 4).alias("pow_exponent"),
+            F.round(pow_r2, 6).alias("pow_r2"),
+            F.when(pow_r2 > exp_r2, "power").otherwise("exponential").alias("better_fit"),
+        )
+    )

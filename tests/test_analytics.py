@@ -853,3 +853,36 @@ def test_bootstrap_ci_brackets_mean_and_weights_are_poisson1(spark, sf_dir):
     n = len(ws)
     assert abs(sum(ws) / n - 1.0) < 0.05
     assert abs(ws.count(0) / n - 0.3679) < 0.03
+
+
+def test_retention_decay_fit_identifies_planted_shapes(spark, tmp_path):
+    """Planted exponential decay (half the users churn each day) is
+    identified as exponential with half-life ~1 day; the flat-retention
+    edge (no decay) yields a NULL half-life."""
+    from live_data_spark.streaming.events_batch import events_retention_decay_fit
+
+    def mk(case, sub):
+        rows, eid = [], 0
+        n0 = 512
+        for day in range(10):
+            active = n0 if case == "flat" else max(n0 >> day, 1)
+            for u in range(active):
+                rows.append(
+                    (eid, dt.datetime(2026, 2, 1 + day, 10, 0, 0), u, "view", 1.0, "{}")
+                )
+                eid += 1
+        p = tmp_path / sub
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.parquet(str(p / "events.parquet"))
+        return events_retention_decay_fit(spark, str(p)).collect()
+
+    exp = mk("exp", "e")[0]
+    assert exp["better_fit"] == "exponential"
+    assert exp["exp_r2"] > 0.99
+    assert abs(exp["exp_halflife_days"] - 1.0) < 0.05
+
+    # perfectly flat retention: ln r ≡ 0 → zero y-variance → the guards
+    # drop the row (no fit is defined), not an abort or a bogus number
+    assert mk("flat", "f") == []

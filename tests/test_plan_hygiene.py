@@ -86,6 +86,7 @@ BNLJ_OK: set[str] = {
     "orders_ship_latency_ks",  # 1-row (n, Σx) scalar × the distinct-latency frame
     "corpus_lang_source_entropy",  # 1-row entropy scalars × the |sources|×|langs| cell frame
     "events_bootstrap_daily_mean",  # B-row replicate grid × the |days| frame (Poisson bootstrap fan-out)
+    "events_retention_decay_fit",  # |days| offset grid × per-day cohort sizes (eligibility denominators)
 }
 
 ALL = sorted(catalog())
