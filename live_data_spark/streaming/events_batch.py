@@ -3915,3 +3915,200 @@ def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pow_r2 > exp_r2, "power").otherwise("exponential").alias("better_fit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest — naive vs Holt vs Holt–Winters on the same series.
+# ---------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = f"""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+), t AS (
+  SELECT DISTINCT event_type FROM events
+), g AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b CROSS JOIN t
+), c AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT g.event_type,
+         list_transform(list_sort(list(struct_pack(h := g.h, x := CAST(coalesce(c.n, 0) AS DOUBLE)))),
+                        s -> s.x) AS xs
+  FROM g LEFT JOIN c ON c.h = g.h AND c.event_type = g.event_type
+  GROUP BY g.event_type
+), seeded AS (
+  SELECT event_type, xs, len(xs) AS n_hours,
+         list_sum(list_slice(xs, 1, {HW_PERIOD})) / {HW_PERIOD}.0 AS l0
+  FROM arr WHERE len(xs) >= {HW_PERIOD + 1}
+), folded AS (
+  SELECT event_type, n_hours,
+         -- naive: |x_t − x_(t−1)| accumulated in [2]=prev, [1]=err
+         list_reduce(list_transform(xs, v -> [0.0, v]),
+                     (acc, x) -> [acc[1] + abs(x[2] - acc[2]), x[2]])[1] AS err_naive,
+         -- Holt (α/β as events_holt_trend): [1]=level, [2]=trend, [3]=err
+         list_reduce(list_transform(xs, v -> [v, 0.0, 0.0]),
+           (acc, x) -> [
+             {HOLT_ALPHA} * x[1] + {1.0 - HOLT_ALPHA} * (acc[1] + acc[2]),
+             {HOLT_BETA} * (({HOLT_ALPHA} * x[1] + {1.0 - HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+               + {1.0 - HOLT_BETA} * acc[2],
+             acc[3] + abs(x[1] - (acc[1] + acc[2]))
+           ])[3] AS err_holt,
+         -- Holt–Winters (the events_holt_winters fold, same seed)
+         list_reduce(
+           [[l0, 0.0, 0.0] || list_transform(list_slice(xs, 1, {HW_PERIOD}), v -> v - l0)]
+             || list_transform(list_slice(xs, {HW_PERIOD + 1}, n_hours), v -> [v]),
+           (acc, x) -> {_HW_STEP}
+         )[3] AS err_hw
+  FROM seeded
+)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       round(err_naive / (n_hours - 1), 4) AS mae_naive,
+       round(err_holt / (n_hours - 1), 4) AS mae_holt,
+       round(err_hw / (n_hours - {HW_PERIOD}), 4) AS mae_hw,
+       round((err_holt / (n_hours - 1)) / (err_naive / (n_hours - 1)), 4) AS mase_holt,
+       round((err_hw / (n_hours - {HW_PERIOD})) / (err_naive / (n_hours - 1)), 4) AS mase_hw,
+       CASE WHEN err_hw / (n_hours - {HW_PERIOD}) <= err_holt / (n_hours - 1)
+             AND err_hw / (n_hours - {HW_PERIOD}) <= err_naive / (n_hours - 1)
+            THEN 'holt_winters'
+            WHEN err_holt / (n_hours - 1) <= err_naive / (n_hours - 1) THEN 'holt'
+            ELSE 'naive' END AS best_model
+FROM folded WHERE err_naive > 0 ORDER BY event_type
+"""
+
+
+@register("events_forecast_backtest", oracle=_BACKTEST_ORACLE, tags=("events", "forecast", "eval"))
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the forecasting ladder on each type's
+    hourly series: naive (tomorrow = today), Holt (level+trend), and
+    Holt–Winters (plus the 24 h seasonal ring), each scored by its mean
+    absolute error, with MASE (model MAE / naive MAE — Hyndman's
+    scale-free skill score; < 1 beats naive) and a per-type verdict.
+    This is the operator that keeps the forecaster family HONEST: a
+    seasonal model that can't beat last-hour's-value on a series has no
+    business running in production, and the verdict column is exactly
+    what a model-selection job materializes.
+
+    All three recurrences run as JVM folds over ONE shared gap-filled
+    array per type (the holt/holt_winters folds restated side by side —
+    kept inline so each registered operator stays self-contained), so
+    the backtest costs one extra fold over frames already built: hours ×
+    types, volume-independent. Flat series (zero naive error) drop out
+    — no division, no fake infinite skill.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    grid = bounds.crossJoin(types).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        "event_type",
+    )
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    series = grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
+    )
+    P = HW_PERIOD
+    arr = series.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+    seeded = arr.where(F.size("xs") >= P + 1).select(
+        "event_type",
+        "xs",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        (F.aggregate(F.slice("xs", 1, P), F.lit(0.0), lambda a, x: a + x) / float(P)).alias(
+            "l0"
+        ),
+    )
+
+    # naive fold: state [err, prev]
+    naive = F.aggregate(
+        "xs",
+        F.named_struct(F.lit("err"), F.lit(0.0), F.lit("prev"), F.lit(None).cast("double")),
+        lambda acc, x: F.named_struct(
+            F.lit("err"),
+            acc["err"] + F.when(acc["prev"].isNull(), 0.0).otherwise(F.abs(x - acc["prev"])),
+            F.lit("prev"),
+            x,
+        ),
+    )["err"]
+
+    al, bl = F.lit(HOLT_ALPHA), F.lit(1.0 - HOLT_ALPHA)
+    be, de = F.lit(HOLT_BETA), F.lit(1.0 - HOLT_BETA)
+    ga, dg = F.lit(HW_GAMMA), F.lit(1.0 - HW_GAMMA)
+
+    def holt_step(acc, x):
+        l1 = al * x + bl * (acc["level"] + acc["trend"])
+        return F.when(
+            acc["level"].isNull(),
+            F.named_struct(
+                F.lit("level"), x, F.lit("trend"), F.lit(0.0), F.lit("errs"), F.lit(0.0)
+            ),
+        ).otherwise(
+            F.named_struct(
+                F.lit("level"), l1,
+                F.lit("trend"), be * (l1 - acc["level"]) + de * acc["trend"],
+                F.lit("errs"), acc["errs"] + F.abs(x - (acc["level"] + acc["trend"])),
+            )
+        )
+
+    holt = F.aggregate(
+        "xs",
+        F.named_struct(
+            F.lit("level"), F.lit(None).cast("double"),
+            F.lit("trend"), F.lit(0.0),
+            F.lit("errs"), F.lit(0.0),
+        ),
+        holt_step,
+    )["errs"]
+
+    def hw_step(acc, x):
+        l, b_, e_, s1 = (F.element_at(acc, i) for i in (1, 2, 3, 4))
+        l1 = al * (x - s1) + bl * (l + b_)
+        return F.concat(
+            F.array(l1, be * (l1 - l) + de * b_, e_ + F.abs(x - (l + b_ + s1))),
+            F.slice(acc, 5, P - 1),
+            F.array(ga * (x - l1) + dg * s1),
+        )
+
+    hw_init = F.concat(
+        F.array(F.col("l0"), F.lit(0.0), F.lit(0.0)),
+        F.transform(F.slice("xs", 1, P), lambda v: v - F.col("l0")),
+    )
+    hw = F.element_at(
+        F.aggregate(F.slice("xs", P + 1, F.size("xs") - P), hw_init, hw_step), 3
+    )
+
+    folded = seeded.select(
+        "event_type",
+        "n_hours",
+        naive.alias("err_naive"),
+        holt.alias("err_holt"),
+        hw.alias("err_hw"),
+    )
+    mn = F.col("err_naive") / (F.col("n_hours") - 1)
+    mh = F.col("err_holt") / (F.col("n_hours") - 1)
+    mw = F.col("err_hw") / (F.col("n_hours") - P)
+    return (
+        folded.where(F.col("err_naive") > 0)
+        .select(
+            "event_type",
+            "n_hours",
+            F.round(mn, 4).alias("mae_naive"),
+            F.round(mh, 4).alias("mae_holt"),
+            F.round(mw, 4).alias("mae_hw"),
+            F.round(mh / mn, 4).alias("mase_holt"),
+            F.round(mw / mn, 4).alias("mase_hw"),
+            F.when((mw <= mh) & (mw <= mn), "holt_winters")
+            .when(mh <= mn, "holt")
+            .otherwise("naive")
+            .alias("best_model"),
+        )
+        .orderBy("event_type")
+    )

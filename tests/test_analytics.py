@@ -886,3 +886,34 @@ def test_retention_decay_fit_identifies_planted_shapes(spark, tmp_path):
     # perfectly flat retention: ln r ≡ 0 → zero y-variance → the guards
     # drop the row (no fit is defined), not an abort or a bogus number
     assert mk("flat", "f") == []
+
+
+def test_forecast_backtest_prefers_hw_on_seasonal_series(spark, tmp_path):
+    """On a strongly diurnal series Holt-Winters wins the backtest with
+    MASE well under 1, and the per-model MAEs agree with the standalone
+    operators on the same data."""
+    from live_data_spark.streaming.events_batch import (
+        events_forecast_backtest, events_holt_trend, events_holt_winters,
+    )
+
+    rows, eid = [], 0
+    for day in range(6):
+        for hour in range(24):
+            burst = 12 if 8 <= hour <= 17 else 2  # office-hours cycle
+            for i in range(burst):
+                rows.append(
+                    (eid, dt.datetime(2026, 3, 1 + day, hour, i % 60, 0), 1, "view", 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = events_forecast_backtest(spark, str(tmp_path)).collect()[0]
+    assert r["best_model"] == "holt_winters"
+    assert r["mase_hw"] < 0.5 < r["mase_holt"]  # seasonality is the signal
+
+    holt = events_holt_trend(spark, str(tmp_path)).collect()[0]
+    hw = events_holt_winters(spark, str(tmp_path)).collect()[0]
+    assert r["mae_holt"] == holt["mae"]
+    assert r["mae_hw"] == hw["mae"]

@@ -71,6 +71,7 @@ BNLJ_OK: set[str] = {
     "customer_churn_risk",  # 1-row max-orderdate anchor × customer cadence frame
     "events_holt_trend",  # 1-row hour-bounds frame × distinct types grid (gapfill subtree)
     "events_holt_winters",  # same gapfill subtree: 1-row hour-bounds frame × types grid
+    "events_forecast_backtest",  # same gapfill subtree (three folds over one array)
     "dedup_threshold_curve",  # 5-row threshold grid × the (small, post-agg) exact pair frame
     "corpus_perplexity_buckets",  # 1-row vocab-size scalar broadcast (surprisal subtree)
     "text_sparse_cosine_topk",  # 1-row corpus doc-count scalar (tf-idf subtree)
