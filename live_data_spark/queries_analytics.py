@@ -2851,3 +2851,118 @@ def discount_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / F.sqrt(vx * vy), 6).alias("spearman_rho"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC/XYZ classification — revenue concentration × demand variability.
+# ---------------------------------------------------------------------------
+
+_ABCXYZ_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev
+), abc AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM rev
+), wk AS (
+  SELECT l_partkey, CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS w,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), nw AS (
+  SELECT max(w) - min(w) + 1 AS n FROM wk
+), xyz AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss
+  FROM wk GROUP BY l_partkey
+), cls AS (
+  SELECT a.l_partkey, a.cents,
+         CASE WHEN 20 * a.cum <= 16 * tot.t THEN 'A'
+              WHEN 20 * a.cum <= 19 * tot.t THEN 'B' ELSE 'C' END AS abc,
+         CASE WHEN 4 * (nw.n * x.ss - x.s * x.s) <= x.s * x.s THEN 'X'
+              WHEN nw.n * x.ss - x.s * x.s <= x.s * x.s THEN 'Y' ELSE 'Z' END AS xyz
+  FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+  CROSS JOIN tot CROSS JOIN nw
+)
+SELECT abc, xyz,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(cents) / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS revenue_share
+FROM cls GROUP BY abc, xyz ORDER BY abc, xyz
+"""
+
+
+@register("part_abc_xyz_classification", oracle=_ABCXYZ_ORACLE, tags=("part", "inventory"))
+def part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory grid: parts classed by revenue concentration
+    (A = within the top 80% of cumulative revenue, B = to 95%, C = tail)
+    × weekly-demand variability (X: CV ≤ 0.5 steady, Y: CV ≤ 1, Z:
+    erratic) — the planning matrix behind stocking policy (AX:
+    automate; CZ: make-to-order). Zero-demand weeks COUNT in the CV
+    (absence is variability), via the global week-span denominator.
+
+    Every class boundary is a pure INTEGER comparison: the ABC cut
+    cross-multiplies cumulative cents against the total (20·cum ≤ 16·T
+    ⇔ share ≤ 0.8 — no division, no float near a boundary), and the CV
+    cut compares n·Σq²−S² against S² scaled by 4 (CV² ≤ ¼ ⇔ 4·var·n² ≤
+    mean²·n² cross-multiplied) — so a part lands in the same cell on
+    every engine, always. Frames: two part-keyed aggregates off the
+    scan, one |parts| ranking window (at 100 TB: the ranged-rank
+    recipe), a ≤9-row output.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    cum = rev.withColumn(
+        "cum",
+        F.sum("cents").over(
+            Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    wk = li.groupBy(
+        "l_partkey",
+        F.floor(F.unix_timestamp(F.col("l_shipdate").cast("timestamp")) / 604800)
+        .cast("long")
+        .alias("w"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    nw = wk.agg((F.max("w") - F.min("w") + 1).alias("n"))
+    xyz = wk.groupBy("l_partkey").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    cls = (
+        cum.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "cents",
+            F.when(20 * F.col("cum") <= 16 * F.col("t"), "A")
+            .when(20 * F.col("cum") <= 19 * F.col("t"), "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(4 * var_n2 <= F.col("s") * F.col("s"), "X")
+            .when(var_n2 <= F.col("s") * F.col("s"), "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+            "t",
+        )
+    )
+    return (
+        cls.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("cents") / F.first("t").cast("double"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc", "xyz")
+    )

@@ -917,3 +917,32 @@ def test_forecast_backtest_prefers_hw_on_seasonal_series(spark, tmp_path):
     hw = events_holt_winters(spark, str(tmp_path)).collect()[0]
     assert r["mae_holt"] == holt["mae"]
     assert r["mae_hw"] == hw["mae"]
+
+
+def test_abc_xyz_boundaries_by_hand(spark, tmp_path):
+    """Planted parts exercising all six boundary cells: a steady
+    high-revenue part (AX), a moderate mid (BY), an erratic tail (CZ) —
+    with the integer cross-multiplied cuts checked at exact boundaries."""
+    from live_data_spark.queries_analytics import part_abc_xyz_classification
+
+    rows = []
+    base = dt.date(2026, 1, 5)
+    # part 1: 10/week for 10 weeks, price 800 → revenue 8000 (steady, big)
+    for w in range(10):
+        rows.append((1, base + dt.timedelta(weeks=w), 10.0, 800.0))
+    # part 2: alternating 2/18 demand, price 150 → revenue 1500 (CV≈0.8 → Y)
+    for w in range(10):
+        rows.append((2, base + dt.timedelta(weeks=w), [2.0, 18.0][w % 2], 150.0))
+    # part 3: one spike week, price 500 → revenue 500 (CV = 3 → Z)
+    rows.append((3, base, 10.0, 500.0))
+    df_rows = [(i, pk, d, q, p) for i, (pk, d, q, p) in enumerate(rows)]
+    spark.createDataFrame(
+        df_rows,
+        "l_orderkey long, l_partkey long, l_shipdate date, l_quantity double, l_extendedprice double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {(r["abc"], r["xyz"]): r for r in part_abc_xyz_classification(spark, str(tmp_path)).collect()}
+    # revenue: total 10000 → part1 cum 8000 = exactly 80% → A (inclusive cut);
+    # part2 cum 9500 = exactly 95% → B; part3 → C
+    assert set(got) == {("A", "X"), ("B", "Y"), ("C", "Z")}
+    assert got[("A", "X")]["n_parts"] == 1
+    assert got[("A", "X")]["revenue_share"] == 0.8

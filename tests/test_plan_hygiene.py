@@ -88,6 +88,7 @@ BNLJ_OK: set[str] = {
     "corpus_lang_source_entropy",  # 1-row entropy scalars × the |sources|×|langs| cell frame
     "events_bootstrap_daily_mean",  # B-row replicate grid × the |days| frame (Poisson bootstrap fan-out)
     "events_retention_decay_fit",  # |days| offset grid × per-day cohort sizes (eligibility denominators)
+    "part_abc_xyz_classification",  # 1-row total-revenue + week-span scalars × the part frame
 }
 
 ALL = sorted(catalog())
