@@ -2466,3 +2466,158 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out perplexity — the LM eval discipline applied to the corpus model.
+# ---------------------------------------------------------------------------
+
+_HELDOUT_ORACLE = r"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              ELSE 'eval' END AS part
+  FROM documents
+), toks AS (
+  SELECT doc_id, part,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM split
+), idx AS (
+  SELECT doc_id, part, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM toks
+), bi AS (
+  SELECT part, w[i] AS w1, w[i + 1] AS w2 FROM idx
+), bc AS (
+  SELECT w1, w2, count(*) AS cb FROM bi WHERE part = 'train' GROUP BY 1, 2
+), uc AS (
+  SELECT w1, count(*) AS cu FROM bi WHERE part = 'train' GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT x) AS nv
+  FROM (SELECT unnest(w) AS x FROM toks WHERE part = 'train')
+), vocab AS (
+  SELECT DISTINCT unnest(w) AS x FROM toks WHERE part = 'train'
+), scored AS (
+  SELECT b.part,
+         CAST(floor(ln((coalesce(bc.cb, 0) + 1)
+                       / CAST(coalesce(uc.cu, 0) + v.nv AS DOUBLE)) * 100000000 + 0.5)
+              AS BIGINT) AS q,
+         CASE WHEN vo.x IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bi b
+  LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  LEFT JOIN uc ON uc.w1 = b.w1
+  LEFT JOIN vocab vo ON vo.x = b.w2
+  CROSS JOIN v
+), agg AS (
+  SELECT part, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(oov) AS BIGINT) AS n_oov
+  FROM scored GROUP BY part
+)
+SELECT CAST((SELECT count(*) FROM split WHERE part = 'train') AS BIGINT) AS n_train_docs,
+       CAST((SELECT count(*) FROM split WHERE part = 'eval') AS BIGINT) AS n_eval_docs,
+       CAST(e.n AS BIGINT) AS n_eval_bigrams,
+       round(e.n_oov / CAST(e.n AS DOUBLE), 4) AS oov_rate,
+       round(exp(-t.sq / CAST(t.n AS DOUBLE) / 100000000.0), 4) AS train_ppl,
+       round(exp(-e.sq / CAST(e.n AS DOUBLE) / 100000000.0), 4) AS heldout_ppl,
+       round(exp(-e.sq / CAST(e.n AS DOUBLE) / 100000000.0)
+             / exp(-t.sq / CAST(t.n AS DOUBLE) / 100000000.0), 4) AS generalization_gap
+FROM agg t JOIN agg e ON t.part = 'train' AND e.part = 'eval'
+WHERE t.n > 0 AND e.n > 0
+"""
+
+
+@register("corpus_heldout_perplexity", oracle=_HELDOUT_ORACLE, tags=("text", "lm", "eval"))
+def corpus_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of the in-corpus bigram LM — the eval
+    discipline the surprisal operators skip: train the add-one-smoothed
+    model ONLY on the deterministic train split (the
+    stratified_eval_split md5 rule, so the split is engine-exact and
+    stable under corpus growth) and score both splits. heldout_ppl is
+    the honest quality signal; generalization_gap (heldout/train ppl)
+    near 1 says the corpus model transfers, far above 1 says the
+    training split memorized its own templates — the proxy for "is this
+    corpus internally diverse or N copies of one boilerplate". oov_rate
+    reports how much of eval the train vocabulary never saw.
+
+    Determinism: the split rule is a lowercase-hex string compare;
+    every ln is quantized to 1e-8 integers before the per-split sums
+    (the surprisal recipe); OOV flags are join-existence bits. Scale:
+    the bigram frames and count joins are the text_bigram_surprisal
+    subtree restricted by one map-side split predicate — same Zipf-head
+    story, AQE-split; the model tables never leave the cluster.
+    """
+    d = load(spark, sf_dir, "documents")
+    part = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6", "train"
+    ).otherwise("eval")
+    w = F.split(normalized_text("text"), " ")
+    base = d.select(part.alias("part"), w.alias("w"))
+    bi = (
+        base.select(
+            "part",
+            "w",
+            F.explode(
+                F.when(
+                    F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "part",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+    train_bi = bi.where(F.col("part") == "train")
+    bc = train_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = train_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = (
+        base.where(F.col("part") == "train")
+        .select(F.explode("w").alias("x"))
+        .distinct()
+    )
+    v = vocab.agg(F.count(F.lit(1)).alias("nv"))
+    logp = F.ln(
+        (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("nv")).cast("double")
+    )
+    scored = (
+        bi.join(bc, ["w1", "w2"], "left")
+        .join(uc, ["w1"], "left")
+        .join(vocab.withColumnRenamed("x", "w2").withColumn("in_v", F.lit(1)), ["w2"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "part",
+            F.floor(logp * 100000000 + 0.5).cast("bigint").alias("q"),
+            F.when(F.col("in_v").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    agg = scored.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+    )
+    docs = base.groupBy("part").agg(F.count(F.lit(1)).alias("nd"))
+    t = agg.where(F.col("part") == "train").select(
+        F.col("n").alias("tn"), F.col("sq").alias("tsq")
+    )
+    e_ = agg.where(F.col("part") == "eval").select(
+        F.col("n").alias("en"), F.col("sq").alias("esq"), F.col("n_oov").alias("eoov")
+    )
+    dt_ = docs.where(F.col("part") == "train").select(F.col("nd").alias("n_train_docs"))
+    de = docs.where(F.col("part") == "eval").select(F.col("nd").alias("n_eval_docs"))
+    tp = F.exp(-F.col("tsq") / F.col("tn").cast("double") / 100000000.0)
+    ep = F.exp(-F.col("esq") / F.col("en").cast("double") / 100000000.0)
+    return (
+        t.crossJoin(F.broadcast(e_))
+        .crossJoin(F.broadcast(dt_))
+        .crossJoin(F.broadcast(de))
+        .where((F.col("tn") > 0) & (F.col("en") > 0))
+        .select(
+            F.col("n_train_docs").cast("bigint").alias("n_train_docs"),
+            F.col("n_eval_docs").cast("bigint").alias("n_eval_docs"),
+            F.col("en").cast("bigint").alias("n_eval_bigrams"),
+            F.round(F.col("eoov") / F.col("en").cast("double"), 4).alias("oov_rate"),
+            F.round(tp, 4).alias("train_ppl"),
+            F.round(ep, 4).alias("heldout_ppl"),
+            F.round(ep / tp, 4).alias("generalization_gap"),
+        )
+    )

@@ -89,6 +89,7 @@ BNLJ_OK: set[str] = {
     "events_bootstrap_daily_mean",  # B-row replicate grid × the |days| frame (Poisson bootstrap fan-out)
     "events_retention_decay_fit",  # |days| offset grid × per-day cohort sizes (eligibility denominators)
     "part_abc_xyz_classification",  # 1-row total-revenue + week-span scalars × the part frame
+    "corpus_heldout_perplexity",  # 1-row train-vocab scalar broadcast (surprisal subtree)
 }
 
 ALL = sorted(catalog())

@@ -530,3 +530,33 @@ def test_readability_and_fertility_on_planted_docs(spark, tmp_path):
     fert = {r["lang"]: r for r in t.tokenizer_fertility_by_lang(spark, str(tmp_path)).collect()}
     # doc 3 alone: don|'t|stop|,|can|'t|wait|! = 8 pretokens over 4 words
     assert fert["en"]["fertility"] > 1.0
+
+
+def test_heldout_perplexity_detects_template_memorization(spark, tmp_path):
+    """A corpus whose train split is one repeated template while eval
+    docs are novel text: held-out perplexity far above train perplexity
+    (gap >> 1) and a positive OOV rate."""
+    from live_data_spark.operators.text import corpus_heldout_perplexity
+
+    # doc_ids whose md5 prefix routes to each split (split rule is public)
+    import hashlib
+
+    train_ids, eval_ids = [], []
+    i = 0
+    while len(train_ids) < 30 or len(eval_ids) < 8:
+        (train_ids if hashlib.md5(str(i).encode()).hexdigest()[:2] < "e6" else eval_ids).append(i)
+        i += 1
+    template = "alpha beta gamma delta " * 10
+    docs = [(d, template, "en", "s1", len(template)) for d in train_ids[:30]]
+    docs += [
+        (d, f"novel words here unseen{j} tokens flowing", "en", "s1", 40)
+        for j, d in enumerate(eval_ids[:8])
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = corpus_heldout_perplexity(spark, str(tmp_path)).collect()[0]
+    assert r["n_train_docs"] == 30 and r["n_eval_docs"] == 8
+    assert r["train_ppl"] < 2.0  # one template: nearly deterministic
+    assert r["generalization_gap"] > 2.0
+    assert r["oov_rate"] > 0.5
