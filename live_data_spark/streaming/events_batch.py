@@ -4112,3 +4112,206 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation primitives — hash-split A/B z-test and CUPED.
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR) || ':'
+                                  || CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 2 AS v,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+), g AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c
+  FROM u GROUP BY v
+)
+SELECT a.n AS n_a, b.n AS n_b, a.c AS conv_a, b.c AS conv_b,
+       round(a.c / CAST(a.n AS DOUBLE), 6) AS rate_a,
+       round(b.c / CAST(b.n AS DOUBLE), 6) AS rate_b,
+       round((b.c / CAST(b.n AS DOUBLE)) - (a.c / CAST(a.n AS DOUBLE)), 6) AS abs_lift,
+       round(((b.c / CAST(b.n AS DOUBLE)) - (a.c / CAST(a.n AS DOUBLE)))
+             / sqrt(((a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                    * (1 - (a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                    * (1.0 / a.n + 1.0 / b.n)), 4) AS z_stat,
+       CAST(CASE WHEN abs(((b.c / CAST(b.n AS DOUBLE)) - (a.c / CAST(a.n AS DOUBLE)))
+                      / sqrt(((a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                             * (1 - (a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                             * (1.0 / a.n + 1.0 / b.n))) > 1.96
+            THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM (SELECT * FROM g WHERE v = 0) a CROSS JOIN (SELECT * FROM g WHERE v = 1) b
+WHERE a.n > 0 AND b.n > 0 AND (a.c + b.c) > 0 AND (a.c + b.c) < (a.n + b.n)
+"""
+
+
+@register("events_ab_conversion_ztest", oracle=_AB_ORACLE, tags=("events", "experiment", "stats"))
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion under a deterministic
+    hash split — the A/B analysis primitive, with the assignment done
+    the way production experiment platforms do it (salted hash of the
+    unit id: stable, uniform, engine-reproducible; never rand()). The
+    unit is the ACTIVE USER-DAY (daily conversion = any purchase that
+    day) — on this always-purchasing corpus a per-user split has no
+    non-converters to compare, while daily conversion is genuinely
+    partial at every SF. On an un-treated corpus this is an A/A test, which is exactly what you
+    want from a catalog entry: the pipeline's false-positive behavior
+    is itself under test (|z| should be ~N(0,1); a 'significant' A/A
+    result flags a broken split or metric).
+
+    Pooled-variance z with both degenerate guards (empty arm, all- or
+    no-conversion) dropping the row. Counts are integers; every rate
+    and the statistic are pure functions of four integers. One
+    user-keyed aggregate + a 2-row arm frame.
+    """
+    e = load(spark, sf_dir, "events")
+    d = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("bigint")
+    u = e.groupBy("user_id", d.alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    )
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ab:"),
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    u = u.select(v.alias("v"), "converted")
+    g = u.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("c"),
+    )
+    a = g.where(F.col("v") == 0).select(F.col("n").alias("n_a"), F.col("c").alias("conv_a"))
+    b = g.where(F.col("v") == 1).select(F.col("n").alias("n_b"), F.col("c").alias("conv_b"))
+    ra = F.col("conv_a") / F.col("n_a").cast("double")
+    rb = F.col("conv_b") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast("double")
+    z = (rb - ra) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & ((F.col("conv_a") + F.col("conv_b")) > 0)
+            & ((F.col("conv_a") + F.col("conv_b")) < (F.col("n_a") + F.col("n_b")))
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            F.round(ra, 6).alias("rate_a"),
+            F.round(rb, 6).alias("rate_b"),
+            F.round(rb - ra, 6).alias("abs_lift"),
+            F.round(z, 4).alias("z_stat"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("significant_5pct"),
+        )
+    )
+
+
+_CUPED_ORACLE = """
+WITH mid AS (
+  SELECT CAST(floor((epoch(min(ts)) + epoch(max(ts))) / 2) AS BIGINT) AS m FROM events
+), u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN epoch(ts) < mid.m
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre,
+         CAST(sum(CASE WHEN epoch(ts) >= mid.m
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post
+  FROM events CROSS JOIN mid GROUP BY user_id, mid.m
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(pre AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(post AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(pre AS DECIMAL(38,0)) * pre) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(post AS DECIMAL(38,0)) * post) AS DOUBLE) AS syy,
+         CAST(sum(CAST(pre AS DECIMAL(38,0)) * post) AS DOUBLE) AS sxy
+  FROM u
+)
+SELECT n AS n_users,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * 100.0, 6) AS theta,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pre_post_corr,
+       round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 100, 4)
+         AS variance_reduction_pct
+FROM s WHERE n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@register("events_cuped_adjustment", oracle=_CUPED_ORACLE, tags=("events", "experiment", "stats"))
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): regress each user's post-period value on
+    their pre-period value and report θ (the adjustment coefficient) and
+    the variance reduction ρ²·100% — the experimentation-platform
+    technique that shrinks A/B confidence intervals for free by
+    subtracting what the pre-period already predicted. The reduction
+    number IS the business case: 40% variance reduction ≈ 40% less
+    traffic for the same power. Periods split at the corpus midpoint
+    timestamp; users aggregate both sides (absent side = 0 — a new
+    user's pre is genuinely zero).
+
+    All moments accumulate as exact DECIMAL(38,0) products of integer
+    cents (Σ(pre·post) crosses int64 comfortably before sf1), so θ, ρ,
+    and the reduction are pure functions of engine-identical integers.
+    One user-keyed aggregate; 1-row output; degenerate variance drops
+    the row.
+    """
+    e = load(spark, sf_dir, "events")
+    mid = e.agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.min(F.col("ts")).cast("timestamp"))
+                + F.unix_timestamp(F.max(F.col("ts")).cast("timestamp"))
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(ep < F.col("m"), cents).otherwise(0)).cast("bigint").alias("pre"),
+            F.sum(F.when(ep >= F.col("m"), cents).otherwise(0)).cast("bigint").alias("post"),
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("pre").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("post").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("pre").cast("decimal(38,0)") * F.col("pre")).cast("double").alias("sxx"),
+        F.sum(F.col("post").cast("decimal(38,0)") * F.col("post")).cast("double").alias("syy"),
+        F.sum(F.col("pre").cast("decimal(38,0)") * F.col("post")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.where((n > 1) & (vx > 0) & (vy > 0))
+        .select(
+            n.alias("n_users"),
+            F.round(cov / vx / 100.0 * 100.0, 6).alias("theta"),
+            F.round(cov / F.sqrt(vx * vy), 6).alias("pre_post_corr"),
+            F.round(F.pow(cov, 2) / (vx * vy) * 100, 4).alias("variance_reduction_pct"),
+        )
+    )

@@ -946,3 +946,41 @@ def test_abc_xyz_boundaries_by_hand(spark, tmp_path):
     assert set(got) == {("A", "X"), ("B", "Y"), ("C", "Z")}
     assert got[("A", "X")]["n_parts"] == 1
     assert got[("A", "X")]["revenue_share"] == 0.8
+
+
+def test_ab_ztest_detects_planted_lift_and_cuped_reduces_variance(spark, tmp_path):
+    """The hash split is deterministic, so a treatment effect planted BY
+    the split itself must be detected; and a user whose post-period
+    tracks their pre-period gives CUPED a large variance reduction."""
+    import hashlib
+
+    from live_data_spark.streaming.events_batch import (
+        events_ab_conversion_ztest, events_cuped_adjustment,
+    )
+
+    rows, eid = [], 0
+    base = dt.datetime(2026, 9, 1, 12, 0, 0)
+    for u in range(60):
+        for day in range(20):
+            d_abs = (base + dt.timedelta(days=day) - dt.datetime(1970, 1, 1)).days
+            unit = int(
+                hashlib.md5(f"ab:{u}:{d_abs}".encode()).hexdigest()[:15], 16
+            ) % 2
+            # arm 1 converts 90% of days, arm 0 only 20% (deterministic by index)
+            converts = (day % 10 < 9) if unit == 1 else (day % 10 < 2)
+            etype = "purchase" if converts else "view"
+            # user-level spend scales with u (stable trait → CUPED signal)
+            rows.append((eid, base + dt.timedelta(days=day), u, etype, 10.0 * (u + 1), "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    ab = events_ab_conversion_ztest(spark, str(tmp_path)).collect()[0]
+    assert ab["significant_5pct"] == 1
+    assert ab["rate_b"] - ab["rate_a"] > 0.5
+
+    cu = events_cuped_adjustment(spark, str(tmp_path)).collect()[0]
+    assert cu["n_users"] == 60
+    assert cu["variance_reduction_pct"] > 90  # spend is a stable user trait
+    assert cu["pre_post_corr"] > 0.95

@@ -90,6 +90,8 @@ BNLJ_OK: set[str] = {
     "events_retention_decay_fit",  # |days| offset grid × per-day cohort sizes (eligibility denominators)
     "part_abc_xyz_classification",  # 1-row total-revenue + week-span scalars × the part frame
     "corpus_heldout_perplexity",  # 1-row train-vocab scalar broadcast (surprisal subtree)
+    "events_ab_conversion_ztest",  # 1-row arm-A frame × 1-row arm-B frame
+    "events_cuped_adjustment",  # 1-row corpus-midpoint scalar × events
 }
 
 ALL = sorted(catalog())
