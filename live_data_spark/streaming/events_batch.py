@@ -4315,3 +4315,84 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(cov, 2) / (vx * vy) * 100, 4).alias("variance_reduction_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis — how big an experiment can this traffic support?
+# ---------------------------------------------------------------------------
+
+_POWER_Z_ALPHA = 1.959964  # two-sided 5%
+_POWER_Z_BETA = 0.841621  # 80% power
+
+_POWER_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c FROM u
+), grid AS (
+  SELECT CAST(unnest([0.01, 0.02, 0.05, 0.10]) AS DOUBLE) AS mde
+)
+SELECT round(g.mde, 2) AS mde_abs,
+       CAST(s.n AS BIGINT) AS units_available,
+       round(s.c / CAST(s.n AS DOUBLE), 6) AS baseline_rate,
+       CAST(ceil(pow({_POWER_Z_ALPHA} + {_POWER_Z_BETA}, 2)
+                 * 2 * (s.c / CAST(s.n AS DOUBLE)) * (1 - s.c / CAST(s.n AS DOUBLE))
+                 / (g.mde * g.mde)) AS BIGINT) AS n_per_arm_required,
+       CAST(CASE WHEN 2 * ceil(pow({_POWER_Z_ALPHA} + {_POWER_Z_BETA}, 2)
+                               * 2 * (s.c / CAST(s.n AS DOUBLE)) * (1 - s.c / CAST(s.n AS DOUBLE))
+                               / (g.mde * g.mde)) <= s.n
+            THEN 1 ELSE 0 END AS INT) AS feasible_now
+FROM grid g CROSS JOIN s
+WHERE s.n > 0 AND s.c > 0 AND s.c < s.n
+ORDER BY g.mde
+"""
+
+
+@register("events_experiment_power", oracle=_POWER_ORACLE, tags=("events", "experiment", "stats"))
+def events_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis on the corpus' own traffic: for a grid
+    of absolute minimum-detectable-effects, the required units per arm
+    at α=5%/power=80% — n = (z_{{α/2}}+z_β)²·2p(1−p)/δ² — against the
+    user-days actually available, with a feasibility verdict per MDE.
+    The DESIGN-side companion to events_ab_conversion_ztest (that one
+    analyzes a split; this one says whether the experiment you're about
+    to run can possibly conclude) — the first question any platform
+    asks before burning traffic on an underpowered test.
+
+    Baseline rate and unit counts come from the same user-day
+    conversion frame as the z-test (shared subtree); the z constants
+    are fixed literals so every output is a pure function of two
+    integers. Degenerate baselines (0% / 100%) drop the rows.
+    """
+    e = load(spark, sf_dir, "events")
+    d = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("bigint")
+    u = e.groupBy("user_id", d.alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("c"),
+    )
+    grid = spark.createDataFrame([(m,) for m in (0.01, 0.02, 0.05, 0.10)], "mde double")
+    p = F.col("c") / F.col("n").cast("double")
+    n_req = F.ceil(
+        F.pow(F.lit(_POWER_Z_ALPHA + _POWER_Z_BETA), 2)
+        * 2
+        * p
+        * (1 - p)
+        / (F.col("mde") * F.col("mde"))
+    ).cast("bigint")
+    return (
+        grid.crossJoin(F.broadcast(s))
+        .where((F.col("n") > 0) & (F.col("c") > 0) & (F.col("c") < F.col("n")))
+        .select(
+            F.round("mde", 2).alias("mde_abs"),
+            F.col("n").alias("units_available"),
+            F.round(p, 6).alias("baseline_rate"),
+            n_req.alias("n_per_arm_required"),
+            F.when(2 * n_req <= F.col("n"), 1).otherwise(0).cast("int").alias("feasible_now"),
+        )
+        .orderBy("mde_abs")
+    )

@@ -984,3 +984,26 @@ def test_ab_ztest_detects_planted_lift_and_cuped_reduces_variance(spark, tmp_pat
     assert cu["n_users"] == 60
     assert cu["variance_reduction_pct"] > 90  # spend is a stable user trait
     assert cu["pre_post_corr"] > 0.95
+
+
+def test_experiment_power_formula_and_feasibility(spark, sf_dir):
+    """n-per-arm matches the closed form on the corpus' own baseline,
+    decreases in the MDE, and the feasibility flag is consistent."""
+    import math
+
+    from live_data_spark.streaming.events_batch import (
+        _POWER_Z_ALPHA, _POWER_Z_BETA, events_experiment_power,
+    )
+
+    rows = events_experiment_power(spark, sf_dir).collect()
+    assert [r["mde_abs"] for r in rows] == [0.01, 0.02, 0.05, 0.1]
+    reqs = [r["n_per_arm_required"] for r in rows]
+    assert reqs == sorted(reqs, reverse=True)
+    for r in rows:
+        p = r["baseline_rate"]
+        want = math.ceil(
+            (_POWER_Z_ALPHA + _POWER_Z_BETA) ** 2 * 2 * p * (1 - p) / r["mde_abs"] ** 2
+        )
+        # baseline_rate is rounded to 6dp in the output; allow the quantum
+        assert abs(r["n_per_arm_required"] - want) <= max(2, want * 1e-4)
+        assert r["feasible_now"] == int(2 * r["n_per_arm_required"] <= r["units_available"])

@@ -92,6 +92,7 @@ BNLJ_OK: set[str] = {
     "corpus_heldout_perplexity",  # 1-row train-vocab scalar broadcast (surprisal subtree)
     "events_ab_conversion_ztest",  # 1-row arm-A frame × 1-row arm-B frame
     "events_cuped_adjustment",  # 1-row corpus-midpoint scalar × events
+    "events_experiment_power",  # 4-row MDE grid × the 1-row baseline frame
 }
 
 ALL = sorted(catalog())
