@@ -4396,3 +4396,125 @@ def events_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde_abs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the causal-inference placebo on A/A data.
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH mid AS (
+  SELECT CAST(floor((epoch(min(ts)) + epoch(max(ts))) / 2) AS BIGINT) AS m FROM events
+), u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS grp,
+         CAST(sum(CASE WHEN epoch(ts) < mid.m
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre,
+         CAST(sum(CASE WHEN epoch(ts) >= mid.m
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post
+  FROM events CROSS JOIN mid GROUP BY user_id, mid.m
+), g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(post - pre AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+         CAST(sum(CAST(post - pre AS DECIMAL(38,0)) * (post - pre)) AS DOUBLE) AS sdd
+  FROM u GROUP BY grp
+)
+SELECT t.n AS n_treat, c.n AS n_control,
+       round((t.sd / t.n - c.sd / c.n) / 100.0, 4) AS did_estimate,
+       round(((t.sd / t.n - c.sd / c.n)
+              / sqrt((t.sdd - t.sd * t.sd / t.n) / (t.n - 1) / t.n
+                     + (c.sdd - c.sd * c.sd / c.n) / (c.n - 1) / c.n)), 4) AS z_stat,
+       CAST(CASE WHEN abs((t.sd / t.n - c.sd / c.n)
+                      / sqrt((t.sdd - t.sd * t.sd / t.n) / (t.n - 1) / t.n
+                             + (c.sdd - c.sd * c.sd / c.n) / (c.n - 1) / c.n)) > 1.96
+            THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM (SELECT * FROM g WHERE grp = 1) t CROSS JOIN (SELECT * FROM g WHERE grp = 0) c
+WHERE t.n > 1 AND c.n > 1
+  AND (t.sdd - t.sd * t.sd / t.n) > 0 AND (c.sdd - c.sd * c.sd / c.n) > 0
+"""
+
+
+@register("events_did_placebo", oracle=_DID_ORACLE, tags=("events", "experiment", "causal"))
+def events_did_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences with per-user diffs: Δ = post − pre
+    spend per user, DiD = mean Δ(treat) − mean Δ(control) under a
+    salted-hash group assignment, with the two-sample z on user-level
+    diffs — the workhorse causal estimator in its PLACEBO configuration:
+    no one treated anything, so the estimate must hover at 0 and
+    'significant' flags a broken pipeline (the A/A discipline applied
+    to causal inference; the same query pointed at a real rollout
+    boundary is the production estimator). The user-diff formulation is
+    the robust one — it nets out per-user level differences exactly
+    instead of comparing four group means.
+
+    Moments in exact DECIMAL cents as everywhere; one user aggregate,
+    a 2-row group frame, 1-row output; degenerate groups drop the row.
+    """
+    e = load(spark, sf_dir, "events")
+    mid = e.agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.min(F.col("ts")).cast("timestamp"))
+                + F.unix_timestamp(F.max(F.col("ts")).cast("timestamp"))
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    grp = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("did:"), F.col("user_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(ep < F.col("m"), cents).otherwise(0)).cast("bigint").alias("pre"),
+            F.sum(F.when(ep >= F.col("m"), cents).otherwise(0)).cast("bigint").alias("post"),
+        )
+        .select(grp.alias("grp"), (F.col("post") - F.col("pre")).alias("dlt"))
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("dlt").cast("decimal(38,0)")).cast("double").alias("sd"),
+        F.sum(F.col("dlt").cast("decimal(38,0)") * F.col("dlt")).cast("double").alias("sdd"),
+    )
+    t = g.where(F.col("grp") == 1).select(
+        F.col("n").alias("n_treat"), F.col("sd").alias("tsd"), F.col("sdd").alias("tsdd")
+    )
+    c = g.where(F.col("grp") == 0).select(
+        F.col("n").alias("n_control"), F.col("sd").alias("csd"), F.col("sdd").alias("csdd")
+    )
+    did = F.col("tsd") / F.col("n_treat") - F.col("csd") / F.col("n_control")
+    var_t = (F.col("tsdd") - F.col("tsd") * F.col("tsd") / F.col("n_treat")) / (
+        F.col("n_treat") - 1
+    )
+    var_c = (F.col("csdd") - F.col("csd") * F.col("csd") / F.col("n_control")) / (
+        F.col("n_control") - 1
+    )
+    z = did / F.sqrt(var_t / F.col("n_treat") + var_c / F.col("n_control"))
+    return (
+        t.crossJoin(F.broadcast(c))
+        .where(
+            (F.col("n_treat") > 1)
+            & (F.col("n_control") > 1)
+            & ((F.col("tsdd") - F.col("tsd") * F.col("tsd") / F.col("n_treat")) > 0)
+            & ((F.col("csdd") - F.col("csd") * F.col("csd") / F.col("n_control")) > 0)
+        )
+        .select(
+            "n_treat",
+            "n_control",
+            F.round(did / 100.0, 4).alias("did_estimate"),
+            F.round(z, 4).alias("z_stat"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("significant_5pct"),
+        )
+    )

@@ -1007,3 +1007,28 @@ def test_experiment_power_formula_and_feasibility(spark, sf_dir):
         # baseline_rate is rounded to 6dp in the output; allow the quantum
         assert abs(r["n_per_arm_required"] - want) <= max(2, want * 1e-4)
         assert r["feasible_now"] == int(2 * r["n_per_arm_required"] <= r["units_available"])
+
+
+def test_did_recovers_planted_treatment_effect(spark, tmp_path):
+    """A +50-per-user post-period boost planted INTO the hash-defined
+    treatment group is recovered by the DiD estimate and flagged."""
+    import hashlib
+
+    from live_data_spark.streaming.events_batch import events_did_placebo
+
+    rows, eid = [], 0
+    base = dt.datetime(2026, 10, 1, 12)
+    for u in range(80):
+        treated = int(hashlib.md5(f"did:{u}".encode()).hexdigest()[:15], 16) % 2
+        # per-user diff noise (u % 5 − 2 ∈ [−2, 2], mean ~0 in each arm)
+        # keeps within-group variance positive; the planted effect is +50
+        pre_v = 100.0 + (u % 7)
+        post_v = pre_v + (u % 5) - 2 + (50.0 if treated else 0.0)
+        rows.append((eid, base, u, "purchase", pre_v, "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(days=20), u, "purchase", post_v, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = events_did_placebo(spark, str(tmp_path)).collect()[0]
+    assert abs(r["did_estimate"] - 50.0) < 1.0  # ±(u%5) noise, mean ≈ 0 per arm
+    assert r["significant_5pct"] == 1

@@ -93,6 +93,7 @@ BNLJ_OK: set[str] = {
     "events_ab_conversion_ztest",  # 1-row arm-A frame × 1-row arm-B frame
     "events_cuped_adjustment",  # 1-row corpus-midpoint scalar × events
     "events_experiment_power",  # 4-row MDE grid × the 1-row baseline frame
+    "events_did_placebo",  # 1-row midpoint scalar × events; 1-row arm frames
 }
 
 ALL = sorted(catalog())
