@@ -2966,3 +2966,99 @@ def part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index — base-quantity-weighted monthly price level.
+# ---------------------------------------------------------------------------
+
+_LASPEYRES_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey,
+         (year(l_shipdate) * 12 + month(l_shipdate)) AS idx,
+         strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ym,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+), b AS (
+  SELECT l_partkey, cents AS c0, qty AS q0
+  FROM pm WHERE idx = (SELECT min(idx) FROM pm)
+), terms AS (
+  SELECT pm.idx, pm.ym,
+         CAST(floor(b.q0 * (pm.cents / CAST(pm.qty AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS num_q,
+         CAST(floor(b.q0 * (b.c0 / CAST(b.q0 AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS den_q
+  FROM pm JOIN b ON b.l_partkey = pm.l_partkey
+  WHERE pm.qty > 0 AND b.q0 > 0
+)
+SELECT ym AS month,
+       CAST(count(*) AS BIGINT) AS n_matched_parts,
+       round(sum(num_q) / CAST(sum(den_q) AS DOUBLE), 4) AS laspeyres_index
+FROM terms GROUP BY idx, ym ORDER BY idx
+"""
+
+
+@register("part_price_index_laspeyres", oracle=_LASPEYRES_ORACLE, tags=("lineitem", "economics"))
+def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-sample Laspeyres price index by ship month: Σ q₀·p_m /
+    Σ q₀·p₀ over the parts traded in both the base (first) month and
+    month m, with unit prices from the exact cents/quantity ratios —
+    "what would the base month's basket cost at month-m prices", the
+    inflation-tracking construction (CPI-style) that separates price
+    movement from mix shift, which a raw revenue-per-unit trend
+    conflates. Both sums restrict to the matched part set per month, so
+    entering/exiting parts never fake a price move.
+
+    Determinism: per-part basket terms q₀·p are quantized to 1e-4-cent
+    integers before the cross-part sums (identical rationals → identical
+    doubles → identical integers), so each month's index is a ratio of
+    exact integer sums. One (part, month) aggregate off the scan; the
+    base-month frame broadcasts; output is |months| rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("idx"),
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ym"),
+    ).agg(
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    base_idx = pm.agg(F.min("idx").alias("i0"))
+    b = (
+        pm.crossJoin(F.broadcast(base_idx))
+        .where(F.col("idx") == F.col("i0"))
+        .select(
+            "l_partkey", F.col("cents").alias("c0"), F.col("qty").alias("q0")
+        )
+    )
+    terms = (
+        pm.join(F.broadcast(b), "l_partkey")
+        .where((F.col("qty") > 0) & (F.col("q0") > 0))
+        .select(
+            "idx",
+            "ym",
+            F.floor(
+                F.col("q0") * (F.col("cents") / F.col("qty").cast("double")) * 10000 + 0.5
+            )
+            .cast("bigint")
+            .alias("num_q"),
+            F.floor(
+                F.col("q0") * (F.col("c0") / F.col("q0").cast("double")) * 10000 + 0.5
+            )
+            .cast("bigint")
+            .alias("den_q"),
+        )
+    )
+    return (
+        terms.groupBy("idx", "ym")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_parts"),
+            F.round(F.sum("num_q") / F.sum("den_q").cast("double"), 4).alias(
+                "laspeyres_index"
+            ),
+        )
+        .orderBy("idx")
+        .select(F.col("ym").alias("month"), "n_matched_parts", "laspeyres_index")
+    )

@@ -1032,3 +1032,24 @@ def test_did_recovers_planted_treatment_effect(spark, tmp_path):
     r = events_did_placebo(spark, str(tmp_path)).collect()[0]
     assert abs(r["did_estimate"] - 50.0) < 1.0  # ±(u%5) noise, mean ≈ 0 per arm
     assert r["significant_5pct"] == 1
+
+
+def test_laspeyres_recovers_planted_inflation(spark, tmp_path):
+    """Base month indexes at exactly 1.0; a month where every matched
+    part's unit price doubles indexes at exactly 2.0 regardless of the
+    quantity mix shift planted alongside."""
+    from live_data_spark.queries_analytics import part_price_index_laspeyres
+
+    rows, i = [], 0
+    for pk, (q0, p0) in {1: (10, 5.0), 2: (4, 25.0)}.items():
+        rows.append((i, pk, dt.date(2026, 1, 10), float(q0), q0 * p0)); i += 1
+        # month 2: unit prices double; quantities shift (should NOT matter)
+        q2 = q0 * 3
+        rows.append((i, pk, dt.date(2026, 2, 10), float(q2), q2 * p0 * 2)); i += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate date, l_quantity double, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["month"]: r for r in part_price_index_laspeyres(spark, str(tmp_path)).collect()}
+    assert got["2026-01"]["laspeyres_index"] == 1.0
+    assert got["2026-02"]["laspeyres_index"] == 2.0
+    assert got["2026-02"]["n_matched_parts"] == 2
