@@ -1878,3 +1878,138 @@ def embedding_procrustes_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, l in enumerate(pairs)
     ]
     return spark.createDataFrame(out, schema).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Intrinsic dimension — how many dimensions do the embeddings really use?
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_intrinsic_dimension", oracle=None, tags=("similarity", "vector", "stats"))
+def embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017): for each
+    vector, μ = r₂/r₁ (second- over first-nearest euclidean distance);
+    the MLE is ID = n / Σ ln μ. An encoder may emit 64 dims while the
+    data lives on a ~10-dimensional manifold — ID is the number that
+    says whether Matryoshka truncation, PQ subspaces, and LSH plane
+    counts are sized against the REAL geometry or the nominal width
+    (all three knobs in this repo's ANN ladder scale with it). Reported
+    overall (label −1) and per label (a label collapsing toward ~1 is
+    near-collinear — a degenerate cluster worth inspecting).
+
+    Plan: the exact 2-NN reuses embedding_neardup_pairs' BLOCKED
+    all-pairs discipline — block-pair applyInPandas groups whose
+    distance matrices are single numpy ops, each emitting every
+    vector's two best candidates INTO that block; a per-vector
+    aggregate then takes the two smallest over its ~2B candidates
+    (2·n_blocks rows per vector — bounded, no driver collect, no eager
+    job in the construction path). Duplicate points (r₁ = 0) drop —
+    their μ is undefined. ln μ quantizes to 1e-8 integers before the
+    order-free sums. Rows-only driver check (exact k-NN has no
+    tractable SQL analog); pytest pins a numpy replay AND recovery of
+    ID ≈ 2 on a planted 2-D manifold embedded in 64-dim.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    n = table_rowcount(sf_dir, "embeddings")
+    n_blocks = max(1, math.ceil(n / _BLOCK_TARGET))
+    rep = (
+        e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            "blk",
+            F.least("blk", "x").alias("ba"),
+            F.greatest("blk", "x").alias("bb"),
+        )
+    )
+
+    def block_two_nn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        out_ids, out_lbl, out_d = [], [], []
+        sides = (
+            [(pdf[pdf["blk"] == ba], pdf[pdf["blk"] == bb])]
+            if ba == bb
+            else [
+                (pdf[pdf["blk"] == ba], pdf[pdf["blk"] == bb]),
+                (pdf[pdf["blk"] == bb], pdf[pdf["blk"] == ba]),
+            ]
+        )
+        for left, right in sides:
+            if left.empty or right.empty:
+                continue
+            X = np.stack(left["emb"].to_numpy())
+            Y = np.stack(right["emb"].to_numpy())
+            d2 = ((X**2).sum(1)[:, None] + (Y**2).sum(1)[None, :]) - 2.0 * (X @ Y.T)
+            np.maximum(d2, 0.0, out=d2)
+            if left is right or (ba == bb):
+                li = left["vec_id"].to_numpy()
+                d2[li[:, None] == right["vec_id"].to_numpy()[None, :]] = np.inf
+            k = min(2, d2.shape[1])
+            best = np.partition(d2, k - 1, axis=1)[:, :k]
+            for j in range(k):
+                out_ids.append(left["vec_id"].to_numpy())
+                out_lbl.append(left["label"].to_numpy())
+                out_d.append(np.sqrt(best[:, j]))
+        if not out_ids:
+            return pd.DataFrame({"vec_id": [], "label": [], "d": []}).astype(
+                {"vec_id": "int64", "label": "int32", "d": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_ids),
+                "label": np.concatenate(out_lbl),
+                "d": np.concatenate(out_d),
+            }
+        )
+
+    cand = rep.groupBy("ba", "bb").applyInPandas(
+        block_two_nn, "vec_id long, label int, d double"
+    )
+    per_vec = (
+        cand.where(~F.isnan("d") & (F.col("d") != float("inf")))
+        .groupBy("vec_id", "label")
+        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.element_at("ds", 1) > 0))
+        .select(
+            "label",
+            F.floor(
+                F.ln(F.element_at("ds", 2) / F.element_at("ds", 1)) * 100000000 + 0.5
+            )
+            .cast("bigint")
+            .alias("qlnmu"),
+        )
+    )
+    per_label = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("qlnmu").cast("bigint").alias("s"),
+    )
+    overall = per_vec.agg(
+        F.lit(-1).cast("int").alias("label"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("qlnmu").cast("bigint").alias("s"),
+    )
+    return (
+        per_label.unionByName(overall)
+        .where(F.col("s") > 0)
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("n_vecs") / (F.col("s") / 100000000.0), 2).alias("id_2nn"),
+        )
+        .orderBy("label")
+    )

@@ -491,3 +491,35 @@ def test_procrustes_separates_rotation_from_geometry_change(spark, tmp_path):
 
     sc = mk("scale")
     assert sc[0]["dist_after"] > 1.0  # no rotation explains a norm change
+
+
+def test_intrinsic_dimension_recovers_planted_manifold(spark, tmp_path):
+    """Points on a 2-D plane embedded in 64-dim must estimate ID ≈ 2 —
+    far below the nominal width — and a numpy replay of the 2-NN MLE
+    matches the operator exactly."""
+    import numpy as np
+
+    from live_data_spark.operators.similarity import embedding_intrinsic_dimension
+
+    rng = np.random.RandomState(11)
+    d, n = 64, 400
+    basis = np.linalg.qr(rng.randn(d, 2))[0]  # orthonormal 2-D subspace
+    pts = rng.randn(n, 2) @ basis.T  # exactly on the plane
+    spark.createDataFrame(
+        [(i, pts[i].astype("float32").tolist(), i % 4) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r["label"]: r for r in embedding_intrinsic_dimension(spark, str(tmp_path)).collect()}
+    overall = got[-1]
+    assert overall["n_vecs"] == n
+    assert 1.5 < overall["id_2nn"] < 3.0  # the 64 nominal dims are a lie
+
+    M = pts.astype("float32").astype(float)  # mirror the stored precision
+    d2 = ((M**2).sum(1)[:, None] + (M**2).sum(1)[None, :]) - 2 * (M @ M.T)
+    np.fill_diagonal(d2, np.inf)
+    np.maximum(d2, 0, out=d2)
+    p2 = np.partition(d2, 1, axis=1)[:, :2]
+    r1, r2 = np.sqrt(p2.min(1)), np.sqrt(p2.max(1))
+    ok = r1 > 0
+    q = np.floor(np.log(r2[ok] / r1[ok]) * 1e8 + 0.5).astype("int64")
+    assert overall["id_2nn"] == round(ok.sum() / (q.sum() / 1e8), 2)
