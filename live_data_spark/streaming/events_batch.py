@@ -3102,7 +3102,12 @@ FROM folded ORDER BY event_type
 """
 
 
-@register("events_holt_winters", oracle=_HW_ORACLE, tags=("events", "timeseries", "forecast"))
+@register(
+    "events_holt_winters",
+    oracle=_HW_ORACLE,
+    headline=True,  # bench-visible representative of the round-6 forecasting family
+    tags=("events", "timeseries", "forecast"),
+)
 def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt–Winters additive smoothing (level + trend + 24-hour seasonal
     ring, α=.3 β=.1 γ=.2) per event type over the gap-filled hourly
