@@ -2621,3 +2621,128 @@ def corpus_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ep / tp, 4).alias("generalization_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta — stylometric distance between sources.
+# ---------------------------------------------------------------------------
+
+_DELTA_ORACLE = rf"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), tot AS (
+  SELECT source, count(*) AS t FROM tok GROUP BY source
+), fw AS (
+  SELECT unnest(str_split('{_STOPWORDS}', '|')) AS w
+), cnt AS (
+  SELECT f.w, t.source, count(tok.w) AS c
+  FROM fw f CROSS JOIN tot t
+  LEFT JOIN tok ON tok.source = t.source AND tok.w = f.w
+  GROUP BY f.w, t.source
+), q AS (
+  SELECT c.w, c.source,
+         CAST(floor(1000.0 * c.c / tt.t * 1000000 + 0.5) AS BIGINT) AS qf
+  FROM cnt c JOIN tot tt ON tt.source = c.source
+), m AS (
+  SELECT w, count(*) AS n, CAST(sum(qf) AS BIGINT) AS s,
+         CAST(sum(qf * qf) AS BIGINT) AS ss
+  FROM q GROUP BY w
+), z AS (
+  SELECT q.w, q.source,
+         (q.qf - m.s / CAST(m.n AS DOUBLE))
+           / sqrt((m.n * m.ss - CAST(m.s AS DOUBLE) * m.s)) * m.n / sqrt(CAST(m.n AS DOUBLE)) AS z
+  FROM q JOIN m ON m.w = q.w
+  WHERE (m.n * m.ss - m.s * m.s) > 0
+), pairz AS (
+  SELECT a.source AS source_1, b.source AS source_2,
+         CAST(floor(abs(a.z - b.z) * 100000000 + 0.5) AS BIGINT) AS qdz
+  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+)
+SELECT source_1, source_2,
+       CAST(count(*) AS BIGINT) AS n_markers,
+       round(sum(qdz) / CAST(count(*) AS DOUBLE) / 100000000.0, 4) AS delta
+FROM pairz GROUP BY source_1, source_2
+ORDER BY source_1, source_2
+"""
+
+
+@register("text_burrows_delta", oracle=_DELTA_ORACLE, tags=("text", "stylometry"))
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) between sources: per-mille rates of
+    the function-word marker set, z-scored per marker across sources,
+    Delta(s,t) = mean |z_s − z_t| — the standard stylometric distance
+    behind authorship attribution and same-origin detection. For a
+    training corpus the question it answers is provenance QA: two
+    "independent" sources with Delta ≈ 0 are stylistically one origin
+    (a scraped mirror, one generator behind two names) and double-count
+    in any mixing plan; the χ²/entropy operators see topic mix, Delta
+    sees STYLE (function words are topic-free by construction).
+
+    Determinism: rates quantize to integers before the cross-source
+    moments (exact Σ, Σ²), z uses one correctly-rounded sqrt of an
+    exact rational, and per-pair |Δz| re-quantizes before the marker
+    sum. Frames are |sources|×|markers| — broadcast-scale at any corpus
+    size; the only data-sized step is the one token-count aggregate.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(normalized_text("text"), " ")).alias("w")
+    )
+    tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("t"))
+    markers = _STOPWORDS.split("|")
+    fw = spark.createDataFrame([(m,) for m in markers], "w string")
+    cnt = (
+        F.broadcast(fw)
+        .crossJoin(tot.select("source"))
+        .join(tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c")), ["source", "w"], "left")
+        .select("w", "source", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    q = cnt.join(F.broadcast(tot), "source").select(
+        "w",
+        "source",
+        F.floor(1000.0 * F.col("c") / F.col("t") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("qf"),
+    )
+    m = q.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qf").cast("bigint").alias("s"),
+        F.sum(F.col("qf") * F.col("qf")).cast("bigint").alias("ss"),
+    )
+    z = (
+        q.join(F.broadcast(m), "w")
+        .where((F.col("n") * F.col("ss") - F.col("s") * F.col("s")) > 0)
+        .select(
+            "w",
+            "source",
+            (
+                (F.col("qf") - F.col("s") / F.col("n").cast("double"))
+                / F.sqrt(
+                    (F.col("n") * F.col("ss") - F.col("s").cast("double") * F.col("s"))
+                )
+                * F.col("n")
+                / F.sqrt(F.col("n").cast("double"))
+            ).alias("z"),
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairz = a.join(
+        b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source"))
+    ).select(
+        F.col("a.source").alias("source_1"),
+        F.col("b.source").alias("source_2"),
+        F.floor(F.abs(F.col("a.z") - F.col("b.z")) * 100000000 + 0.5)
+        .cast("bigint")
+        .alias("qdz"),
+    )
+    return (
+        pairz.groupBy("source_1", "source_2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_markers"),
+            F.round(
+                F.sum("qdz") / F.count(F.lit(1)).cast("double") / 100000000.0, 4
+            ).alias("delta"),
+        )
+        .orderBy("source_1", "source_2")
+    )

@@ -94,6 +94,7 @@ BNLJ_OK: set[str] = {
     "events_cuped_adjustment",  # 1-row corpus-midpoint scalar × events
     "events_experiment_power",  # 4-row MDE grid × the 1-row baseline frame
     "events_did_placebo",  # 1-row midpoint scalar × events; 1-row arm frames
+    "text_burrows_delta",  # 10-row marker set × |sources| frame (stylometric grid)
 }
 
 ALL = sorted(catalog())

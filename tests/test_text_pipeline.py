@@ -560,3 +560,29 @@ def test_heldout_perplexity_detects_template_memorization(spark, tmp_path):
     assert r["train_ppl"] < 2.0  # one template: nearly deterministic
     assert r["generalization_gap"] > 2.0
     assert r["oov_rate"] > 0.5
+
+
+def test_burrows_delta_separates_styles(spark, tmp_path):
+    """Two sources writing in the same style (identical function-word
+    rates) sit at Delta ~0 while a third with inverted rates is far
+    from both — and same-style distance is strictly the smallest."""
+    from live_data_spark.operators import text as t
+
+    style_a = "the cat is on the mat and the dog is in the house for a while "
+    style_b = "cat mat dog house while red green blue deep blue nine lives cat "
+    docs = []
+    i = 0
+    for src, style in (("s1", style_a), ("s2", style_a), ("s3", style_b)):
+        for _ in range(10):
+            docs.append((i, style * 3, "en", src, len(style) * 3))
+            i += 1
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source_1"], r["source_2"]): r["delta"]
+        for r in t.text_burrows_delta(spark, str(tmp_path)).collect()
+    }
+    assert got[("s1", "s2")] == 0.0  # identical style → identical z-profiles
+    assert got[("s1", "s3")] > 1.0
+    assert got[("s1", "s3")] == got[("s2", "s3")]
