@@ -16,6 +16,16 @@ identical plans (BENCH_r06 note), and min() over four steady-state
 samples is markedly more stable than over the two that best-of-3 leaves.
 Total is the sum of per-query times; the JSON records runs_per_query
 for transparency.
+
+Host-variance anchor (SCALE.md "Measured host variance"): absolute times
+on this shared host drift 2-3× across sessions with zero code change, so
+the JSON also reports a pinned ANCHOR query (dedup_exact — small, stable,
+plan-pinned, unchanged since round 1) measured twice (before and after
+the main loop, min taken so a load burst during either window is
+discounted) plus per-query RATIOS to that anchor. Cross-round
+comparisons should read the `ratios` column: host load multiplies the
+anchor and the query alike, so the ratio cancels it to first order,
+while a genuine plan regression moves only its own ratio.
 """
 
 from __future__ import annotations
@@ -57,15 +67,27 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    def best_of(spec, n: int) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    anchor_name = "dedup_exact"
+    anchor_spec = cat[anchor_name]
+    anchor_pre = best_of(anchor_spec, runs)
+
     timings: dict[str, float] = {}
     for name, spec in headline.items():
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = round(best_of(spec, runs), 3)
+
+    # second anchor window after the loop: min of the two discounts a load
+    # burst that happened to cover either measurement
+    anchor_sec = min(anchor_pre, best_of(anchor_spec, runs), timings.get(anchor_name, float("inf")))
+    ratios = {n: round(t / anchor_sec, 2) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,9 +97,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "anchor": {"query": anchor_name, "sec": round(anchor_sec, 3)},
+                "ratios": ratios,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": runs,
-                "timing": "min (steady-state; excludes one-time codegen compile)",
+                "timing": "min (steady-state; excludes one-time codegen compile); "
+                "ratios = query_sec / anchor_sec, host-load-invariant to first order",
             }
         )
     )
