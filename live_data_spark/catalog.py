@@ -114,3 +114,45 @@ def table_rowcount(sf_dir: str, table: str) -> int:
     path = _Path(sf_dir) / f"{table}.parquet"
     files = [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
     return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+
+
+@_functools.lru_cache(maxsize=128)
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk parquet bytes for a table — a file-stat read, no Spark job.
+
+    This is the same size estimate Spark's own planner uses for file
+    sources (``sizeInBytes`` = total file length), so gating a hint on it
+    agrees with what ``autoBroadcastJoinThreshold`` would see."""
+    path = _Path(sf_dir) / f"{table}.parquet"
+    files = [path] if path.is_file() else path.glob("**/*.parquet")
+    return sum(f.stat().st_size for f in files)
+
+
+# Gate for explicit broadcast hints on frames whose size scales with SF.
+# 32 MiB of compressed parquet ≈ low-hundreds of MB deserialized — safely
+# inside executor/driver budgets at production settings, and ~100× above
+# the largest dim at every checked SF (customer at sf0.1 is 312 KB), so
+# every pinned plan keeps its broadcast while a 1000× run degrades to
+# shuffle join + AQE + the runtime bloom-filter pruning path
+# (tests/test_plans.py pins that fallback produces identical results).
+BROADCAST_GATE_BYTES = 32 * 1024 * 1024
+
+
+def broadcast_dim(df: DataFrame, sf_dir: str, table: str, max_bytes: int = BROADCAST_GATE_BYTES) -> DataFrame:
+    """Size-gated broadcast hint for an SF-SCALING frame.
+
+    TPC-H dims are not fixed-size: part/supplier/customer grow linearly
+    with SF, so an unconditional ``F.broadcast`` that is right at sf0.1
+    is a driver OOM at sf100k (~20B part rows). ``table`` names the base
+    table that BOUNDS the frame (the frame itself is that table or a
+    projection/filter/per-key aggregate of it, so its bytes are ≤ the
+    table's on-disk bytes); the hint is applied only while that bound is
+    under ``max_bytes``. Above it, the plain frame is returned and the
+    plan falls back to Catalyst's own strategy — sort-merge with AQE and
+    runtime bloom-filter scan pruning, which the plan tests pin as
+    result-identical. Frames bounded by a FIXED domain (nation/region,
+    calendar grids, k centroids, 1-row aggregates) keep their plain
+    ``F.broadcast`` — they never scale with SF."""
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if table_bytes(sf_dir, table) <= max_bytes else df

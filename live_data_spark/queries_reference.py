@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from live_data_spark.catalog import load, register
+from live_data_spark.catalog import broadcast_dim, load, register
 from live_data_spark.functions.dialect import (
     dec2,
     decode,
@@ -255,7 +255,7 @@ def fct_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     o = load(spark, sf_dir, "orders")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left").join(
+    joined = li.join(broadcast_dim(p, sf_dir, "part"), li.l_partkey == p.p_partkey, "left").join(
         o, li.l_orderkey == o.o_orderkey, "left"
     )
     return joined.select(

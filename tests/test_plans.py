@@ -282,3 +282,36 @@ def test_dynamic_partition_pruning_on_date_keyed_join(spark, tmp_path):
     joined.collect()  # DPP shows in the executed (adaptive-final) plan
     plan = _plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_broadcast_dim_gate(spark, sf_dir):
+    """broadcast_dim is the size-gated hint for SF-SCALING dims (part/
+    supplier/customer grow with SF — an unconditional hint is a driver
+    OOM at sf100k). Pin both gate arms: under the 32 MiB gate the plan
+    broadcasts (identical to the old hard hint at every checked SF);
+    above it the hint is withheld, the join falls back to Catalyst's own
+    strategy, and the RESULT is identical."""
+    from live_data_spark.catalog import broadcast_dim, table_bytes
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+    assert 0 < table_bytes(sf_dir, "part") < 32 * 1024 * 1024
+
+    hinted = li.join(broadcast_dim(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+    assert "BroadcastHashJoin" in _plan(hinted)
+
+    # force the gate shut: the frame comes back unhinted and (with the
+    # auto-broadcast estimator also off, as at real scale) plans a
+    # shuffle join — while producing the same rows
+    gated = broadcast_dim(p, sf_dir, "part", max_bytes=1)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fallback = li.join(gated, li.l_partkey == p.p_partkey)
+        plan = _plan(fallback)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert sorted(map(tuple, fallback.collect())) == sorted(map(tuple, hinted.collect()))
