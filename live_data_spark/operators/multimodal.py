@@ -502,7 +502,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance < the unrelated-pair baseline. Rows-only driver check
     (binary + BLAS-side DCT aren't SQL-reproducible).
 
-    Scale: band explode = 4 rows/asset; the candidate shuffle carries
+    Scale: band explode = PHASH_BANDS (8) rows/asset; the candidate shuffle carries
     bare (band_key → id, hash) pairs; verification touches candidates
     only. Never all-pairs — same contract as the text dedup ladder.
     """

@@ -2651,7 +2651,7 @@ WITH tok AS (
 ), z AS (
   SELECT q.w, q.source,
          (q.qf - m.s / CAST(m.n AS DOUBLE))
-           / sqrt((m.n * m.ss - CAST(m.s AS DOUBLE) * m.s)) * m.n / sqrt(CAST(m.n AS DOUBLE)) AS z
+           / sqrt((m.n * m.ss - CAST(m.s AS DOUBLE) * m.s)) * m.n AS z
   FROM q JOIN m ON m.w = q.w
   WHERE (m.n * m.ss - m.s * m.s) > 0
 ), pairz AS (
@@ -2716,13 +2716,18 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w",
             "source",
+            # z = dev / sigma_pop with sigma_pop = sqrt(n·ss − s²)/n, i.e.
+            # dev·n/sqrt(n·ss − s²) — the literature's Delta normalization.
+            # (An earlier form divided by sqrt(Σdev²) = sigma_pop·sqrt(n),
+            # which scaled every Delta down by sqrt(n_sources) and broke
+            # cross-corpus threshold reads; same-pair ordering was
+            # unaffected, which is why the pins didn't catch it.)
             (
                 (F.col("qf") - F.col("s") / F.col("n").cast("double"))
                 / F.sqrt(
                     (F.col("n") * F.col("ss") - F.col("s").cast("double") * F.col("s"))
                 )
                 * F.col("n")
-                / F.sqrt(F.col("n").cast("double"))
             ).alias("z"),
         )
     )

@@ -586,3 +586,10 @@ def test_burrows_delta_separates_styles(spark, tmp_path):
     assert got[("s1", "s2")] == 0.0  # identical style → identical z-profiles
     assert got[("s1", "s3")] > 1.0
     assert got[("s1", "s3")] == got[("s2", "s3")]
+    # Magnitude pin for the literature normalization (z = dev/sigma_pop):
+    # with two identical sources and one divergent, every marker whose
+    # rates differ has the two-equal-one-different shape, for which
+    # |z_same − z_diff| = 3/√2 regardless of the rate gap — so Delta is
+    # EXACTLY 3/√2 ≈ 2.1213. The pre-fix form (÷√n_sources extra) gave
+    # 1.2247 here and would shrink further with more sources.
+    assert abs(got[("s1", "s3")] - 2.1213) < 2e-4
