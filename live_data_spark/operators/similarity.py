@@ -1443,9 +1443,9 @@ def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact demo tier over the broadcast anchor set (one map-only scoring
     pass + two per-anchor top-1 windows on the same partitioning). At
     corpus scale the anchor set is the whole table and this exact form
-    is O(n²) — mine candidates from ``ann_srp_lsh``/``ann_ivf_pq``
-    shortlists instead (same downstream shape, the positives/negatives
-    just come from each anchor's ANN candidate list), which is the
+    is O(n²) — the implemented scale rung is
+    ``embedding_triplet_mine_ann`` below (same output contract, IVF
+    shortlist + exact re-score, agreement pinned vs this tier), the
     standard FAISS-backed pipeline.
     """
     from pyspark.sql import Window
@@ -1907,7 +1907,9 @@ def embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame
     their μ is undefined. ln μ quantizes to 1e-8 integers before the
     order-free sums. Rows-only driver check (exact k-NN has no
     tractable SQL analog); pytest pins a numpy replay AND recovery of
-    ID ≈ 2 on a planted 2-D manifold embedded in 64-dim.
+    ID ≈ 2 on a planted 2-D manifold embedded in 64-dim. This tier is
+    all-pairs O(n²) by design (the ground truth); the scale rung is
+    ``embedding_intrinsic_dimension_sampled`` below.
     """
     import math
 
@@ -2012,4 +2014,203 @@ def embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("n_vecs") / (F.col("s") / 100000000.0), 2).alias("id_2nn"),
         )
         .orderBy("label")
+    )
+
+ID_ANCHOR_BUDGET = 256  # hash-sampled anchor count for the scale rung
+
+
+@register(
+    "embedding_intrinsic_dimension_sampled",
+    oracle=None,
+    tags=("similarity", "vector", "stats"),
+)
+def embedding_intrinsic_dimension_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE RUNG for ``embedding_intrinsic_dimension``: the exact
+    tier's 2-NN is all-pairs O(n²) and cannot leave demo scale. The
+    Facco estimator, however, is an MLE over per-point μ = r₂/r₁ draws,
+    so it is SAMPLE-STABLE: estimating from a fixed hash-sample of
+    anchors — while still ranking each anchor's neighbors over the FULL
+    corpus — replaces O(n²) with O(B·n), one scan-side pass with a
+    bounded (B×64-double ≈ 128 KB) broadcast state. That is the same
+    anchors-vs-everything shape FAISS-style audits use, and at 100 TB it
+    is the only tractable form (B stays fixed as n grows; the estimate's
+    standard error depends on B, not n).
+
+    Plan: B anchors collect driver-side (deterministic hash order — the
+    PQ_SAMPLE / MMR bounded-collect contract), then one ``mapInPandas``
+    pass over the corpus computes each Arrow batch's anchor×batch
+    distance matrix in numpy and emits ≤ 2·B candidate rows per batch;
+    a per-anchor aggregate takes the global two smallest. No shuffle
+    touches the vectors — candidates travel as (anchor_id, label, d).
+    Downstream math (duplicate drop, 1e-8 ln-quantization, per-label +
+    overall MLE) is IDENTICAL to the exact tier's, so at n ≤ B the two
+    tiers return the same rows (pinned), and at n > B the overall
+    estimates agree within sampling error (stability pinned vs the
+    exact tier at sf0.01 AND sf0.1 in tests/test_similarity.py).
+    Rows-only driver check, like the exact tier.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    anchor_rows = (
+        e.select(F.xxhash64("vec_id").alias("h"), "vec_id", "label", "emb")
+        .orderBy("h")
+        .limit(ID_ANCHOR_BUDGET)
+        .collect()
+    )
+    if not anchor_rows:  # empty corpus: declared schema, no numpy work
+        return spark.createDataFrame([], "label int, n_vecs bigint, id_2nn double")
+    A = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in anchor_rows])
+    a_ids = np.array([r["vec_id"] for r in anchor_rows], dtype=np.int64)
+    a_lbl = np.array([r["label"] for r in anchor_rows], dtype=np.int32)
+    a_sq = (A**2).sum(1)
+
+    def anchor_two_nn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Y = np.stack(pdf["emb"].to_numpy())
+            d2 = a_sq[:, None] + (Y**2).sum(1)[None, :] - 2.0 * (A @ Y.T)
+            np.maximum(d2, 0.0, out=d2)
+            d2[a_ids[:, None] == pdf["vec_id"].to_numpy()[None, :]] = np.inf
+            k = min(2, d2.shape[1])
+            best = np.sqrt(np.partition(d2, k - 1, axis=1)[:, :k])
+            finite = np.isfinite(best)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(a_ids, k)[finite.ravel()],
+                    "label": np.repeat(a_lbl, k)[finite.ravel()],
+                    "d": best.ravel()[finite.ravel()],
+                }
+            )
+
+    cand = e.select("vec_id", "emb").mapInPandas(
+        anchor_two_nn, "vec_id long, label int, d double"
+    )
+    per_vec = (
+        cand.groupBy("vec_id", "label")
+        .agg(F.slice(F.array_sort(F.collect_list("d")), 1, 2).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.element_at("ds", 1) > 0))
+        .select(
+            "label",
+            F.floor(
+                F.ln(F.element_at("ds", 2) / F.element_at("ds", 1)) * 100000000 + 0.5
+            )
+            .cast("bigint")
+            .alias("qlnmu"),
+        )
+    )
+    per_label = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("qlnmu").cast("bigint").alias("s"),
+    )
+    overall = per_vec.agg(
+        F.lit(-1).cast("int").alias("label"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("qlnmu").cast("bigint").alias("s"),
+    )
+    return (
+        per_label.unionByName(overall)
+        .where(F.col("s") > 0)
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("n_vecs") / (F.col("s") / 100000000.0), 2).alias("id_2nn"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "embedding_triplet_mine_ann",
+    oracle=None,
+    tags=("similarity", "vector", "training"),
+)
+def embedding_triplet_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE RUNG for ``embedding_triplet_mine``: same output
+    contract (per anchor, best same-label positive / best diff-label
+    hard negative / margin), but candidates come from an IVF SHORTLIST
+    instead of the exact all-candidates scan — the standard FAISS-backed
+    mining pipeline. Per anchor only its ``nprobe`` nearest centroids'
+    inverted lists are scored (~nprobe/K of the corpus), and survivors
+    re-score EXACTLY, so precision is 1 and the only approximation is a
+    candidate that lives outside the probed lists. Agreement with the
+    exact tier is pinned at sf0.01 AND sf0.1 in tests/test_similarity.py.
+
+    At 100 TB the anchor set is the whole table: the broadcast on the
+    anchor assignment disappears (both sides shuffle-partition on cid),
+    the lists are the persisted ``build_ivf_index`` artifacts read
+    partition-pruned, and per-anchor work stays ~nprobe·n/K — never
+    all-pairs. Rows-only driver check (centroid choice is hash-based,
+    like ann_ivf_flat).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb"), "label"
+    )
+    n = table_rowcount(sf_dir, "embeddings")
+    k_lists = max(4, int(math.isqrt(n)))
+    nprobe = max(2, k_lists // 4)
+    centroids = _ivf_centroids(e, k_lists)
+
+    anchors = e.where(F.col("vec_id") < TRIPLET_ANCHORS)
+    # _ivf_assign projects to (id, emb, cid) — re-attach the anchor label
+    # by id (anchor frame is bounded, the join broadcasts)
+    albl = anchors.select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    aassign = (
+        _ivf_assign(
+            anchors.withColumnRenamed("vec_id", "anchor_id"), centroids, nprobe, "anchor_id"
+        )
+        .join(F.broadcast(albl), "anchor_id")
+        .select("cid", "anchor_id", F.col("emb").alias("ae"), "anchor_label")
+    )
+    lists = _ivf_assign(e, centroids, nprobe=1, id_col="vec_id").select("cid", "vec_id")
+
+    ne = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("ce"),
+        F.col("label").alias("cand_label"),
+    )
+    scored = (
+        F.broadcast(aassign)
+        .join(lists.withColumnRenamed("vec_id", "cand_id"), "cid")
+        .where(F.col("cand_id") != F.col("anchor_id"))
+        .dropDuplicates(["anchor_id", "cand_id"])
+        .join(ne, "cand_id")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            cosine(F.col("ae"), F.col("ce")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    pos = (
+        scored.where(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.round("cos", 4).alias("pos_sim"))
+    )
+    neg = (
+        scored.where(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.round("cos", 4).alias("neg_sim"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
     )

@@ -40,6 +40,7 @@ BNLJ_OK: set[str] = {
     "basket_part_pairs",  # 1-row total-order-count scalar
     "ann_cosine_topk",  # exact brute-force tier (broadcast query set)
     "ann_ivf_flat",  # centroid assignment compare (by design)
+    "embedding_triplet_mine_ann",  # same IVF centroid-assignment compare (K≈√n broadcast grid)
     "corpus_dedup_cascade",  # 1-row survivor-count x 1-row removed-count
     "dedup_incremental_bloom",  # 1-row bloom word-map blob broadcast x batch
     "text_bigram_surprisal",  # 1-row vocab-size scalar broadcast

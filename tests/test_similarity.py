@@ -523,3 +523,78 @@ def test_intrinsic_dimension_recovers_planted_manifold(spark, tmp_path):
     ok = r1 > 0
     q = np.floor(np.log(r2[ok] / r1[ok]) * 1e8 + 0.5).astype("int64")
     assert overall["id_2nn"] == round(ok.sum() / (q.sum() / 1e8), 2)
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_intrinsic_dimension_sampled_tracks_exact(spark, sfd):
+    """The O(B·n) sampled rung must agree with the O(n²) exact tier: the
+    Facco MLE is sample-stable, so 256 hash-sampled anchors (of 500/2000
+    vectors — a real subsample at both SFs) estimate the same overall ID
+    within 10% relative (measured ≤3.5%). Deterministic: the anchor set
+    is hash-ordered, not random."""
+    from live_data_spark.operators.similarity import (
+        ID_ANCHOR_BUDGET,
+        embedding_intrinsic_dimension,
+        embedding_intrinsic_dimension_sampled,
+    )
+
+    ex = {r["label"]: r for r in embedding_intrinsic_dimension(spark, sfd).collect()}
+    sa = {r["label"]: r for r in embedding_intrinsic_dimension_sampled(spark, sfd).collect()}
+    assert sa[-1]["n_vecs"] == ID_ANCHOR_BUDGET  # genuinely a subsample
+    assert ex[-1]["n_vecs"] > ID_ANCHOR_BUDGET
+    rel = abs(sa[-1]["id_2nn"] - ex[-1]["id_2nn"]) / ex[-1]["id_2nn"]
+    assert rel < 0.10, (sa[-1], ex[-1])
+
+
+def test_intrinsic_dimension_sampled_equals_exact_when_budget_covers(spark, tmp_path):
+    """At n ≤ ID_ANCHOR_BUDGET every vector is an anchor and the sampled
+    tier's math is the exact tier's — identical output rows."""
+    import numpy as np
+
+    from live_data_spark.operators.similarity import (
+        embedding_intrinsic_dimension,
+        embedding_intrinsic_dimension_sampled,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 120  # < budget
+    pts = rng.randn(n, 64)
+    spark.createDataFrame(
+        [(i, pts[i].astype("float32").tolist(), i % 3) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    ex = sorted(map(tuple, embedding_intrinsic_dimension(spark, str(tmp_path)).collect()))
+    sa = sorted(map(tuple, embedding_intrinsic_dimension_sampled(spark, str(tmp_path)).collect()))
+    assert sa == ex
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_triplet_mine_ann_tracks_exact(spark, sfd):
+    """The IVF-shortlist rung vs the exact all-candidates tier, pinned on
+    uniform-random embeddings (IVF's WORST case — clustered real data
+    co-locates true neighbors far more often):
+
+    - coverage: every anchor still mines a triplet;
+    - exactness of the re-score: a shortlist-mined sim can never EXCEED
+      the exact tier's global max (upper-bound invariant, both columns);
+    - hardness: the mined pos/neg are nearly as hard as the global
+      argmax — mean cosine shortfall ≤ 0.07 (measured ≤ 0.042);
+    - top-1 agreement floor (deterministic hash centroids): ≥ 18/50
+      positives, ≥ 14/50 negatives match the exact tier's ids exactly
+      (measured 21-24 / 16-34 across SFs)."""
+    from live_data_spark.operators.similarity import (
+        TRIPLET_ANCHORS,
+        embedding_triplet_mine,
+        embedding_triplet_mine_ann,
+    )
+
+    ex = {r["anchor_id"]: r for r in embedding_triplet_mine(spark, sfd).collect()}
+    an = {r["anchor_id"]: r for r in embedding_triplet_mine_ann(spark, sfd).collect()}
+    assert set(an) == set(ex) == set(range(TRIPLET_ANCHORS))
+    dpos = [ex[a]["pos_sim"] - an[a]["pos_sim"] for a in ex]
+    dneg = [ex[a]["neg_sim"] - an[a]["neg_sim"] for a in ex]
+    assert min(dpos) >= -1e-9 and min(dneg) >= -1e-9  # exact tier is the max
+    assert sum(dpos) / len(dpos) <= 0.07
+    assert sum(dneg) / len(dneg) <= 0.07
+    assert sum(ex[a]["pos_id"] == an[a]["pos_id"] for a in ex) >= 18
+    assert sum(ex[a]["neg_id"] == an[a]["neg_id"] for a in ex) >= 14
