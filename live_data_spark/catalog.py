@@ -69,6 +69,7 @@ def catalog() -> dict[str, QuerySpec]:
     from live_data_spark.operators import classifier, clustering, curation, dedup, graph, profiling, similarity, multimodal, text, tokenizer  # noqa: F401
     from live_data_spark.streaming import events_batch  # noqa: F401
     from live_data_spark.corpus import pipeline  # noqa: F401
+    from live_data_spark.sources import pysource  # noqa: F401
     from live_data_spark import queries_analytics, queries_reference, queries_tpch_extra  # noqa: F401
 
     from live_data_spark.ledger import check_order

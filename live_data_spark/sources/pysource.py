@@ -139,3 +139,109 @@ class SyntheticDocsStreamDataSource(SyntheticDocsDataSource):
 
 def register_synthetic_docs_stream(spark) -> None:
     spark.dataSource.register(SyntheticDocsStreamDataSource)
+
+
+# -- catalog-visible batch/stream parity twin ---------------------------------
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from live_data_spark.catalog import register  # noqa: E402
+
+# exactly ceil(n/batch) = 2 micro-batch drains: enough to prove the
+# offset walk (batch 2 resumes from the checkpointed offset), while each
+# availableNow start/stop costs ~6 s of stream machinery — completeness
+# needs no extra confirm drain because the parity columns would expose an
+# unfinished backlog as n_stream < n_batch
+PYSOURCE_PARITY_N = 120
+PYSOURCE_PARITY_BATCH = 60
+
+
+@register("pysource_stream_batch_parity", oracle=None, tags=("source", "streaming"))
+def pysource_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream EQUALITY twin for the Python DataSource pair — the
+    same catalog-visible contract the events streaming jobs carry
+    (every streaming operator ships with a batch twin whose equality is
+    checked): drain ``synthetic_docs_stream`` end-to-end with
+    availableNow micro-batches (offset checkpointing, one batch per
+    drain — the Simple-reader contract), then full-outer-join the
+    landed rows against the BATCH ``synthetic_docs`` read of the same
+    doc space and report per-lang row counts from both sides plus the
+    mismatch count (any row present on one side only, or differing in
+    any column). All-zero ``n_mismatch`` IS the exactly-once +
+    replay-determinism claim, recomputed distributed on every run.
+    Rows-only driver check (the doc space is md5-seeded — no SQL twin);
+    the micro-batch offset walk itself is pinned in tests/test_sources.py.
+
+    ``sf_dir`` is unused: the source generates its own deterministic
+    corpus (that is the point of the connector).
+    """
+    import tempfile
+
+    register_synthetic_docs(spark)
+    register_synthetic_docs_stream(spark)
+
+    with tempfile.TemporaryDirectory(prefix="pysource_parity_") as tmp:
+        sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+        # one availableNow invocation consumes ONE simple-reader batch;
+        # ceil(n/batch) drains exhaust the declared doc space
+        for _ in range(-(-PYSOURCE_PARITY_N // PYSOURCE_PARITY_BATCH)):
+            q = (
+                spark.readStream.format("synthetic_docs_stream")
+                .option("n", PYSOURCE_PARITY_N)
+                .option("batch_size", PYSOURCE_PARITY_BATCH)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        streamed = spark.read.parquet(sink)
+        batch = (
+            spark.read.format("synthetic_docs").option("n", PYSOURCE_PARITY_N).load()
+        )
+        cols = batch.columns
+        s = streamed.select([F.col(c).alias(f"s_{c}") for c in cols])
+        b = batch.select([F.col(c).alias(f"b_{c}") for c in cols])
+        joined = s.join(b, s.s_doc_id == b.b_doc_id, "full_outer")
+        mismatch = (
+            F.when(
+                functools_reduce_and(
+                    [F.col(f"s_{c}").eqNullSafe(F.col(f"b_{c}")) for c in cols]
+                ),
+                0,
+            )
+            .otherwise(1)
+            .alias("mm")
+        )
+        out = (
+            joined.select(
+                F.coalesce("s_lang", "b_lang").alias("lang"),
+                F.col("s_doc_id").isNotNull().cast("int").alias("in_stream"),
+                F.col("b_doc_id").isNotNull().cast("int").alias("in_batch"),
+                mismatch,
+            )
+            .groupBy("lang")
+            .agg(
+                F.sum("in_stream").cast("bigint").alias("n_stream"),
+                F.sum("in_batch").cast("bigint").alias("n_batch"),
+                F.sum("mm").cast("bigint").alias("n_mismatch"),
+            )
+            .orderBy("lang")
+        )
+        # materialize before the temp sink disappears (bounded: ≤|langs| rows)
+        rows = [tuple(r) for r in out.collect()]
+    return spark.createDataFrame(
+        rows, "lang string, n_stream bigint, n_batch bigint, n_mismatch bigint"
+    )
+
+
+def functools_reduce_and(conds):
+    """AND-fold a non-empty condition list (tiny helper, no functools import
+    at module top just for one fold)."""
+    acc = conds[0]
+    for c in conds[1:]:
+        acc = acc & c
+    return acc

@@ -380,3 +380,21 @@ def test_write_with_metrics_single_pass_observation(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 4
     assert back.where(F.col("v").isNull()).count() == 2
+
+
+def test_pysource_parity_catalog_entry(spark):
+    """The catalog-visible batch/stream twin: every lang row shows equal
+    stream/batch counts and zero mismatches, totals cover the declared
+    doc space, and the walk took ≥2 micro-batches (PARITY_N > BATCH)."""
+    from live_data_spark.catalog import catalog
+    from live_data_spark.sources.pysource import (
+        PYSOURCE_PARITY_BATCH,
+        PYSOURCE_PARITY_N,
+    )
+
+    assert PYSOURCE_PARITY_N > PYSOURCE_PARITY_BATCH  # genuinely multi-batch
+    rows = catalog()["pysource_stream_batch_parity"].spark(spark, "unused").collect()
+    assert sum(r["n_stream"] for r in rows) == PYSOURCE_PARITY_N
+    for r in rows:
+        assert r["n_stream"] == r["n_batch"]
+        assert r["n_mismatch"] == 0
