@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from live_data_spark.catalog import load, register
+from live_data_spark.catalog import broadcast_dim, load, register
 from live_data_spark.operators.text import fingerprint, normalized_text
 
 # ---------------------------------------------------------------------------
@@ -186,7 +186,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ex = shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    exn = ex.join(F.broadcast(sizes), "doc_id")  # n rides the exploded rows
+    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents"), "doc_id")  # n rides the exploded rows
     a, b = exn.alias("a"), exn.alias("b")
     common = (
         a.join(
@@ -560,7 +560,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (
         clusters.where(F.col("doc_id") == F.col("cluster_id"))
-        .join(F.broadcast(sizes), "cluster_id")
+        .join(broadcast_dim(sizes, sf_dir, "documents"), "cluster_id")
         .join(docs, "doc_id")
         .select(
             "cluster_id",
@@ -719,7 +719,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ex = shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    exn = ex.join(F.broadcast(sizes), "doc_id")
+    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents"), "doc_id")
     a, b = exn.alias("a"), exn.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1355,7 +1355,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ex = shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    exn = ex.join(F.broadcast(sizes), "doc_id")
+    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents"), "doc_id")
     a, b = exn.alias("a"), exn.alias("b")
     floor_t = CURVE_THRESHOLDS[0]
     common = (

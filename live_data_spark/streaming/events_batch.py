@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from live_data_spark.catalog import load, register
+from live_data_spark.catalog import broadcast_dim, load, register
 from live_data_spark.functions.dialect import money_sum
 
 _HOURLY_ORACLE = """
@@ -2515,7 +2515,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
-    tagged = e.join(F.broadcast(first), "user_id").select(
+    tagged = e.join(broadcast_dim(first, sf_dir, "events"), "user_id").select(
         F.to_date("ts").alias("day"),
         (F.to_date("ts") == F.col("d0")).cast("int").alias("is_new"),
         "user_id",
