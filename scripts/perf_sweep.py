@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Full-catalog Spark-side perf sweep at sf0.1 — bench.py's wide twin.
+
+bench.py watches 16 headline queries; this times EVERY catalog entry
+(noop-write materialization, best-of-N steady-state) and records the
+result as a committed artifact (PERF_SF01.json) so per-entry perf is
+visible and regressions are catchable across the whole surface, not
+just the headline set.
+
+Host-variance discipline (SCALE.md "Measured host variance"): absolute
+times drift 2-3× across sessions, so the artifact stores each entry's
+RATIO to the pinned anchor query (dedup_exact, measured best-of-N
+before and after the sweep, min taken) alongside the absolute seconds.
+The tripwire compares ratios, which host load cancels to first order.
+
+Usage:
+    python scripts/perf_sweep.py            # re-time and REWRITE the artifact
+    python scripts/perf_sweep.py --check    # re-time and COMPARE: exit 1 if any
+                                            # entry's ratio inflated >3x vs the
+                                            # committed artifact (new entries and
+                                            # sub-0.2s noise-floor entries pass)
+
+Run `--check` before a round closes; rewrite after deliberate plan work.
+The structural half of the tripwire (artifact exists, covers the whole
+catalog, ratios consistent) runs in pytest (tests/test_perf_artifact.py);
+the re-timing half lives here because a 10-minute sweep does not belong
+in the unit suite.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from live_data_spark.catalog import catalog  # noqa: E402
+from live_data_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+ARTIFACT = REPO / "PERF_SF01.json"
+ANCHOR = "dedup_exact"
+RUNS = 2
+TRIP_RATIO = 3.0  # flag an entry whose ratio-to-anchor tripled
+NOISE_FLOOR_SEC = 0.2  # sub-floor entries are scheduling noise, not signal
+
+
+def _time(spec, spark, runs: int = RUNS) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spec.spark(spark, SF).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def sweep() -> dict:
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = catalog()
+    # JVM/codegen + Arrow worker warmup (bench.py's recipe)
+    cat[ANCHOR].spark(spark, SF).limit(1).collect()
+
+    anchor_pre = _time(cat[ANCHOR], spark)
+    entries: dict[str, float] = {}
+    for i, (name, spec) in enumerate(sorted(cat.items())):
+        entries[name] = round(_time(spec, spark), 3)
+        print(f"[{i + 1}/{len(cat)}] {name}: {entries[name]}s", flush=True)
+    anchor_sec = min(anchor_pre, _time(cat[ANCHOR], spark), entries[ANCHOR])
+    out = {
+        "sf": 0.1,
+        "runs_per_entry": RUNS,
+        "anchor": {"query": ANCHOR, "sec": round(anchor_sec, 3)},
+        "entries": {
+            n: {"sec": s, "ratio": round(s / anchor_sec, 2)} for n, s in entries.items()
+        },
+    }
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    fresh = sweep()
+    if not check:
+        ARTIFACT.write_text(json.dumps(fresh, indent=1, sort_keys=True) + "\n")
+        print(f"perf_sweep: wrote {ARTIFACT.name} ({len(fresh['entries'])} entries)")
+        return 0
+
+    base = json.loads(ARTIFACT.read_text())
+    flagged = []
+    for name, now in fresh["entries"].items():
+        rec = base["entries"].get(name)
+        if rec is None:  # new since the artifact — rewrite will pick it up
+            continue
+        if now["sec"] < NOISE_FLOOR_SEC and rec["sec"] < NOISE_FLOOR_SEC:
+            continue
+        if rec["ratio"] > 0 and now["ratio"] / rec["ratio"] > TRIP_RATIO:
+            flagged.append((name, rec["ratio"], now["ratio"]))
+    for name, was, is_ in sorted(flagged, key=lambda x: -x[2] / max(x[1], 1e-9)):
+        print(f"TRIPWIRE {name}: ratio {was} -> {is_}")
+    missing = sorted(set(base["entries"]) - set(fresh["entries"]))
+    if missing:
+        print(f"entries in artifact but gone from catalog: {missing}")
+    print(
+        f"perf_sweep --check: {len(flagged)} flagged of {len(fresh['entries'])} "
+        f"(anchor {base['anchor']['sec']}s -> {fresh['anchor']['sec']}s)"
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
