@@ -139,21 +139,43 @@ def table_bytes(sf_dir: str, table: str) -> int:
 BROADCAST_GATE_BYTES = 32 * 1024 * 1024
 
 
-def broadcast_dim(df: DataFrame, sf_dir: str, table: str, max_bytes: int = BROADCAST_GATE_BYTES) -> DataFrame:
+def broadcast_dim(
+    df: DataFrame,
+    sf_dir: str,
+    table: str,
+    max_bytes: int = BROADCAST_GATE_BYTES,
+    row_bytes: int | None = None,
+) -> DataFrame:
     """Size-gated broadcast hint for an SF-SCALING frame.
 
     TPC-H dims are not fixed-size: part/supplier/customer grow linearly
     with SF, so an unconditional ``F.broadcast`` that is right at sf0.1
     is a driver OOM at sf100k (~20B part rows). ``table`` names the base
-    table that BOUNDS the frame (the frame itself is that table or a
-    projection/filter/per-key aggregate of it, so its bytes are ≤ the
-    table's on-disk bytes); the hint is applied only while that bound is
-    under ``max_bytes``. Above it, the plain frame is returned and the
-    plan falls back to Catalyst's own strategy — sort-merge with AQE and
-    runtime bloom-filter scan pruning, which the plan tests pin as
-    result-identical. Frames bounded by a FIXED domain (nation/region,
-    calendar grids, k centroids, 1-row aggregates) keep their plain
-    ``F.broadcast`` — they never scale with SF."""
+    table that BOUNDS the frame; the hint is applied only while that
+    bound is under ``max_bytes``. Above it, the plain frame is returned
+    and the plan falls back to Catalyst's own strategy — sort-merge with
+    AQE and runtime bloom-filter scan pruning, which the plan tests pin
+    as result-identical. Frames bounded by a FIXED domain (nation/
+    region, calendar grids, k centroids, 1-row aggregates) keep their
+    plain ``F.broadcast`` — they never scale with SF.
+
+    The bound has two forms:
+
+    - ``row_bytes=None`` (default): the frame is the table itself or a
+      projection keeping its wide columns, so its bytes are ≤ the
+      table's on-disk bytes — gate on ``table_bytes``.
+    - ``row_bytes=K``: the frame is a NARROW per-key derivation (≤1 row
+      per base row, ~K bytes each — e.g. a (bigint, bigint) aggregate of
+      per-doc shingle counts). Gating such a frame on the base table's
+      raw bytes closes the gate orders of magnitude early when the base
+      rows are wide (documents carries full text): gate on
+      ``table_rowcount × K`` instead, which tracks the frame's real
+      broadcast cost while still being a driver-side footer read.
+    """
     from pyspark.sql import functions as F
 
-    return F.broadcast(df) if table_bytes(sf_dir, table) <= max_bytes else df
+    if row_bytes is not None:
+        bound = table_rowcount(sf_dir, table) * row_bytes
+    else:
+        bound = table_bytes(sf_dir, table)
+    return F.broadcast(df) if bound <= max_bytes else df

@@ -186,7 +186,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ex = shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents"), "doc_id")  # n rides the exploded rows
+    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents", row_bytes=32), "doc_id")  # n rides the exploded rows
     a, b = exn.alias("a"), exn.alias("b")
     common = (
         a.join(
@@ -294,9 +294,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BITS = 60  # 15-hex md5 prefix: the engine-portable 60-bit hash
-SIMHASH_BAND_BITS = 12  # 5 bands × 12 bits
+SIMHASH_BAND_BITS = 12  # the recall/candidate-volume dial (see docstring)
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+_SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+SIMHASH_MAX_HAMMING = 8
 
-_SIMHASH_ORACLE = r"""
+_SIMHASH_ORACLE = rf"""
 WITH tok AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
@@ -305,7 +308,7 @@ WITH tok AS (
   SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
 ), bits AS (
   SELECT doc_id, j, (h >> j) & 1 AS b
-  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
 ), votes AS (
   SELECT doc_id, j, CAST(sum(b) AS BIGINT) AS ones, count(*) AS n
   FROM bits GROUP BY doc_id, j
@@ -314,8 +317,8 @@ WITH tok AS (
          CAST(sum(CASE WHEN 2 * ones > n THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sketch
   FROM votes GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, sketch, b, (sketch >> (b * 12)) & 4095 AS bucket
-  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS b)
+  SELECT doc_id, sketch, b, (sketch >> (b * {SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS bucket
+  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
          a.sketch AS sk1, b.sketch AS sk2
@@ -324,7 +327,7 @@ WITH tok AS (
 )
 SELECT doc_id_1, doc_id_2, CAST(bit_count(xor(sk1, sk2)) AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(sk1, sk2)) <= 8
+WHERE bit_count(xor(sk1, sk2)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_id_1, doc_id_2
 """
 
@@ -385,9 +388,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.shiftrightunsigned(F.col("sketch"), b * SIMHASH_BAND_BITS).bitwiseAND(
-                        F.lit(0xFFF)
+                        F.lit(_SIMHASH_BAND_MASK)
                     )
-                    for b in range(5)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("band", "bucket"),
@@ -410,7 +413,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sk1").bitwiseXOR(F.col("sk2")))
     return (
-        cand.where(hamming <= 8)
+        cand.where(hamming <= SIMHASH_MAX_HAMMING)
         .select("doc_id_1", "doc_id_2", hamming.cast("int").alias("hamming"))
         .orderBy("doc_id_1", "doc_id_2")
     )
@@ -560,7 +563,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (
         clusters.where(F.col("doc_id") == F.col("cluster_id"))
-        .join(broadcast_dim(sizes, sf_dir, "documents"), "cluster_id")
+        .join(broadcast_dim(sizes, sf_dir, "documents", row_bytes=32), "cluster_id")
         .join(docs, "doc_id")
         .select(
             "cluster_id",
@@ -719,7 +722,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ex = shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents"), "doc_id")
+    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents", row_bytes=32), "doc_id")
     a, b = exn.alias("a"), exn.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1355,7 +1358,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ex = shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents"), "doc_id")
+    exn = ex.join(broadcast_dim(sizes, sf_dir, "documents", row_bytes=32), "doc_id")
     a, b = exn.alias("a"), exn.alias("b")
     floor_t = CURVE_THRESHOLDS[0]
     common = (

@@ -2140,6 +2140,15 @@ def embedding_triplet_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate that lives outside the probed lists. Agreement with the
     exact tier is pinned at sf0.01 AND sf0.1 in tests/test_similarity.py.
 
+    One contract divergence from the exact tier, stated rather than
+    hidden: an anchor whose probed lists contain NO same-label (or no
+    diff-label) candidate is OMITTED from the output — the pos⋈neg join
+    has nothing to pair — while the exact tier always emits every
+    anchor. On these corpora coverage is 100% (pinned); on a corpus
+    with a rare, spatially clustered label the mitigation is a larger
+    ``nprobe`` or a label-stratified fallback probe for the uncovered
+    anchors, not a silent NULL row.
+
     At 100 TB the anchor set is the whole table: the broadcast on the
     anchor assignment disappears (both sides shuffle-partition on cid),
     the lists are the persisted ``build_ivf_index`` artifacts read

@@ -2314,8 +2314,8 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nrm.select(F.col("doc_id").alias("doc_id_2"), F.col("qn").alias("qn2"))
     cos = F.col("qdot") / (F.sqrt("qn1") * F.sqrt("qn2"))
     return (
-        dots.join(broadcast_dim(n1, sf_dir, "documents"), "doc_id_1")
-        .join(broadcast_dim(n2, sf_dir, "documents"), "doc_id_2")
+        dots.join(broadcast_dim(n1, sf_dir, "documents", row_bytes=32), "doc_id_1")
+        .join(broadcast_dim(n2, sf_dir, "documents", row_bytes=32), "doc_id_2")
         .select(
             "doc_id_1",
             "doc_id_2",

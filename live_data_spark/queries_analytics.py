@@ -187,7 +187,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
-        o.join(broadcast_dim(big, sf_dir, "orders"), o.o_orderkey == big.l_orderkey)
+        o.join(broadcast_dim(big, sf_dir, "orders", row_bytes=32), o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             F.col("c_custkey").alias("customer_id"),
@@ -674,7 +674,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(broadcast_dim(bad, sf_dir, "supplier"), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(broadcast_dim(bad, sf_dir, "supplier", row_bytes=16), li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(broadcast_dim(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("part_type"))
         .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
@@ -1435,8 +1435,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = part_count.select(F.col("l_partkey").alias("part_1"), F.col("c").alias("c1"))
     c2 = part_count.select(F.col("l_partkey").alias("part_2"), F.col("c").alias("c2"))
     return (
-        pairs.join(broadcast_dim(c1, sf_dir, "part"), "part_1")
-        .join(broadcast_dim(c2, sf_dir, "part"), "part_2")
+        pairs.join(broadcast_dim(c1, sf_dir, "part", row_bytes=32), "part_1")
+        .join(broadcast_dim(c2, sf_dir, "part", row_bytes=32), "part_2")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_1",
@@ -1990,7 +1990,7 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = o.groupBy("o_custkey").agg(
         F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
     )
-    placed = o.join(broadcast_dim(first, sf_dir, "customer"), "o_custkey").select(
+    placed = o.join(broadcast_dim(first, sf_dir, "customer", row_bytes=32), "o_custkey").select(
         "cohort",
         (
             (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
@@ -2331,7 +2331,7 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
         ),
     )
-    joined = p.join(broadcast_dim(cm, sf_dir, "part"), p["p_retailprice"] == cm["price"])
+    joined = p.join(broadcast_dim(cm, sf_dir, "part", row_bytes=32), p["p_retailprice"] == cm["price"])
     dominated = (
         F.coalesce(F.col("prev_cummax") >= F.col("p_size"), F.lit(False))
         | (F.col("gmax") > F.col("p_size"))
@@ -3034,7 +3034,7 @@ def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     terms = (
-        pm.join(broadcast_dim(b, sf_dir, "part"), "l_partkey")
+        pm.join(broadcast_dim(b, sf_dir, "part", row_bytes=32), "l_partkey")
         .where((F.col("qty") > 0) & (F.col("q0") > 0))
         .select(
             "idx",

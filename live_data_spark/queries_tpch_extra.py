@@ -363,7 +363,7 @@ def q20_outsized_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     shipped = (
-        li.join(broadcast_dim(p.select("p_partkey"), sf_dir, "part"), li.l_partkey == F.col("p_partkey"))
+        li.join(broadcast_dim(p.select("p_partkey"), sf_dir, "part", row_bytes=16), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec2("l_quantity")).alias("qty_dec"))
     )

@@ -20,6 +20,8 @@ no packages, exactly the gap the API exists to fill.
 from __future__ import annotations
 
 import hashlib
+import operator
+from functools import reduce
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -208,8 +210,9 @@ def pysource_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = s.join(b, s.s_doc_id == b.b_doc_id, "full_outer")
         mismatch = (
             F.when(
-                functools_reduce_and(
-                    [F.col(f"s_{c}").eqNullSafe(F.col(f"b_{c}")) for c in cols]
+                reduce(
+                    operator.and_,
+                    [F.col(f"s_{c}").eqNullSafe(F.col(f"b_{c}")) for c in cols],
                 ),
                 0,
             )
@@ -237,11 +240,3 @@ def pysource_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "lang string, n_stream bigint, n_batch bigint, n_mismatch bigint"
     )
 
-
-def functools_reduce_and(conds):
-    """AND-fold a non-empty condition list (tiny helper, no functools import
-    at module top just for one fold)."""
-    acc = conds[0]
-    for c in conds[1:]:
-        acc = acc & c
-    return acc

@@ -2515,7 +2515,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
-    tagged = e.join(broadcast_dim(first, sf_dir, "events"), "user_id").select(
+    tagged = e.join(broadcast_dim(first, sf_dir, "events", row_bytes=32), "user_id").select(
         F.to_date("ts").alias("day"),
         (F.to_date("ts") == F.col("d0")).cast("int").alias("is_new"),
         "user_id",

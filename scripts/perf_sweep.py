@@ -84,13 +84,15 @@ def sweep() -> dict:
 
 def main() -> int:
     check = "--check" in sys.argv
+    if check:
+        # read the baseline BEFORE the ~10-minute sweep: a missing or
+        # merge-mangled artifact should fail in under a second, not after
+        base = json.loads(ARTIFACT.read_text())
     fresh = sweep()
     if not check:
         ARTIFACT.write_text(json.dumps(fresh, indent=1, sort_keys=True) + "\n")
         print(f"perf_sweep: wrote {ARTIFACT.name} ({len(fresh['entries'])} entries)")
         return 0
-
-    base = json.loads(ARTIFACT.read_text())
     flagged = []
     for name, now in fresh["entries"].items():
         rec = base["entries"].get(name)

@@ -315,3 +315,37 @@ def test_broadcast_dim_gate(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert sorted(map(tuple, fallback.collect())) == sorted(map(tuple, hinted.collect()))
+
+
+def test_broadcast_dim_row_bytes_bound(spark, sf_dir):
+    """The row_bytes arm gates a NARROW per-key derivation on
+    rowcount × width instead of the base table's raw bytes: a (doc_id,
+    count) frame bounded by the wide documents table must stay
+    broadcastable long after documents' full-text bytes blow the gate.
+    Pin both directions: the rowcount bound admits the hint where the
+    raw-bytes bound would (wrongly) shut it, and a 1-byte gate still
+    shuts the row_bytes arm."""
+    from live_data_spark.catalog import broadcast_dim, table_bytes, table_rowcount
+
+    d = load(spark, sf_dir, "documents")
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    # pick a gate between the two bounds: rowcount×32 passes, raw bytes fail
+    gate = table_bytes(sf_dir, "documents") - 1
+    assert table_rowcount(sf_dir, "documents") * 32 < gate
+
+    shut_on_bytes = broadcast_dim(sizes, sf_dir, "documents", max_bytes=gate)
+    open_on_rows = broadcast_dim(
+        sizes, sf_dir, "documents", max_bytes=gate, row_bytes=32
+    )
+    j_shut = d.join(shut_on_bytes, "doc_id")
+    j_open = d.join(open_on_rows, "doc_id")
+    still_shut = broadcast_dim(sizes, sf_dir, "documents", max_bytes=1, row_bytes=32)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" not in _plan(j_shut)
+        assert "BroadcastHashJoin" in _plan(j_open)
+        assert "BroadcastHashJoin" not in _plan(d.join(still_shut, "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
