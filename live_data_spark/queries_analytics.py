@@ -2617,6 +2617,14 @@ def orders_ship_latency_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-shape), and the principled upgrade over eyeballing quantiles
     when choosing simulation/SLA models.
 
+    Stated approximation: 1.358/√n is the critical value for a FULLY
+    SPECIFIED null; here λ is estimated from the same sample, which
+    shrinks D under H₀ and makes the flag CONSERVATIVE (the Lilliefors
+    situation — his exponential-case 5% value is ≈1.08/√n, smaller).
+    The D statistic itself is exact either way; a raised flag is
+    therefore a safe rejection ("exceeds even the stricter classical
+    bound"), while an unraised flag does not certify exponentiality.
+
     Exactness: counts and the latency sum are integers; λx = x·n/Σx,
     F_exp, and each deviation are identical doubles from identical
     integers; the max over the |distinct latencies| frame (calendar-

@@ -1,0 +1,72 @@
+"""Catalog-wide partition-layout invariance sweep.
+
+Runs EVERY catalog entry twice at sf0.001 — once under the session's
+default shuffle partitioning (4, parallel partial aggregates) and once
+with ``spark.sql.shuffle.partitions=1`` (one sequential fold) — and
+asserts the canonicalized results are identical.
+
+Motivation: the oracle-parity suite proves Spark ≡ DuckDB at ONE
+partition layout. A result that depends on HOW rows were split across
+partitions (IEEE partial-sum association, per-partition state order,
+first/any_value grabs, collect_list order feeding an unsorted fold)
+can hash-match the oracle at 4 partitions and still produce different
+values on a 1000-executor cluster, where layouts are never the same
+twice. The repo's determinism discipline (integer quantization before
+cross-row sums, ``array_sort`` before folds, explicit tie-breaks on
+every rank/limit) exists precisely to make results layout-free; this
+sweep is the default-deny guard that a NEW operator can't quietly skip
+the discipline — the same posture as tests/test_plan_hygiene.py and
+tests/test_empty_input.py.
+
+1-vs-4 is the strongest cheap contrast: a single partition executes
+every fold in one sequential pass, so any dependence on partial-merge
+association or partition boundaries shows up as a value diff here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from live_data_spark.catalog import catalog
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _canon(rows, columns):
+    """Order-insensitive canonical form — the preflight/oracle-parity
+    normalize (column-sorted tuples, %.10g floats, None sentinel) so a
+    diff here means the DRIVER would see a hash mismatch too."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def c(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v + 0.0:.10g}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    return sorted(tuple(c(row[i]) for i in order) for row in rows)
+
+
+@pytest.mark.parametrize("name", sorted(catalog()))
+def test_catalog_entry_is_partition_layout_invariant(spark, name):
+    spec = catalog()[name]
+
+    def run():
+        df = spec.spark(spark, SF_SMOKE)
+        return _canon([tuple(r) for r in df.collect()], df.columns)
+
+    base = run()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        solo = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert solo == base, f"{name}: result depends on shuffle partition layout"
