@@ -1772,42 +1772,75 @@ def asof_view_purchase_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    e = load(spark, sf_dir, "events")
-    p = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    v = e.where(F.col("event_type") == "view").select("user_id", "ts")
+    # The two sides are SEPARATE reads, not two filters of one DataFrame,
+    # on purpose: a cogroup's sides must be attribute-disjoint. With
+    # shared lineage both sides carry the SAME user_id/ts expression IDs,
+    # and any downstream plan that discards the output columns
+    # (``df.count()``) lets column pruning resolve the duplicated IDs
+    # against the left side only — the right cogroup child silently loses
+    # ``ts`` and the Python worker KeyErrors. ``collect()`` masked it;
+    # tests/test_count_smoke.py now default-denies the whole class.
+    p = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    v = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select("user_id", "ts")
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left):
             return pd.DataFrame(
-                columns=["purchase_id", "user_id", "purchase_ts", "last_view_ts"]
+                {
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_ts": pd.Series(dtype="datetime64[ns]"),
+                    "last_view_ts": pd.Series(dtype="datetime64[ns]"),
+                }
             )
         left = left.sort_values("ts")
-        right = right.sort_values("ts")
         # merge_asof keeps the LEFT ts; carry the matched view ts as its
         # own column so the inclusive backward match is explicit:
-        mv = pd.merge_asof(
-            left[["ts"]].assign(__k=range(len(left))),
-            right[["ts"]].assign(view_ts=right["ts"]),
-            on="ts",
-            direction="backward",
-        ) if len(right) else pd.DataFrame({"view_ts": [pd.NaT] * len(left)})
-        out = pd.DataFrame(
+        mv = (
+            pd.merge_asof(
+                left[["ts"]],
+                right.sort_values("ts")[["ts"]].assign(view_ts=lambda r: r["ts"]),
+                on="ts",
+                direction="backward",
+            )
+            if len(right)
+            else pd.DataFrame(
+                {"view_ts": pd.Series([pd.NaT] * len(left), dtype="datetime64[ns]")}
+            )
+        )
+        # Timestamps stay timestamps here — the oracle's strftime render
+        # happens JVM-side below (date_format), not per-row in Python.
+        return pd.DataFrame(
             {
                 "purchase_id": left["event_id"].to_numpy(),
                 "user_id": left["user_id"].to_numpy(),
-                "purchase_ts": left["ts"].dt.strftime(_TS_FMT_DUCK),
-                "last_view_ts": mv["view_ts"].dt.strftime(_TS_FMT_DUCK),
+                "purchase_ts": left["ts"].to_numpy(),
+                "last_view_ts": mv["view_ts"].to_numpy(),
             }
         )
-        return out.where(pd.notna(out), None)
 
-    return (
+    merged = (
         p.groupBy("user_id")
         .cogroup(v.groupBy("user_id"))
         .applyInPandas(
             merge,
-            "purchase_id long, user_id long, purchase_ts string, last_view_ts string",
+            "purchase_id long, user_id long, "
+            "purchase_ts timestamp_ntz, last_view_ts timestamp_ntz",
         )
+    )
+    return merged.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("purchase_ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("last_view_ts", _TS_FMT_SPARK).alias("last_view_ts"),
     )
 
 
