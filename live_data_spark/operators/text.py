@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from live_data_spark.catalog import broadcast_dim, load, register
+from live_data_spark.catalog import (
+    BROADCAST_GATE_BYTES,
+    broadcast_dim,
+    load,
+    register,
+    table_rowcount,
+)
 
 # ---------------------------------------------------------------------------
 # Token counting — whitespace tokenization + a BPE-ish subword estimate.
@@ -2261,12 +2267,15 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Honest bench note (the embedding_neardup_lsh discipline): this
     testdata has only ~31 distinct words, so idf has nothing to spread —
     every signature term lands in ~40% of docs and the candidate set
-    degenerates to ~12M pairs at sf0.1 (~35-50 s; the DuckDB oracle
-    pays the same, hence the sweep HEAVY listing). That is the exact
-    tier doing exact work on a pathological vocabulary: with a real
-    corpus vocabulary (10⁵+), signature df collapses and the identical
-    plan is near-linear. The sketch rungs (dedup_simhash / dedup_minhash)
-    remain the volume path either way.
+    degenerates to ~43M raw / ~12M distinct pairs at sf0.1 (the DuckDB
+    oracle pays the same quadratic, hence the sweep HEAVY listing).
+    That is the exact tier doing exact work on a pathological
+    vocabulary: with a real corpus vocabulary (10⁵+), signature df
+    collapses and the identical plan is near-linear. The gated
+    broadcast+copartition pair plan (see inline comment) cuts the
+    degenerate case 3.6× (33 s → 9 s at sf0.1) by deleting the
+    pair-level exchange; the sketch rungs (dedup_simhash /
+    dedup_minhash) remain the volume path either way.
     """
     from pyspark.sql import Window
 
@@ -2294,8 +2303,31 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = w.withColumn("rk", rk).where(F.col("rk") <= SPARSE_SIG_TERMS).drop("rk")
     qq = lambda c: F.floor(c * 1000000 + 0.5).cast("bigint")  # noqa: E731
+    # Pair-plan ladder, gated on the signature table's broadcast cost
+    # (docs × |sig| rows of ~(long, short term, double)):
+    #
+    # - gate OPEN (sig broadcastable): hash-partition the probe side by
+    #   doc_id and BROADCAST the build side. The pair aggregate's keys
+    #   (a.doc_id, b.doc_id) are then already clustered by a.doc_id, so
+    #   the 10M+-row pair stream aggregates IN PLACE — no pair-level
+    #   exchange at all, which is where the SMJ shape spends ~70% of its
+    #   time on this corpus (3.6× measured at sf0.1). ``sig`` is persisted
+    #   (≈40 B/doc·term, MEMORY_ONLY) because a broadcast build side
+    #   cannot ReuseExchange the probe side's shuffle subtree — without
+    #   the pin the tf-idf window recomputes once per broadcast.
+    # - gate CLOSED (huge corpus): the original shape — SMJ on term with
+    #   exchange-reused signature subtrees, pair aggregate with its own
+    #   shuffle. Slower constants, but nothing is ever driver-resident.
+    sig_small = (
+        table_rowcount(sf_dir, "documents") * SPARSE_SIG_TERMS * 40
+        <= BROADCAST_GATE_BYTES
+    )
+    if sig_small:
+        sig = sig.persist()
+        a, b = sig.repartition("doc_id").alias("a"), F.broadcast(sig.alias("b"))
+    else:
+        a, b = sig.alias("a"), sig.alias("b")
     nrm = sig.groupBy("doc_id").agg(F.sum(qq(F.col("w") * F.col("w"))).alias("qn"))
-    a, b = sig.alias("a"), sig.alias("b")
     dots = (
         a.join(
             b,

@@ -349,3 +349,25 @@ def test_broadcast_dim_row_bytes_bound(spark, sf_dir):
         assert "BroadcastHashJoin" not in _plan(d.join(still_shut, "doc_id"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sparse_cosine_pair_agg_needs_no_exchange(spark, sf_dir):
+    """text_sparse_cosine_topk's gated pair plan: the probe side is
+    hash-partitioned by doc_id and the build side broadcasts, so the
+    pair-level aggregate — the 10M+-row hot spot on a degenerate
+    vocabulary — runs IN PLACE on the join output (HashPartitioning on
+    a.doc_id satisfies the (a.doc_id, b.doc_id) clustering). A
+    reintroduced pair exchange is the 3.6× regression this pins against.
+    The persisted signature (InMemoryTableScan) is load-bearing too: a
+    broadcast build side cannot ReuseExchange the probe's shuffle
+    subtree, so without the pin the tf-idf window recomputes per use."""
+    df = catalog()["text_sparse_cosine_topk"].spark(spark, sf_dir)
+    df.collect()  # AQE: read the final plan
+    plan = _plan(df)
+    # pair agg keys are (doc_id, doc_id); the pair join is the equi-join
+    # on term. Between them there must be no exchange of any kind.
+    agg_at = plan.index("HashAggregate(keys=[doc_id#")
+    join_at = plan.index("BroadcastHashJoin [term#", agg_at)
+    between = plan[agg_at:join_at]
+    assert "Exchange" not in between, "pair aggregate re-shuffles the pair stream"
+    assert "InMemoryTableScan" in plan, "signature frame is not persisted"
