@@ -395,7 +395,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # Same gated pair plan as text_sparse_cosine_topk: while the bands
+    # table (SIMHASH_BANDS rows/doc of three longs) passes the broadcast
+    # gate, pre-partition the probe side by doc_id and broadcast the
+    # build side — the candidate dropDuplicates keys (doc_id_1, doc_id_2)
+    # are then already clustered by a.doc_id and the pair stream dedups
+    # in place, with no pair-level exchange (the hot spot: collision-rich
+    # 12-bit buckets on a degenerate corpus). Persist pins the sketch
+    # subtree to one computation (broadcast sides can't ReuseExchange).
+    # Above the gate: the plain self-join shape, nothing driver-resident.
+    from live_data_spark.catalog import BROADCAST_GATE_BYTES, table_rowcount
+
+    bands_small = (
+        table_rowcount(sf_dir, "documents") * SIMHASH_BANDS * 40
+        <= BROADCAST_GATE_BYTES
+    )
+    if bands_small:
+        bands = bands.persist()
+        a, b = bands.repartition("doc_id").alias("a"), F.broadcast(bands.alias("b"))
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
