@@ -39,6 +39,16 @@ PR_DAMPING = 0.85
 PR_ITERS = 12
 PR_MIN_BOTH = 2  # co-purchase support floor: edges need ≥2 shared orders
 PR_TOP = 25
+# Per-iteration mass quantization (the surprisal recipe, applied to an
+# ITERATIVE operator): every edge contribution pr/outdeg quantizes to a
+# 1e-15 integer before the per-node sum, so each round's ranks are a pure
+# function of engine-identical integers and the whole 12-round power
+# iteration replays bit-for-bit in DuckDB (unrolled CTE chain) and in the
+# pure-Python test reference. No overflow at ANY graph size: total mass
+# is 1, so the global integer sum is ~1e15 and every per-node sum is
+# below it. Quantization drift per round is ≤ n_edges·5e-16 — ~5e-11 at
+# sf0.1, invisible at the 8-decimal output rounding.
+PR_Q = 10**15
 # Lineage-truncation cadence: materializing ranks EVERY round pays a full
 # rank-table write per iteration; truncating only at the end lets the
 # logical plan deepen 12 joins and the optimizer cost blow up (measured
@@ -100,7 +110,13 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
         contrib = (
             edges.join(ranks, "src")
             .groupBy(F.col("dst").alias("src"))
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("mass"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("pr") / F.col("outdeg") * F.lit(float(PR_Q)) + 0.5
+                    ).cast("long")
+                ).alias("qmass")
+            )
         )
         ranks = (
             ranks.drop("pr")
@@ -108,9 +124,14 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
             .select(
                 "src",
                 "outdeg",
-                (F.lit(teleport) + PR_DAMPING * F.coalesce("mass", F.lit(0.0))).alias(
-                    "pr"
-                ),
+                (
+                    F.lit(teleport)
+                    + PR_DAMPING
+                    * (
+                        F.coalesce("qmass", F.lit(0)).cast("double")
+                        / F.lit(float(PR_Q))
+                    )
+                ).alias("pr"),
             )
         )
         if (i + 1) % PR_TRUNCATE_EVERY == 0 or i == iters - 1:
@@ -120,20 +141,86 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
     )
 
 
-@register("graph_part_pagerank", oracle=None, tags=("graph", "iterative"))
+def _pr_oracle() -> str:
+    """Unrolled power iteration: one CTE pair (mass, ranks) per round.
+
+    "Iterative" does not have to mean "rows-only": a FIXED-round power
+    iteration is a finite dataflow, so the oracle just chains
+    ``PR_ITERS`` join+aggregate CTEs. With the per-iteration integer
+    quantization both engines fold the identical integers, so the final
+    doubles — and therefore the top-k cut — are bit-identical.
+    """
+    its = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        its.append(
+            f""", m{i} AS (
+  SELECT e.dst AS src,
+         cast(sum(cast(floor(r.pr / r.outdeg * {PR_Q} + 0.5) AS BIGINT)) AS BIGINT) AS qmass
+  FROM edges e JOIN {prev} r ON r.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT d.src, d.outdeg,
+         (1.0 - {PR_DAMPING}) / n.n
+           + {PR_DAMPING} * (coalesce(m.qmass, 0) / cast({PR_Q} AS DOUBLE)) AS pr
+  FROM deg d CROSS JOIN n LEFT JOIN m{i} m ON m.src = d.src
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_MIN_BOTH}
+), edges AS (
+  SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), n AS (
+  SELECT count(*) AS n FROM deg
+), r0 AS (
+  SELECT d.src, d.outdeg, 1.0 / n.n AS pr FROM deg d CROSS JOIN n
+)"""
+        + "".join(its)
+        + f"""
+SELECT src AS part_id, cast(outdeg AS BIGINT) AS degree,
+       floor(pr * 100000000 + 0.5) / 100000000 AS pr_score
+FROM {prev}
+ORDER BY pr DESC, src
+LIMIT {PR_TOP}
+"""
+    )
+
+
+@register("graph_part_pagerank", oracle=_pr_oracle(), tags=("graph", "iterative"))
 def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 parts by co-purchase PageRank: (part_id, degree, pr_score).
-    Rows-only (iterative — no SQL oracle); score parity and top-set
-    agreement vs a pure-Python power iteration are pinned in
-    tests/test_graph.py. Scores round to 8 decimals — far above
-    partition-order fp drift (~1e-15), far below the testdata's
-    inter-rank gaps.
+
+    FULLY oracle-checked despite being iterative (the r7 promotion): the
+    per-iteration integer quantization (``PR_Q``) makes every round a
+    pure function of engine-identical integers, and the DuckDB oracle
+    unrolls the fixed 12 rounds as a CTE chain — see ``_pr_oracle``.
+    Score parity and top-set agreement vs a pure-Python power iteration
+    replaying the same quantized arithmetic stay pinned in
+    tests/test_graph.py. The output score is HALF-UP-quantized to 8
+    decimals with integer arithmetic in BOTH engines (never ``round`` on
+    a double — half-boundary rounding diverges across engines).
     """
     pr = pagerank(spark, sf_dir)
     return (
         pr.orderBy(F.col("pr").desc(), "part_id")
         .limit(PR_TOP)
-        .select("part_id", "degree", F.round("pr", 8).alias("pr_score"))
+        .select(
+            "part_id",
+            "degree",
+            (F.floor(F.col("pr") * 100000000 + 0.5) / 100000000).alias("pr_score"),
+        )
     )
 
 

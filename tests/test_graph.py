@@ -8,6 +8,10 @@ from live_data_spark.operators import graph as g
 
 
 def _py_pagerank(edges, iters, damping):
+    # Replays the engine's QUANTIZED arithmetic (graph.PR_Q): integer
+    # mass sums per round, so parity with Spark/DuckDB is exact, not
+    # approximate.
+    import math
     from collections import defaultdict
 
     outdeg = defaultdict(int)
@@ -18,10 +22,10 @@ def _py_pagerank(edges, iters, damping):
     pr = {v: 1.0 / n for v in nodes}
     tele = (1.0 - damping) / n
     for _ in range(iters):
-        mass = defaultdict(float)
+        qmass = defaultdict(int)
         for s, d in edges:
-            mass[d] += pr[s] / outdeg[s]
-        pr = {v: tele + damping * mass.get(v, 0.0) for v in nodes}
+            qmass[d] += math.floor(pr[s] / outdeg[s] * float(g.PR_Q) + 0.5)
+        pr = {v: tele + damping * (qmass.get(v, 0) / float(g.PR_Q)) for v in nodes}
     return pr
 
 
@@ -31,8 +35,10 @@ def test_pagerank_matches_python_reference(spark, sf_dir):
     want = _py_pagerank(edges, g.PR_ITERS, g.PR_DAMPING)
     got = {r["part_id"]: r for r in g.pagerank(spark, sf_dir).collect()}
     assert set(got) == set(want)
+    # quantized fold: parity is EXACT (identical integers, identical
+    # IEEE ops in identical order), not approximate
     for v, r in got.items():
-        assert r["pr"] == pytest.approx(want[v], rel=1e-9, abs=1e-15), v
+        assert r["pr"] == want[v], v
     # degree column is the real out-degree
     from collections import Counter
 
