@@ -154,12 +154,12 @@ def _pr_oracle() -> str:
     prev = "r0"
     for i in range(1, PR_ITERS + 1):
         its.append(
-            f""", m{i} AS (
+            f""", m{i} AS MATERIALIZED (
   SELECT e.dst AS src,
          cast(sum(cast(floor(r.pr / r.outdeg * {PR_Q} + 0.5) AS BIGINT)) AS BIGINT) AS qmass
   FROM edges e JOIN {prev} r ON r.src = e.src
   GROUP BY e.dst
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT d.src, d.outdeg,
          (1.0 - {PR_DAMPING}) / n.n
            + {PR_DAMPING} * (coalesce(m.qmass, 0) / cast({PR_Q} AS DOUBLE)) AS pr
@@ -169,22 +169,22 @@ def _pr_oracle() -> str:
         prev = f"r{i}"
     return (
         f"""
-WITH items AS (
+WITH items AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING count(*) >= {PR_MIN_BOTH}
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT p1 AS src, p2 AS dst FROM pairs
   UNION ALL SELECT p2, p1 FROM pairs
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, count(*) AS outdeg FROM edges GROUP BY src
-), n AS (
+), n AS MATERIALIZED (
   SELECT count(*) AS n FROM deg
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT d.src, d.outdeg, 1.0 / n.n AS pr FROM deg d CROSS JOIN n
 )"""
         + "".join(its)
@@ -231,9 +231,9 @@ def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_TOP = 20
 
 _TRI_ORACLE = f"""
-WITH items AS (
+WITH items AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -1499,39 +1499,152 @@ def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_LAMBDA = 0.7
 MMR_POOL = 100
 MMR_SELECT = 20
+# Integer MMR scoring (the r7 promotion): relevances and similarities
+# quantize to 1e-8 integers (qrel, qsim) and the greedy objective
+# λ·rel − (1−λ)·maxsim becomes the INTEGER 7·qrel − 3·qmaxsim (λ = 7/10
+# exactly — not the float 0.7/0.30000000000000004 pair), in 1e-9 units.
+# Selection is then a pure function of engine-identical integers: no
+# float near-tie can ever flip an argmax between engines, which matters
+# here because the synthetic corpus contains near-duplicate vectors.
+MMR_Q = 10**8
 
 
-def mmr_greedy(pool: "list[tuple[int, float, list[float]]]", k: int, lam: float):
+def _mmr_fold_dot(a: str, b: str) -> str:
+    """DuckDB replay of ``dot``'s F.aggregate fold: same 0.0 seed (via
+    list_prepend — list_reduce seeds with the FIRST element), same
+    element order, same per-element float→double cast placement."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    return (
+        f"{_mmr_fold_dot(a, b)} / "
+        f"(sqrt({_mmr_fold_dot(a, a)}) * sqrt({_mmr_fold_dot(b, b)}))"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: one (sel, cum) CTE pair per selection round.
+
+    Like the PageRank promotion, a FIXED-round greedy is a finite
+    dataflow: the pool is the top-MMR_POOL by quantized relevance, the
+    pairwise similarity table is pool², and each round's argmax is an
+    ORDER BY qscore DESC, vec_id LIMIT 1 over the not-yet-selected pool
+    with qmaxsim = max over the selected set.
+    """
+    rounds = []
+    for t in range(2, MMR_SELECT + 1):
+        rounds.append(
+            f""", sel{t} AS MATERIALIZED (
+  SELECT {t - 1} AS rank, c.vec_id, c.qrel, 7 * c.qrel - 3 * c.qms AS qscore
+  FROM (
+    SELECT p.vec_id, p.qrel, max(s.qsim) AS qms
+    FROM pool p
+    JOIN sims s ON s.a = p.vec_id AND s.b IN (SELECT vec_id FROM cum{t - 1})
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM cum{t - 1})
+    GROUP BY p.vec_id, p.qrel
+  ) c
+  ORDER BY qscore DESC, c.vec_id LIMIT 1
+), cum{t} AS MATERIALIZED (
+  SELECT * FROM cum{t - 1} UNION ALL SELECT * FROM sel{t}
+)"""
+        )
+    return (
+        f"""
+WITH q0 AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), pool AS MATERIALIZED (
+  SELECT e.vec_id,
+         CAST(floor({_mmr_cos("e.embedding", "q0.qe")} * {MMR_Q} + 0.5) AS BIGINT) AS qrel
+  FROM embeddings e CROSS JOIN q0
+  WHERE e.vec_id <> 0
+  ORDER BY qrel DESC, e.vec_id
+  LIMIT {MMR_POOL}
+), sims AS MATERIALIZED (
+  SELECT p1.vec_id AS a, p2.vec_id AS b,
+         CAST(floor({_mmr_cos("e1.embedding", "e2.embedding")} * {MMR_Q} + 0.5) AS BIGINT) AS qsim
+  FROM pool p1 JOIN pool p2 ON p1.vec_id <> p2.vec_id
+  JOIN embeddings e1 ON e1.vec_id = p1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = p2.vec_id
+), sel1 AS MATERIALIZED (
+  SELECT 0 AS rank, vec_id, qrel, 7 * qrel AS qscore
+  FROM pool ORDER BY 7 * qrel DESC, vec_id LIMIT 1
+), cum1 AS MATERIALIZED (
+  SELECT * FROM sel1
+)"""
+        + "".join(rounds)
+        + f"""
+SELECT cast(rank AS INTEGER) AS rank, vec_id,
+       qrel / {MMR_Q}.0 AS relevance,
+       qscore / {MMR_Q * 10}.0 AS mmr_score
+FROM cum{MMR_SELECT}
+ORDER BY rank
+"""
+    )
+
+
+def mmr_greedy(pool: "list[tuple[int, int, list[float]]]", k: int):
     """Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998)
-    over a (vec_id, relevance, unit-vector) pool:
-    argmax λ·rel − (1−λ)·max-sim-to-selected, ties → lowest vec_id.
-    Pure-Python, driver-side — the pool is BOUNDED (top-MMR_POOL by
-    relevance), so this is k·|pool| dot products on tiny state, the
-    same bounded-collect contract as the PQ codebook sample."""
-    import numpy as np
+    over a (vec_id, qrel, vector) pool, in the INTEGER scoring of
+    ``MMR_Q``: argmax 7·qrel − 3·qmaxsim, ties → lowest vec_id (the
+    SIGNED max-sim-to-selected starts undefined, not at 0 — flooring it
+    at zero would erase the diversity bonus for anti-correlated
+    candidates). Pure-Python, driver-side — the pool is BOUNDED
+    (top-MMR_POOL by relevance), so this is |pool|² sequential-fold dot
+    products on tiny state, the same bounded-collect contract as the PQ
+    codebook sample. The folds deliberately avoid numpy: a SIMD/pairwise
+    sum would diverge from the oracle's list_reduce at the last ulp,
+    and the 1e-8 quantization must see the identical double."""
+    import math
 
     if not pool:  # empty corpus: nothing to select
         return []
     ids = [p[0] for p in pool]
-    rel = np.array([p[1] for p in pool])
-    V = np.array([p[2] for p in pool])
-    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qrel = [p[1] for p in pool]
+    V = [p[2] for p in pool]
+
+    def fdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norm = [math.sqrt(fdot(v, v)) for v in V]
+    n = len(pool)
+    qsim = [
+        [
+            math.floor(fdot(V[i], V[j]) / (norm[i] * norm[j]) * MMR_Q + 0.5)
+            if i != j
+            else 0
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
     out = []
-    cand = list(range(len(pool)))
-    max_sim = None  # SIGNED max-sim-to-selected: can be negative, so it
-    # must start undefined, not at 0 — flooring it at zero silently
-    # erases the diversity BONUS for anti-correlated candidates
-    for t in range(min(k, len(pool))):
-        scores = lam * rel if max_sim is None else lam * rel - (1.0 - lam) * max_sim
-        best = min(cand, key=lambda i: (-scores[i], ids[i]))
-        out.append((ids[best], float(rel[best]), float(scores[best])))
+    cand = set(range(n))
+    qms = None
+    for t in range(min(k, n)):
+        score = {
+            i: 7 * qrel[i] - (3 * qms[i] if qms is not None else 0) for i in cand
+        }
+        best = min(cand, key=lambda i: (-score[i], ids[i]))
+        out.append((ids[best], qrel[best], score[best]))
         cand.remove(best)
-        sims = V @ V[best]
-        max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
+        if qms is None:
+            qms = [qsim[i][best] for i in range(n)]
+        else:
+            qms = [max(qms[i], qsim[i][best]) for i in range(n)]
     return out
 
 
-@register("embedding_mmr_select", oracle=None, tags=("similarity", "retrieval", "sampling"))
+@register(
+    "embedding_mmr_select",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "retrieval", "sampling"),
+)
 def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware selection: pick MMR_SELECT vectors that are
     RELEVANT to the seed (vec 0 cosine) but not redundant with each
@@ -1540,10 +1653,16 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-MMR_POOL pool (map-only + one bounded cut); the greedy
     argmax chain is inherently sequential, so it runs driver-side over
     the collected 100-row pool — bounded state, never data-sized (the
-    PQ-codebook contract). Rows-only: the greedy recursion has no SQL
-    form; selection parity vs an independent reference and the
-    diversity invariant (selected max-pairwise-sim < pool's) are pinned
-    in tests/test_similarity.py.
+    PQ-codebook contract).
+
+    FULLY oracle-checked despite the greedy recursion (the r7
+    promotion, same move as graph_part_pagerank): relevances and
+    pairwise sims quantize to 1e-8 integers off engine-identical
+    sequential-fold cosines, the greedy objective is the integer
+    7·qrel − 3·qmaxsim, and the oracle unrolls the MMR_SELECT rounds as
+    a CTE chain (``_mmr_oracle``). Selection parity vs an independent
+    float reference and the diversity invariant stay pinned in
+    tests/test_similarity.py.
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
@@ -1552,14 +1671,23 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool_df = (
         e.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q0))
-        .select("vec_id", cosine(F.col("emb"), F.col("qe")).alias("rel"), "emb")
-        .orderBy(F.col("rel").desc(), "vec_id")
+        .select(
+            "vec_id",
+            F.floor(cosine(F.col("emb"), F.col("qe")) * MMR_Q + 0.5)
+            .cast("long")
+            .alias("qrel"),
+            "emb",
+        )
+        .orderBy(F.col("qrel").desc(), "vec_id")
         .limit(MMR_POOL)
     )
-    pool = [(r["vec_id"], r["rel"], r["emb"]) for r in pool_df.collect()]
-    sel = mmr_greedy(pool, MMR_SELECT, MMR_LAMBDA)
+    pool = [(r["vec_id"], r["qrel"], r["emb"]) for r in pool_df.collect()]
+    sel = mmr_greedy(pool, MMR_SELECT)
     return pool_df.sparkSession.createDataFrame(
-        [(i, v, round(rel, 6), round(s, 6)) for i, (v, rel, s) in enumerate(sel)],
+        [
+            (i, v, qrel / MMR_Q, qscore / (MMR_Q * 10))
+            for i, (v, qrel, qscore) in enumerate(sel)
+        ],
         "rank int, vec_id long, relevance double, mmr_score double",
     )
 

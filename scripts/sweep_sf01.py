@@ -27,8 +27,6 @@ SF = "/root/testdata/sf0.1"
 
 # DuckDB-side quadratic / recursive oracles — infeasible at sf0.1
 HEAVY = {
-    "graph_part_pagerank",  # 12 unrolled CTE iterations: 55 s in DuckDB at sf0.1
-    # (verified green ONCE at sf0.1 on promotion, r7; driver checks at sf0.01)
     "dedup_ngram_jaccard",
     "dedup_threshold_curve",
     "text_sparse_cosine_topk",  # 31-word testdata vocab → ~12M candidate pairs BOTH engines
