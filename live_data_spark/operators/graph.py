@@ -161,7 +161,7 @@ def _pr_oracle() -> str:
   GROUP BY e.dst
 ), r{i} AS MATERIALIZED (
   SELECT d.src, d.outdeg,
-         (1.0 - {PR_DAMPING}) / n.n
+         cast({(1.0 - PR_DAMPING)!r} AS DOUBLE) / n.n
            + {PR_DAMPING} * (coalesce(m.qmass, 0) / cast({PR_Q} AS DOUBLE)) AS pr
   FROM deg d CROSS JOIN n LEFT JOIN m{i} m ON m.src = d.src
 )"""
