@@ -159,6 +159,56 @@ PYSOURCE_PARITY_N = 120
 PYSOURCE_PARITY_BATCH = 60
 
 
+def parity_report(streamed: DataFrame, batch: DataFrame) -> DataFrame:
+    """Per-lang (n_stream, n_batch, n_mismatch) between a landed stream
+    frame and its batch twin. Each side is first aggregated to per-row
+    multiplicities (group by EVERY column); the multiplicity frames then
+    full-outer-join on doc_id, and a row mismatches when any column
+    differs, either side is absent, or either multiplicity ≠ 1. The
+    multiplicity step is what makes duplicate deliveries DETECTABLE: a
+    raw row-level outer join fans the batch row out once per duplicate,
+    inflating n_batch in lockstep with n_stream with zero mismatches —
+    a replayed micro-batch would pass silently. Factored out of the
+    catalog entry so tests can drive the detector on planted
+    duplicate/missing/corrupt frames without a stream run."""
+    cols = batch.columns
+    s = streamed.groupBy(*cols).agg(F.count(F.lit(1)).alias("s_cnt"))
+    s = s.select(*[F.col(c).alias(f"s_{c}") for c in cols], "s_cnt")
+    b = batch.groupBy(*cols).agg(F.count(F.lit(1)).alias("b_cnt"))
+    b = b.select(*[F.col(c).alias(f"b_{c}") for c in cols], "b_cnt")
+    joined = s.join(b, s.s_doc_id == b.b_doc_id, "full_outer")
+    mismatch = (
+        F.when(
+            reduce(
+                operator.and_,
+                [F.col(f"s_{c}").eqNullSafe(F.col(f"b_{c}")) for c in cols]
+                + [
+                    F.col("s_cnt").eqNullSafe(F.lit(1)),
+                    F.col("b_cnt").eqNullSafe(F.lit(1)),
+                ],
+            ),
+            0,
+        )
+        .otherwise(1)
+        .alias("mm")
+    )
+    return (
+        joined.select(
+            F.coalesce("s_lang", "b_lang").alias("lang"),
+            F.coalesce("s_cnt", F.lit(0)).alias("in_stream"),
+            F.coalesce("b_cnt", F.lit(0)).alias("in_batch"),
+            mismatch,
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("in_stream").cast("bigint").alias("n_stream"),
+            F.sum("in_batch").cast("bigint").alias("n_batch"),
+            F.sum("mm").cast("bigint").alias("n_mismatch"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register("pysource_stream_batch_parity", oracle=None, tags=("source", "streaming"))
 def pysource_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch/stream EQUALITY twin for the Python DataSource pair — the
@@ -166,11 +216,16 @@ def pysource_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every streaming operator ships with a batch twin whose equality is
     checked): drain ``synthetic_docs_stream`` end-to-end with
     availableNow micro-batches (offset checkpointing, one batch per
-    drain — the Simple-reader contract), then full-outer-join the
-    landed rows against the BATCH ``synthetic_docs`` read of the same
-    doc space and report per-lang row counts from both sides plus the
-    mismatch count (any row present on one side only, or differing in
-    any column). All-zero ``n_mismatch`` IS the exactly-once +
+    drain — the Simple-reader contract), then compare against the BATCH
+    ``synthetic_docs`` read of the same doc space. Each side is first
+    aggregated to per-row multiplicities (group by EVERY column) and the
+    multiplicity frames full-outer-join on doc_id — a duplicate stream
+    delivery therefore inflates ``n_stream`` alone AND trips
+    ``n_mismatch`` (multiplicity ≠ 1), instead of fanning the batch row
+    out and cancelling as a raw row-level outer join would (the
+    full-outer fan-out would keep n_batch == n_stream and mm == 0 for
+    identical duplicates — silently passing a replayed micro-batch).
+    All-zero ``n_mismatch`` with equal counts IS the exactly-once +
     replay-determinism claim, recomputed distributed on every run.
     Rows-only driver check (the doc space is md5-seeded — no SQL twin);
     the micro-batch offset walk itself is pinned in tests/test_sources.py.
@@ -204,36 +259,7 @@ def pysource_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = (
             spark.read.format("synthetic_docs").option("n", PYSOURCE_PARITY_N).load()
         )
-        cols = batch.columns
-        s = streamed.select([F.col(c).alias(f"s_{c}") for c in cols])
-        b = batch.select([F.col(c).alias(f"b_{c}") for c in cols])
-        joined = s.join(b, s.s_doc_id == b.b_doc_id, "full_outer")
-        mismatch = (
-            F.when(
-                reduce(
-                    operator.and_,
-                    [F.col(f"s_{c}").eqNullSafe(F.col(f"b_{c}")) for c in cols],
-                ),
-                0,
-            )
-            .otherwise(1)
-            .alias("mm")
-        )
-        out = (
-            joined.select(
-                F.coalesce("s_lang", "b_lang").alias("lang"),
-                F.col("s_doc_id").isNotNull().cast("int").alias("in_stream"),
-                F.col("b_doc_id").isNotNull().cast("int").alias("in_batch"),
-                mismatch,
-            )
-            .groupBy("lang")
-            .agg(
-                F.sum("in_stream").cast("bigint").alias("n_stream"),
-                F.sum("in_batch").cast("bigint").alias("n_batch"),
-                F.sum("mm").cast("bigint").alias("n_mismatch"),
-            )
-            .orderBy("lang")
-        )
+        out = parity_report(streamed, batch)
         # materialize before the temp sink disappears (bounded: ≤|langs| rows)
         rows = [tuple(r) for r in out.collect()]
     return spark.createDataFrame(

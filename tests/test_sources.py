@@ -398,3 +398,40 @@ def test_pysource_parity_catalog_entry(spark):
     for r in rows:
         assert r["n_stream"] == r["n_batch"]
         assert r["n_mismatch"] == 0
+
+
+def test_pysource_parity_detects_duplicate_delivery(spark):
+    """The detector arm the clean-run entry can't exercise: a replayed
+    micro-batch (identical duplicate rows), a dropped row, and a
+    corrupted redelivery must each surface as n_mismatch > 0 — and the
+    identical-duplicate case must ALSO break the count equality (the raw
+    row-level outer join it replaced fanned the batch row out and
+    reported both sides equal with zero mismatches)."""
+    from live_data_spark.sources.pysource import parity_report
+
+    schema = "doc_id long, text string, lang string"
+    batch = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")], schema
+    )
+
+    # clean drain: identity
+    clean = parity_report(batch, batch).collect()
+    assert all(r["n_mismatch"] == 0 and r["n_stream"] == r["n_batch"] for r in clean)
+    assert sum(r["n_stream"] for r in clean) == 3
+
+    # replayed micro-batch: doc 1 landed twice, byte-identical
+    dup = batch.unionAll(spark.createDataFrame([(1, "a", "en")], schema))
+    rows = {r["lang"]: r for r in parity_report(dup, batch).collect()}
+    assert rows["en"]["n_stream"] == 3 and rows["en"]["n_batch"] == 2
+    assert rows["en"]["n_mismatch"] > 0
+
+    # dropped row: doc 3 never landed
+    missing = batch.where(F.col("doc_id") != 3)
+    rows = {r["lang"]: r for r in parity_report(missing, batch).collect()}
+    assert rows["de"]["n_stream"] == 0 and rows["de"]["n_batch"] == 1
+    assert rows["de"]["n_mismatch"] > 0
+
+    # corrupted redelivery: doc 2 landed twice with differing payloads
+    corrupt = batch.unionAll(spark.createDataFrame([(2, "B", "en")], schema))
+    rows = {r["lang"]: r for r in parity_report(corrupt, batch).collect()}
+    assert rows["en"]["n_mismatch"] > 0
