@@ -139,12 +139,45 @@ def table_bytes(sf_dir: str, table: str) -> int:
 BROADCAST_GATE_BYTES = 32 * 1024 * 1024
 
 
+@_functools.lru_cache(maxsize=128)
+def key_domain_span(sf_dir: str, table: str, column: str) -> int:
+    """Upper bound on an integer key column's DISTINCT count from parquet
+    footer min/max statistics: distinct values ≤ max − min + 1. Still a
+    driver-side metadata read (per-row-group stats, no scan). Bounds a
+    per-DISTINCT-key frame far tighter than the base table's rowcount
+    when keys repeat (events has ~66 rows per user at every SF): the
+    rowcount bound scales with TRAFFIC while the frame scales with
+    POPULATION. Sound in both directions — for a sparse 64-bit id space
+    the span is huge, the gate shuts, and the plan falls back to the
+    shuffle path; never an OOM. Falls back to the rowcount bound when
+    any row group lacks min/max stats."""
+    import pyarrow.parquet as pq
+
+    path = _Path(sf_dir) / f"{table}.parquet"
+    files = [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
+    lo: int | None = None
+    hi: int | None = None
+    for fp in files:
+        md = pq.ParquetFile(str(fp)).metadata
+        idx = md.schema.names.index(column)
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return table_rowcount(sf_dir, table)
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or hi is None:  # zero row groups: empty table
+        return 0
+    return int(hi) - int(lo) + 1
+
+
 def broadcast_dim(
     df: DataFrame,
     sf_dir: str,
     table: str,
     max_bytes: int = BROADCAST_GATE_BYTES,
     row_bytes: int | None = None,
+    key: str | None = None,
 ) -> DataFrame:
     """Size-gated broadcast hint for an SF-SCALING frame.
 
@@ -171,10 +204,23 @@ def broadcast_dim(
       rows are wide (documents carries full text): gate on
       ``table_rowcount × K`` instead, which tracks the frame's real
       broadcast cost while still being a driver-side footer read.
+    - ``row_bytes=K, key="col"``: the frame has ≤1 row per DISTINCT
+      value of an integer key that REPEATS in the base table (a per-user
+      aggregate of events). The rowcount bound scales with traffic while
+      the frame scales with population — gate on
+      ``min(rowcount, key_domain_span) × K`` instead, still pure footer
+      metadata (min/max column statistics).
     """
     from pyspark.sql import functions as F
 
-    if row_bytes is not None:
+    if key is not None:
+        if row_bytes is None:
+            raise ValueError("key= requires row_bytes=")
+        rows = min(
+            table_rowcount(sf_dir, table), key_domain_span(sf_dir, table, key)
+        )
+        bound = rows * row_bytes
+    elif row_bytes is not None:
         bound = table_rowcount(sf_dir, table) * row_bytes
     else:
         bound = table_bytes(sf_dir, table)

@@ -681,7 +681,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # shingle_rows' codegen idiom keyed by SOURCE instead of doc_id:
     # explode a cheap integer sequence and assemble each gram per row —
-    # NOT explode(word_shingles(...)), whose Generate re-evaluates the
+    # NOT exploding a transform()-built shingle array, whose Generate re-evaluates the
     # interpreted HOF array per output row (the measured-52× trap this
     # entry originally fell into: 17 s → ~3 s at sf0.1, with spread()
     # widening the single-file scan before the CPU-bound stage).

@@ -63,22 +63,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(col: Column | str = "text", k: int = 3) -> Column:
-    """Distinct word k-gram shingles of normalized text (JVM-side only).
-
-    Sub-k-word docs yield an EMPTY array: Spark's ``sequence(1, 0)`` is
-    a descending ``[1, 0]``, whose out-of-range ``element_at`` aborts
-    the job under ANSI mode — the degenerate-doc guard mirrors
-    ``shingle_rows`` (found by the round-6 null-robustness probe via
-    ``dedup_source_overlap``, the first caller fed short docs)."""
-    words = F.split(normalized_text(col), " ")
-    idx = F.when(
-        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
-
-
 def spread(df: DataFrame) -> DataFrame:
     """Fan a small scan out across all cores before CPU-heavy row work.
 
@@ -99,10 +83,12 @@ def spread(df: DataFrame) -> DataFrame:
 def shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3, distinct: bool = True) -> DataFrame:
     """Word k-gram shingles of ``documents`` in exploded (doc_id, s) form.
 
-    Deliberately NOT ``explode(word_shingles(...))``: Spark's Generate
-    re-evaluates an inline generator expression per *output* row, so
-    exploding an interpreted higher-order-function array costs ~|array|×
-    its build price (measured 52× at sf0.1). Instead the generator is a
+    Deliberately NOT ``explode(<transform()-built shingle array>)``:
+    Spark's Generate re-evaluates an inline generator expression per
+    *output* row, so exploding an interpreted higher-order-function
+    array costs ~|array|× its build price (measured 52× at sf0.1; a
+    ``word_shingles`` helper of that shape used to live here and was
+    removed once its last caller switched to this idiom). Instead the generator is a
     cheap integer ``sequence`` and each gram is assembled per exploded
     row with codegen'd ``element_at``/``concat_ws`` — the whole pipeline
     stays in whole-stage codegen with no array materialization at all.
@@ -401,9 +387,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build side — the candidate dropDuplicates keys (doc_id_1, doc_id_2)
     # are then already clustered by a.doc_id and the pair stream dedups
     # in place, with no pair-level exchange (the hot spot: collision-rich
-    # 12-bit buckets on a degenerate corpus). Persist pins the sketch
-    # subtree to one computation (broadcast sides can't ReuseExchange).
-    # Above the gate: the plain self-join shape, nothing driver-resident.
+    # 12-bit buckets on a degenerate corpus). Persist (default
+    # MEMORY_AND_DISK_DESER, session-lifetime — the lazy return leaves no
+    # post-action unpersist hook; the gate bounds the residency) pins the
+    # sketch subtree to one computation (broadcast sides can't
+    # ReuseExchange). Above the gate: the plain self-join shape, nothing
+    # driver-resident.
     from live_data_spark.catalog import BROADCAST_GATE_BYTES, table_rowcount
 
     bands_small = (

@@ -2312,9 +2312,13 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   the 10M+-row pair stream aggregates IN PLACE — no pair-level
     #   exchange at all, which is where the SMJ shape spends ~70% of its
     #   time on this corpus (3.6× measured at sf0.1). ``sig`` is persisted
-    #   (≈40 B/doc·term, MEMORY_ONLY) because a broadcast build side
-    #   cannot ReuseExchange the probe side's shuffle subtree — without
-    #   the pin the tf-idf window recomputes once per broadcast.
+    #   (≈40 B/doc·term, default MEMORY_AND_DISK_DESER) because a
+    #   broadcast build side cannot ReuseExchange the probe side's
+    #   shuffle subtree — without the pin the tf-idf window recomputes
+    #   once per broadcast. The cache deliberately lives for the session
+    #   (the returned frame is lazy, so there is no post-action hook to
+    #   unpersist from): the gate guarantees it only exists when under
+    #   BROADCAST_GATE_BYTES, so the residency is bounded and evictable.
     # - gate CLOSED (huge corpus): the original shape — SMJ on term with
     #   exchange-reused signature subtrees, pair aggregate with its own
     #   shuffle. Slower constants, but nothing is ever driver-resident.

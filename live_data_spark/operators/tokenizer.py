@@ -78,7 +78,7 @@ def _adjacent_pairs(syms: str = "syms"):
 
     Generator is a cheap int ``sequence`` (empty for 1-symbol words —
     ``sequence(1, 0)`` is DESCENDING in Spark, the ANSI element_at
-    abort; guard like ``word_shingles``), pairs assembled per exploded
+    abort; guard like ``shingle_rows``), pairs assembled per exploded
     row via codegen'd ``element_at``.
     """
     idx = F.when(

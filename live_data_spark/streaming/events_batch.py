@@ -2512,10 +2512,17 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAU line moves. A user's first-seen date is a per-user min (map-side
     combined, user-count sized) broadcast back onto events; the day
     rollup is calendar-sized. All classification is exact date equality.
+    The broadcast gate bounds the frame by the user_id DOMAIN (footer
+    min/max span × 16 B), not the events rowcount — the frame scales
+    with population, not traffic, and the rowcount bound would shut the
+    gate ~|events|/|users| (≈66×) too early.
     """
     e = load(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
-    tagged = e.join(broadcast_dim(first, sf_dir, "events", row_bytes=32), "user_id").select(
+    tagged = e.join(
+        broadcast_dim(first, sf_dir, "events", row_bytes=16, key="user_id"),
+        "user_id",
+    ).select(
         F.to_date("ts").alias("day"),
         (F.to_date("ts") == F.col("d0")).cast("int").alias("is_new"),
         "user_id",

@@ -7,7 +7,7 @@ an ANSI job abort (DIVIDE_BY_ZERO), a numpy shape error from an empty
 driver-side collect, or a NullPointerException-shaped planner crash.
 
 Motivation: the degenerate-input abort class has bitten this repo
-repeatedly in piecemeal form (punct_ratio, zipf_slope, word_shingles on
+repeatedly in piecemeal form (punct_ratio, zipf_slope, shingling on
 sub-k docs, percent_rank on 1-row frames — see tests/test_text_pipeline.py
 and tests/test_analytics.py). Those tests each guard ONE operator; this
 sweep is the default-deny guard over the WHOLE surface, the same posture

@@ -351,6 +351,52 @@ def test_broadcast_dim_row_bytes_bound(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_broadcast_dim_key_domain_bound(spark, sf_dir):
+    """The key= arm gates a per-DISTINCT-key frame on the key column's
+    footer min/max span instead of the base table's rowcount: a per-user
+    aggregate of events scales with POPULATION (user_id domain), not
+    TRAFFIC (event rows), so the rowcount bound shuts the gate
+    ~|events|/|users| early. Pin: the span bound admits the hint where
+    the rowcount bound shuts it; a 1-byte gate still shuts the key arm;
+    key= without row_bytes= is a usage error."""
+    import pytest
+
+    from live_data_spark.catalog import (
+        broadcast_dim,
+        key_domain_span,
+        table_rowcount,
+    )
+
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+
+    span = key_domain_span(sf_dir, "events", "user_id")
+    n_rows = table_rowcount(sf_dir, "events")
+    assert 0 < span < n_rows  # the bound is genuinely tighter here
+
+    # gate between the two bounds: span×16 passes, rowcount×16 fails
+    gate = n_rows * 16 - 1
+    assert span * 16 < gate
+
+    shut_on_rows = broadcast_dim(first, sf_dir, "events", max_bytes=gate, row_bytes=16)
+    open_on_span = broadcast_dim(
+        first, sf_dir, "events", max_bytes=gate, row_bytes=16, key="user_id"
+    )
+    still_shut = broadcast_dim(
+        first, sf_dir, "events", max_bytes=1, row_bytes=16, key="user_id"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" not in _plan(e.join(shut_on_rows, "user_id"))
+        assert "BroadcastHashJoin" in _plan(e.join(open_on_span, "user_id"))
+        assert "BroadcastHashJoin" not in _plan(e.join(still_shut, "user_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    with pytest.raises(ValueError):
+        broadcast_dim(first, sf_dir, "events", key="user_id")
+
+
 def test_sparse_cosine_pair_agg_needs_no_exchange(spark, sf_dir):
     """text_sparse_cosine_topk's gated pair plan: the probe side is
     hash-partitioned by doc_id and the build side broadcasts, so the
