@@ -1496,16 +1496,21 @@ def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MMR diverse selection — relevance vs redundancy on a bounded pool.
 # ---------------------------------------------------------------------------
 
-MMR_LAMBDA = 0.7
 MMR_POOL = 100
 MMR_SELECT = 20
 # Integer MMR scoring (the r7 promotion): relevances and similarities
 # quantize to 1e-8 integers (qrel, qsim) and the greedy objective
-# λ·rel − (1−λ)·maxsim becomes the INTEGER 7·qrel − 3·qmaxsim (λ = 7/10
-# exactly — not the float 0.7/0.30000000000000004 pair), in 1e-9 units.
-# Selection is then a pure function of engine-identical integers: no
-# float near-tie can ever flip an argmax between engines, which matters
-# here because the synthetic corpus contains near-duplicate vectors.
+# λ·rel − (1−λ)·maxsim becomes the INTEGER NUM·qrel − (DEN−NUM)·qmaxsim
+# with λ = MMR_LAM_NUM/MMR_LAM_DEN exactly (7/10 — never the float
+# 0.7/0.30000000000000004 pair), in 1e-9 units. Selection is then a
+# pure function of engine-identical integers: no float near-tie can
+# ever flip an argmax between engines, which matters here because the
+# synthetic corpus contains near-duplicate vectors. EVERY weight below
+# (oracle CTEs, greedy replay, output scale) derives from this single
+# pair — nothing hardcodes 7/3/10 independently.
+MMR_LAM_NUM = 7
+MMR_LAM_DEN = 10
+MMR_W_SIM = MMR_LAM_DEN - MMR_LAM_NUM
 MMR_Q = 10**8
 
 
@@ -1539,7 +1544,7 @@ def _mmr_oracle() -> str:
     for t in range(2, MMR_SELECT + 1):
         rounds.append(
             f""", sel{t} AS MATERIALIZED (
-  SELECT {t - 1} AS rank, c.vec_id, c.qrel, 7 * c.qrel - 3 * c.qms AS qscore
+  SELECT {t - 1} AS rank, c.vec_id, c.qrel, {MMR_LAM_NUM} * c.qrel - {MMR_W_SIM} * c.qms AS qscore
   FROM (
     SELECT p.vec_id, p.qrel, max(s.qsim) AS qms
     FROM pool p
@@ -1570,8 +1575,8 @@ WITH q0 AS (
   JOIN embeddings e1 ON e1.vec_id = p1.vec_id
   JOIN embeddings e2 ON e2.vec_id = p2.vec_id
 ), sel1 AS MATERIALIZED (
-  SELECT 0 AS rank, vec_id, qrel, 7 * qrel AS qscore
-  FROM pool ORDER BY 7 * qrel DESC, vec_id LIMIT 1
+  SELECT 0 AS rank, vec_id, qrel, {MMR_LAM_NUM} * qrel AS qscore
+  FROM pool ORDER BY {MMR_LAM_NUM} * qrel DESC, vec_id LIMIT 1
 ), cum1 AS MATERIALIZED (
   SELECT * FROM sel1
 )"""
@@ -1579,7 +1584,7 @@ WITH q0 AS (
         + f"""
 SELECT cast(rank AS INTEGER) AS rank, vec_id,
        qrel / {MMR_Q}.0 AS relevance,
-       qscore / {MMR_Q * 10}.0 AS mmr_score
+       qscore / {MMR_Q * MMR_LAM_DEN}.0 AS mmr_score
 FROM cum{MMR_SELECT}
 ORDER BY rank
 """
@@ -1628,7 +1633,8 @@ def mmr_greedy(pool: "list[tuple[int, int, list[float]]]", k: int):
     qms = None
     for t in range(min(k, n)):
         score = {
-            i: 7 * qrel[i] - (3 * qms[i] if qms is not None else 0) for i in cand
+            i: MMR_LAM_NUM * qrel[i] - (MMR_W_SIM * qms[i] if qms is not None else 0)
+            for i in cand
         }
         best = min(cand, key=lambda i: (-score[i], ids[i]))
         out.append((ids[best], qrel[best], score[best]))
@@ -1685,7 +1691,7 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = mmr_greedy(pool, MMR_SELECT)
     return pool_df.sparkSession.createDataFrame(
         [
-            (i, v, qrel / MMR_Q, qscore / (MMR_Q * 10))
+            (i, v, qrel / MMR_Q, qscore / (MMR_Q * MMR_LAM_DEN))
             for i, (v, qrel, qscore) in enumerate(sel)
         ],
         "rank int, vec_id long, relevance double, mmr_score double",

@@ -168,9 +168,15 @@ def parity_report(streamed: DataFrame, batch: DataFrame) -> DataFrame:
     multiplicity step is what makes duplicate deliveries DETECTABLE: a
     raw row-level outer join fans the batch row out once per duplicate,
     inflating n_batch in lockstep with n_stream with zero mismatches —
-    a replayed micro-batch would pass silently. Factored out of the
-    catalog entry so tests can drive the detector on planted
-    duplicate/missing/corrupt frames without a stream run."""
+    a replayed micro-batch would pass silently. With the multiplicity
+    frames, an IDENTICAL duplicate inflates n_stream alone (count skew)
+    AND trips n_mismatch; a DIFFERING-payload redelivery still fans the
+    doc_id join out (two s-groups hit one b-group, so both counts
+    inflate) but cannot escape n_mismatch — so n_mismatch == 0 is the
+    authoritative signal, and the count columns are corroboration, not
+    delivery counts. Factored out of the catalog entry so tests can
+    drive the detector on planted duplicate/missing/corrupt frames
+    without a stream run."""
     cols = batch.columns
     s = streamed.groupBy(*cols).agg(F.count(F.lit(1)).alias("s_cnt"))
     s = s.select(*[F.col(c).alias(f"s_{c}") for c in cols], "s_cnt")
@@ -219,12 +225,14 @@ def pysource_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain — the Simple-reader contract), then compare against the BATCH
     ``synthetic_docs`` read of the same doc space. Each side is first
     aggregated to per-row multiplicities (group by EVERY column) and the
-    multiplicity frames full-outer-join on doc_id — a duplicate stream
-    delivery therefore inflates ``n_stream`` alone AND trips
+    multiplicity frames full-outer-join on doc_id — an identical
+    duplicate delivery therefore inflates ``n_stream`` alone AND trips
     ``n_mismatch`` (multiplicity ≠ 1), instead of fanning the batch row
     out and cancelling as a raw row-level outer join would (the
     full-outer fan-out would keep n_batch == n_stream and mm == 0 for
-    identical duplicates — silently passing a replayed micro-batch).
+    identical duplicates — silently passing a replayed micro-batch; a
+    differing-payload redelivery still fans out but trips n_mismatch,
+    the authoritative signal — see ``parity_report``).
     All-zero ``n_mismatch`` with equal counts IS the exactly-once +
     replay-determinism claim, recomputed distributed on every run.
     Rows-only driver check (the doc space is md5-seeded — no SQL twin);

@@ -9,6 +9,8 @@ shuffle, and top-k never plans a full sort.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from live_data_spark.catalog import catalog, load
@@ -412,7 +414,13 @@ def test_sparse_cosine_pair_agg_needs_no_exchange(spark, sf_dir):
     plan = _plan(df)
     # pair agg keys are (doc_id, doc_id); the pair join is the equi-join
     # on term. Between them there must be no exchange of any kind.
-    agg_at = plan.index("HashAggregate(keys=[doc_id#")
+    # Anchor on the TWO-key aggregate explicitly — the bare
+    # "keys=[doc_id#" prefix also matches the single-key sizes/nrm
+    # aggregates, and a plan-layout change that printed one of those
+    # first would silently retarget the assertion window.
+    m = re.search(r"HashAggregate\(keys=\[doc_id#\d+[^,\]]*, doc_id#", plan)
+    assert m, "pair-level (doc_id, doc_id) aggregate not found in plan"
+    agg_at = m.start()
     join_at = plan.index("BroadcastHashJoin [term#", agg_at)
     between = plan[agg_at:join_at]
     assert "Exchange" not in between, "pair aggregate re-shuffles the pair stream"

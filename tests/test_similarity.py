@@ -287,7 +287,7 @@ def test_mmr_select_matches_reference_and_diversifies(spark, sf_dir):
     pool_ids = sorted(rel, key=lambda v: (-rel[v], v))[: sim.MMR_POOL]
 
     # independent greedy reference (set-based, recomputes max-sim fresh)
-    lam = sim.MMR_LAMBDA
+    lam = sim.MMR_LAM_NUM / sim.MMR_LAM_DEN
     unit = {v: vecs[v] / np.linalg.norm(vecs[v]) for v in pool_ids}
     chosen: list[int] = []
     for _ in range(sim.MMR_SELECT):
