@@ -225,3 +225,50 @@ def broadcast_dim(
     else:
         bound = table_bytes(sf_dir, table)
     return F.broadcast(df) if bound <= max_bytes else df
+
+
+def gated_pair_sides(
+    df: DataFrame,
+    sf_dir: str,
+    table: str,
+    rows_per_base: int,
+    row_bytes: int = 40,
+    part_key: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """("a", "b") aliased sides for a candidate-heavy SELF-join, with the
+    exchange-free pair plan applied while the frame passes the broadcast
+    gate (the shared shape of text_sparse_cosine_topk and dedup_simhash;
+    3.6×/1.5× measured at sf0.1):
+
+    - gate OPEN (``table_rowcount × rows_per_base × row_bytes`` under
+      ``BROADCAST_GATE_BYTES``): hash-partition the probe side by
+      ``part_key`` and BROADCAST the build side. The downstream pair
+      aggregate/dedup keys (a.key, b.key) are then already clustered by
+      a.key, so the multi-million-row pair stream aggregates IN PLACE —
+      no pair-level exchange, which is where the SMJ shape spends ~70%
+      of its time on collision-rich corpora. The frame is persisted
+      (default MEMORY_AND_DISK_DESER) because a broadcast build side
+      cannot ReuseExchange the probe side's shuffle subtree — without
+      the pin the signature subtree recomputes once per use (measured
+      SLOWER than the SMJ baseline). The cache deliberately lives for
+      the session: the caller returns a lazy frame, so there is no
+      post-action unpersist hook, and the gate bounds the residency to
+      under BROADCAST_GATE_BYTES (evictable).
+    - gate CLOSED (huge corpus): the plain self-join shape — SMJ with
+      exchange-reused subtrees, pair aggregate with its own shuffle.
+      Slower constants, but nothing is ever driver- or cache-resident.
+
+    Plan arms pinned in test_sparse_cosine_pair_agg_needs_no_exchange
+    and the simhash twin. Persist substitution is plan-based (Spark's
+    CacheManager), so sibling frames built from the caller's original
+    ``df`` lineage also read the cache."""
+    from pyspark.sql import functions as F
+
+    small = (
+        table_rowcount(sf_dir, table) * rows_per_base * row_bytes
+        <= BROADCAST_GATE_BYTES
+    )
+    if small:
+        df = df.persist()
+        return df.repartition(part_key).alias("a"), F.broadcast(df.alias("b"))
+    return df.alias("a"), df.alias("b")

@@ -381,29 +381,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    # Same gated pair plan as text_sparse_cosine_topk: while the bands
-    # table (SIMHASH_BANDS rows/doc of three longs) passes the broadcast
-    # gate, pre-partition the probe side by doc_id and broadcast the
-    # build side — the candidate dropDuplicates keys (doc_id_1, doc_id_2)
-    # are then already clustered by a.doc_id and the pair stream dedups
-    # in place, with no pair-level exchange (the hot spot: collision-rich
-    # 12-bit buckets on a degenerate corpus). Persist (default
-    # MEMORY_AND_DISK_DESER, session-lifetime — the lazy return leaves no
-    # post-action unpersist hook; the gate bounds the residency) pins the
-    # sketch subtree to one computation (broadcast sides can't
-    # ReuseExchange). Above the gate: the plain self-join shape, nothing
-    # driver-resident.
-    from live_data_spark.catalog import BROADCAST_GATE_BYTES, table_rowcount
+    # Exchange-free pair plan while the bands table (SIMHASH_BANDS
+    # rows/doc of three longs) passes the broadcast gate — the candidate
+    # dropDuplicates keys (doc_id_1, doc_id_2) dedup in place with no
+    # pair-level exchange (the hot spot: collision-rich 12-bit buckets
+    # on a degenerate corpus). Shared shape: catalog.gated_pair_sides
+    # (plan arms + persist rationale in its docstring).
+    from live_data_spark.catalog import gated_pair_sides
 
-    bands_small = (
-        table_rowcount(sf_dir, "documents") * SIMHASH_BANDS * 40
-        <= BROADCAST_GATE_BYTES
-    )
-    if bands_small:
-        bands = bands.persist()
-        a, b = bands.repartition("doc_id").alias("a"), F.broadcast(bands.alias("b"))
-    else:
-        a, b = bands.alias("a"), bands.alias("b")
+    a, b = gated_pair_sides(bands, sf_dir, "documents", SIMHASH_BANDS)
     cand = (
         a.join(
             b,

@@ -17,11 +17,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from live_data_spark.catalog import (
-    BROADCAST_GATE_BYTES,
     broadcast_dim,
+    gated_pair_sides,
     load,
     register,
-    table_rowcount,
 )
 
 # ---------------------------------------------------------------------------
@@ -2303,34 +2302,11 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = w.withColumn("rk", rk).where(F.col("rk") <= SPARSE_SIG_TERMS).drop("rk")
     qq = lambda c: F.floor(c * 1000000 + 0.5).cast("bigint")  # noqa: E731
-    # Pair-plan ladder, gated on the signature table's broadcast cost
-    # (docs × |sig| rows of ~(long, short term, double)):
-    #
-    # - gate OPEN (sig broadcastable): hash-partition the probe side by
-    #   doc_id and BROADCAST the build side. The pair aggregate's keys
-    #   (a.doc_id, b.doc_id) are then already clustered by a.doc_id, so
-    #   the 10M+-row pair stream aggregates IN PLACE — no pair-level
-    #   exchange at all, which is where the SMJ shape spends ~70% of its
-    #   time on this corpus (3.6× measured at sf0.1). ``sig`` is persisted
-    #   (≈40 B/doc·term, default MEMORY_AND_DISK_DESER) because a
-    #   broadcast build side cannot ReuseExchange the probe side's
-    #   shuffle subtree — without the pin the tf-idf window recomputes
-    #   once per broadcast. The cache deliberately lives for the session
-    #   (the returned frame is lazy, so there is no post-action hook to
-    #   unpersist from): the gate guarantees it only exists when under
-    #   BROADCAST_GATE_BYTES, so the residency is bounded and evictable.
-    # - gate CLOSED (huge corpus): the original shape — SMJ on term with
-    #   exchange-reused signature subtrees, pair aggregate with its own
-    #   shuffle. Slower constants, but nothing is ever driver-resident.
-    sig_small = (
-        table_rowcount(sf_dir, "documents") * SPARSE_SIG_TERMS * 40
-        <= BROADCAST_GATE_BYTES
-    )
-    if sig_small:
-        sig = sig.persist()
-        a, b = sig.repartition("doc_id").alias("a"), F.broadcast(sig.alias("b"))
-    else:
-        a, b = sig.alias("a"), sig.alias("b")
+    # Exchange-free pair plan, gated on the signature table's broadcast
+    # cost (docs × SPARSE_SIG_TERMS rows of ~(long, short term, double))
+    # — the shared shape lives in catalog.gated_pair_sides; see its
+    # docstring for both plan arms and the persist rationale.
+    a, b = gated_pair_sides(sig, sf_dir, "documents", SPARSE_SIG_TERMS)
     nrm = sig.groupBy("doc_id").agg(F.sum(qq(F.col("w") * F.col("w"))).alias("qn"))
     dots = (
         a.join(

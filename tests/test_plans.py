@@ -425,3 +425,22 @@ def test_sparse_cosine_pair_agg_needs_no_exchange(spark, sf_dir):
     between = plan[agg_at:join_at]
     assert "Exchange" not in between, "pair aggregate re-shuffles the pair stream"
     assert "InMemoryTableScan" in plan, "signature frame is not persisted"
+
+
+def test_simhash_pair_dedup_needs_no_exchange(spark, sf_dir):
+    """dedup_simhash's side of the shared gated pair plan
+    (catalog.gated_pair_sides): the candidate dropDuplicates — a
+    (doc_id_1, doc_id_2)-keyed aggregate over the band-bucket self-join's
+    fan-out — must run directly on the join output with no pair-level
+    exchange, and the persisted bands frame must appear as an
+    InMemoryTableScan (a broadcast build side can't ReuseExchange the
+    probe's shuffle subtree; without the pin the sketch recomputes)."""
+    df = catalog()["dedup_simhash"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    m = re.search(r"HashAggregate\(keys=\[doc_id_1#\d+[^,\]]*, doc_id_2#", plan)
+    assert m, "pair-level (doc_id_1, doc_id_2) aggregate not found in plan"
+    join_at = plan.index("BroadcastHashJoin [band#", m.start())
+    between = plan[m.start():join_at]
+    assert "Exchange" not in between, "candidate dedup re-shuffles the pair stream"
+    assert "InMemoryTableScan" in plan, "bands frame is not persisted"
