@@ -676,36 +676,14 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; at thousands of sources, switch the pair join to the banded
     MinHash rung exactly as doc-level dedup does.
     """
-    from live_data_spark.operators.dedup import spread
-    from live_data_spark.operators.text import normalized_text
+    from live_data_spark.operators.dedup import shingle_rows
 
-    # shingle_rows' codegen idiom keyed by SOURCE instead of doc_id:
-    # explode a cheap integer sequence and assemble each gram per row —
-    # NOT exploding a transform()-built shingle array, whose Generate re-evaluates the
-    # interpreted HOF array per output row (the measured-52× trap this
-    # entry originally fell into: 17 s → ~3 s at sf0.1, with spread()
-    # widening the single-file scan before the CPU-bound stage).
-    d = spread(load(spark, sf_dir, "documents"))
-    w = F.split(normalized_text("text"), " ")
-    sh = (
-        d.select("source", w.alias("w"))
-        .select(
-            "source",
-            "w",
-            F.explode(
-                F.when(
-                    F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
-                ).otherwise(F.expr("array()").cast("array<int>"))
-            ).alias("i"),
-        )
-        .select(
-            "source",
-            F.concat_ws(
-                " ", *[F.element_at("w", F.col("i") + j) for j in range(3)]
-            ).alias("s"),
-        )
-        .dropDuplicates(["source", "s"])
-    )
+    # shingle_rows keyed by SOURCE instead of doc_id — the SAME codegen
+    # implementation as the doc-level dedup ladder (cheap integer
+    # sequence + per-row gram assembly, never a transform()-built array
+    # under explode: the measured-52× trap this entry originally fell
+    # into, 17 s → ~3 s at sf0.1).
+    sh = shingle_rows(spark, sf_dir, key="source")
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")

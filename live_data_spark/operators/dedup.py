@@ -80,8 +80,14 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target) if len(df.inputFiles()) < target else df
 
 
-def shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3, distinct: bool = True) -> DataFrame:
-    """Word k-gram shingles of ``documents`` in exploded (doc_id, s) form.
+def shingle_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    distinct: bool = True,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Word k-gram shingles of ``documents`` in exploded (key, s) form.
 
     Deliberately NOT ``explode(<transform()-built shingle array>)``:
     Spark's Generate re-evaluates an inline generator expression per
@@ -93,16 +99,20 @@ def shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3, distinct: bool = 
     row with codegen'd ``element_at``/``concat_ws`` — the whole pipeline
     stays in whole-stage codegen with no array materialization at all.
 
-    ``distinct=False`` skips the (doc_id, s) shuffle — safe for MinHash
+    ``distinct=False`` skips the (key, s) shuffle — safe for MinHash
     (min over a multiset equals min over its set); Jaccard math needs
-    the distinct set.
+    the distinct set. ``key`` picks the emitted grouping column:
+    ``doc_id`` for the doc-level dedup ladder, ``source`` for the
+    corpus-level overlap diagnostics — ONE implementation so the ANSI
+    descending-``sequence`` guard and gram assembly can never diverge
+    between the two ladders.
     """
     d = spread(load(spark, sf_dir, "documents"))
     w = F.split(normalized_text("text"), " ")
     ex = (
-        d.select("doc_id", w.alias("w"))
+        d.select(key, w.alias("w"))
         .select(
-            "doc_id",
+            key,
             "w",
             # guard: sequence(1, 0) is a DESCENDING [1, 0] in Spark, so
             # short docs must map to an empty array (DuckDB's
@@ -114,13 +124,13 @@ def shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3, distinct: bool = 
             ).alias("i"),
         )
         .select(
-            "doc_id",
+            key,
             F.concat_ws(
                 " ", *[F.element_at("w", F.col("i") + j) for j in range(k)]
             ).alias("s"),
         )
     )
-    return ex.dropDuplicates(["doc_id", "s"]) if distinct else ex
+    return ex.dropDuplicates([key, "s"]) if distinct else ex
 
 
 _SHINGLE_CTE = r"""
