@@ -234,6 +234,7 @@ def gated_pair_sides(
     rows_per_base: int,
     row_bytes: int = 40,
     part_key: str = "doc_id",
+    max_bytes: int = BROADCAST_GATE_BYTES,
 ) -> tuple[DataFrame, DataFrame]:
     """("a", "b") aliased sides for a candidate-heavy SELF-join, with the
     exchange-free pair plan applied while the frame passes the broadcast
@@ -265,8 +266,7 @@ def gated_pair_sides(
     from pyspark.sql import functions as F
 
     small = (
-        table_rowcount(sf_dir, table) * rows_per_base * row_bytes
-        <= BROADCAST_GATE_BYTES
+        table_rowcount(sf_dir, table) * rows_per_base * row_bytes <= max_bytes
     )
     if small:
         df = df.persist()

@@ -1594,7 +1594,8 @@ ORDER BY rank
 def mmr_greedy(pool: "list[tuple[int, int, list[float]]]", k: int):
     """Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998)
     over a (vec_id, qrel, vector) pool, in the INTEGER scoring of
-    ``MMR_Q``: argmax 7·qrel − 3·qmaxsim, ties → lowest vec_id (the
+    ``MMR_Q``: argmax MMR_LAM_NUM·qrel − MMR_W_SIM·qmaxsim, ties →
+    lowest vec_id (the
     SIGNED max-sim-to-selected starts undefined, not at 0 — flooring it
     at zero would erase the diversity bonus for anti-correlated
     candidates). Pure-Python, driver-side — the pool is BOUNDED
@@ -1665,7 +1666,8 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     promotion, same move as graph_part_pagerank): relevances and
     pairwise sims quantize to 1e-8 integers off engine-identical
     sequential-fold cosines, the greedy objective is the integer
-    7·qrel − 3·qmaxsim, and the oracle unrolls the MMR_SELECT rounds as
+    MMR_LAM_NUM·qrel − MMR_W_SIM·qmaxsim (λ = MMR_LAM_NUM/MMR_LAM_DEN
+    exactly), and the oracle unrolls the MMR_SELECT rounds as
     a CTE chain (``_mmr_oracle``). Selection parity vs an independent
     float reference and the diversity invariant stay pinned in
     tests/test_similarity.py.

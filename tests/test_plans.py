@@ -427,6 +427,44 @@ def test_sparse_cosine_pair_agg_needs_no_exchange(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "signature frame is not persisted"
 
 
+def test_gated_pair_sides_closed_arm_identical(spark, sf_dir):
+    """The helper's gate-CLOSED arm (the one a huge corpus actually
+    runs): forcing the gate shut via max_bytes=1 must return plain
+    aliased sides — no persist, no probe repartition — and the pair
+    aggregate over them must produce results identical to the open
+    arm's exchange-free plan."""
+    from live_data_spark.catalog import gated_pair_sides
+
+    sig = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ")[0].alias("term"))
+        .where(F.length("term") > 0)
+    )
+
+    def pairs(a, b):
+        return (
+            a.join(
+                b,
+                (F.col("a.term") == F.col("b.term"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    opened = pairs(*gated_pair_sides(sig, sf_dir, "documents", 1))
+    closed_sides = gated_pair_sides(sig, sf_dir, "documents", 1, max_bytes=1)
+    closed = pairs(*closed_sides)
+    closed_plan = _plan(closed)
+    assert "REPARTITION_BY_COL" not in closed_plan  # no probe pre-partition
+    got_open = sorted(tuple(r) for r in opened.collect())
+    got_closed = sorted(tuple(r) for r in closed.collect())
+    assert got_open == got_closed and got_open  # identical, non-trivial
+
+
 def test_simhash_pair_dedup_needs_no_exchange(spark, sf_dir):
     """dedup_simhash's side of the shared gated pair plan
     (catalog.gated_pair_sides): the candidate dropDuplicates — a
