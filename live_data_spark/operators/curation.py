@@ -1335,51 +1335,50 @@ def corpus_lang_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both entropies are n-weighted sums of per-cell quantized lns
     (1e-8 integer units, weighted by exact counts — n·q stays far
     inside int64), so H and I are pure functions of engine-identical
-    integers. The cell frame is |sources|×|langs|; everything after the
-    one corpus aggregate is broadcast-scale.
+    integers. The cell frame is |sources|×|langs|, so ONE corpus
+    aggregate feeds window functions over the cell frame (per-source,
+    per-lang, and whole-frame sums — every window is bounded by the
+    label domain, never the data) and one final aggregate: the corpus
+    is scanned exactly once, where the join form re-ran the scan per
+    marginal branch (7 scans → 1).
     """
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
-    m = cell.groupBy("source").agg(F.sum("n").alias("ns"))
-    tot = cell.agg(F.sum("n").cast("bigint").alias("n"))
-    lmarg = cell.groupBy("lang").agg(F.sum("n").alias("nl"))
-    qcell = (
-        cell.join(m, "source")
-        .select(
-            (
-                F.col("n")
-                * F.floor(
-                    F.ln(F.col("n") / F.col("ns").cast("double")) * 100000000 + 0.5
-                ).cast("bigint")
-            ).alias("nq")
-        )
-        .agg(F.sum("nq").cast("bigint").alias("q"))
+    ns = F.sum("n").over(Window.partitionBy("source"))
+    nl = F.sum("n").over(Window.partitionBy("lang"))
+    tot = F.sum("n").over(Window.partitionBy())
+    # rank-1 markers dedup the per-lang marginal terms inside the single
+    # final aggregate (each lang's nl·q term must count once, not per cell)
+    lang_rn = F.row_number().over(Window.partitionBy("lang").orderBy("source"))
+    enriched = cell.select(
+        "n",
+        ns.alias("ns"),
+        nl.alias("nl"),
+        tot.cast("bigint").alias("tot"),
+        lang_rn.alias("lang_rn"),
+        F.col("source"),
+        F.col("lang"),
     )
-    qlang = (
-        lmarg.crossJoin(F.broadcast(tot))
-        .select(
-            (
-                F.col("nl")
-                * F.floor(
-                    F.ln(F.col("nl") / F.col("n").cast("double")) * 100000000 + 0.5
-                ).cast("bigint")
-            ).alias("nq")
-        )
-        .agg(F.sum("nq").cast("bigint").alias("q"))
-    )
-    n_sources = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
-    n_langs = lmarg.agg(F.count(F.lit(1)).cast("bigint").alias("n_langs"))
-    hc = qcell.select(F.col("q").alias("qc"))
-    hl = qlang.select(F.col("q").alias("ql"))
-    nd = F.col("n").cast("double")
+    qcell = F.col("n") * F.floor(
+        F.ln(F.col("n") / F.col("ns").cast("double")) * 100000000 + 0.5
+    ).cast("bigint")
+    qlang = F.col("nl") * F.floor(
+        F.ln(F.col("nl") / F.col("tot").cast("double")) * 100000000 + 0.5
+    ).cast("bigint")
+    nd = F.col("n_docs").cast("double")
     return (
-        tot.crossJoin(F.broadcast(hc))
-        .crossJoin(F.broadcast(hl))
-        .crossJoin(F.broadcast(n_sources))
-        .crossJoin(F.broadcast(n_langs))
-        .where(F.col("n") > 0)
+        enriched.agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum(qcell).cast("bigint").alias("qc"),
+            F.sum(F.when(F.col("lang_rn") == 1, qlang)).cast("bigint").alias("ql"),
+        )
+        .where(F.col("n_docs") > 0)
         .select(
-            F.col("n").alias("n_docs"),
+            "n_docs",
             "n_sources",
             "n_langs",
             F.round(-F.col("ql") / nd / 100000000.0, 4).alias("h_lang"),

@@ -1390,18 +1390,29 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast hint: without it the non-equi inner join with the
     # stats-less local grid degrades to CartesianProduct
     f = F.broadcast(grid).join(jac, jac["j"] >= grid["threshold"])
-    pair_agg = f.groupBy("threshold").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("doc_id_2").alias("n_removed_greedy"),
-    )
-    doc_agg = (
-        f.select("threshold", F.explode(F.array("doc_id_1", "doc_id_2")).alias("d"))
-        .groupBy("threshold")
-        .agg(F.countDistinct("d").alias("n_docs"))
+    # ONE aggregation serves all three counts: explode each pair into
+    # role-tagged (is_left, d) rows so n_pairs (Σ is_left), n_docs
+    # (distinct d) and n_removed_greedy (distinct d where right-side)
+    # come out of a single pass — separate pair_agg/doc_agg branches
+    # each re-ran the shingle self-join subtree (4.0 s → 2.3 s at sf0.1).
+    rows = f.select(
+        "threshold",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("is_left"), F.col("doc_id_1").alias("d")),
+                F.struct(F.lit(0).alias("is_left"), F.col("doc_id_2").alias("d")),
+            )
+        ).alias("r"),
+    ).select("threshold", F.col("r.is_left").alias("is_left"), F.col("r.d").alias("d"))
+    agg = rows.groupBy("threshold").agg(
+        F.sum("is_left").alias("n_pairs"),
+        F.countDistinct("d").alias("n_docs"),
+        F.countDistinct(F.when(F.col("is_left") == 0, F.col("d"))).alias(
+            "n_removed_greedy"
+        ),
     )
     return (
-        grid.join(F.broadcast(pair_agg), "threshold", "left")
-        .join(F.broadcast(doc_agg), "threshold", "left")
+        grid.join(F.broadcast(agg), "threshold", "left")
         .select(
             "threshold",
             F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
