@@ -477,16 +477,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical *iterative* dataflow the engine must support (the
     oracle needs WITH RECURSIVE for it).
 
-    Algorithm: min-label propagation. Every doc starts labeled with its
-    own id; each round every node takes the min of its label and its
-    neighbors' labels; converged when no label changes. Each round is
-    one shuffle (edges ⋈ labels on doc_id + groupBy min) — no driver
-    collect of node data, only the scalar convergence count. Rounds =
-    graph diameter; near-dup components are tiny chains, and the cap
-    would only bind on adversarial path graphs. ``_truncate_lineage``
-    cuts the plan per round — reliable ``checkpoint()`` when a
-    checkpoint dir is set (cluster deployments), ``localCheckpoint``
-    otherwise.
+    Algorithm: min-label propagation, restricted to the dup graph. A
+    node OUTSIDE every dup pair can never change label (it has no
+    neighbors), so the corpus-minus-graph docs are singleton clusters
+    by construction and skip the loop entirely — the per-round shuffles
+    scale with |dup-graph nodes| (thousands), not |corpus| (the whole
+    point at 100 TB, where the dup graph is orders of magnitude smaller
+    than the corpus). Inside the graph every node starts labeled with
+    its own id; each round takes the min of its own and neighbors'
+    labels; converged when no label changes. Each round is one shuffle
+    (edges ⋈ labels on doc_id + groupBy min) — no driver collect of
+    node data, only the scalar convergence count. Rounds = graph
+    diameter; near-dup components are tiny chains, and the cap would
+    only bind on adversarial path graphs. ``_truncate_lineage`` cuts
+    the plan per round — reliable ``checkpoint()`` when a checkpoint
+    dir is set (cluster deployments), ``localCheckpoint`` otherwise.
+    Singletons rejoin via ONE left join at the end (label = own id).
 
     Survivor policy downstream: keep ``doc_id == cluster_id`` (min id).
     """
@@ -498,7 +504,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.unionByName(dup.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
 
-    labels = _truncate_lineage(docs.withColumn("lbl", F.col("doc_id")))
+    # propagation domain: edges are bidirectional, so `a` alone covers
+    # every endpoint
+    nodes = edges.select(F.col("a").alias("doc_id")).distinct()
+    labels = _truncate_lineage(nodes.withColumn("lbl", F.col("doc_id")))
     for _ in range(15):
         nbr_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -524,7 +533,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:  # pragma: no cover - adversarial graphs only
         raise RuntimeError("dedup_clusters: label propagation did not converge")
-    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")
+    )
 
 
 # ---------------------------------------------------------------------------
