@@ -49,6 +49,44 @@ def test_srp_lsh_recall_vs_exact(spark, sf_dir, exact_topk):
             assert r["cosine_sim"] == pytest.approx(exact_by_pair[key], abs=1e-4)
 
 
+def test_ivf_assign_fast_path_matches_window_form(spark, sf_dir):
+    """The nprobe=1 struct-max aggregation must reproduce the window
+    form's assignment EXACTLY, tie-break included (max cosine, then min
+    cid via the bit-flipped-cid lexicographic max) — the fast path is a
+    physical rewrite, not a semantic change."""
+    import math
+
+    from pyspark.sql import Window
+
+    from live_data_spark.catalog import load, table_rowcount
+    from live_data_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_centroids,
+        as_double,
+        cosine,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cents = _ivf_centroids(e, max(4, int(math.isqrt(table_rowcount(sf_dir, "embeddings")))))
+    fast = {
+        (r["vec_id"], r["cid"])
+        for r in _ivf_assign(e, cents, nprobe=1, id_col="vec_id").collect()
+    }
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("emb"), F.col("cemb")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    window_form = {
+        (r["vec_id"], r["cid"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert fast == window_form
+
+
 def test_ivf_flat_recall_and_exactness(spark, sf_dir, exact_topk):
     """IVF probes K/4 of √n lists → recall ≈ probe fraction + the
     neighbor-shares-centroid bonus. On uniform-random vectors (no
