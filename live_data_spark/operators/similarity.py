@@ -1488,26 +1488,31 @@ def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("ae"), F.col("emb")).alias("cos"),
         )
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    pos = (
-        scored.where(F.col("cand_label") == F.col("anchor_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.round("cos", 4).alias("pos_sim"))
+    # best positive and best negative in ONE pass over the scored
+    # candidates (conditional struct-max, the _ivf_assign fast-path
+    # idiom): separate pos/neg window branches each re-ran the whole
+    # candidate-scoring subtree. Tie-break unchanged (max cos, then min
+    # cand_id via the overflow-safe bit-flip); anchors missing either
+    # side drop out exactly as the former pos⋈neg inner join did.
+    same = F.col("cand_label") == F.col("anchor_label")
+    flip = F.col("cand_id").bitwiseXOR(F.lit(-1))
+    cand_struct = F.struct(F.col("cos").alias("cos"), flip.alias("fc"))
+    best = scored.groupBy("anchor_id").agg(
+        F.max(F.when(same, cand_struct)).alias("p"),
+        F.max(F.when(~same, cand_struct)).alias("ng"),
     )
-    neg = (
-        scored.where(F.col("cand_label") != F.col("anchor_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.round("cos", 4).alias("neg_sim"))
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "pos_id",
-        "pos_sim",
-        "neg_id",
-        "neg_sim",
-        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+    pos_sim = F.round(F.col("p.cos"), 4)
+    neg_sim = F.round(F.col("ng.cos"), 4)
+    return (
+        best.where(F.col("p").isNotNull() & F.col("ng").isNotNull())
+        .select(
+            "anchor_id",
+            F.col("p.fc").bitwiseXOR(F.lit(-1)).alias("pos_id"),
+            pos_sim.alias("pos_sim"),
+            F.col("ng.fc").bitwiseXOR(F.lit(-1)).alias("neg_id"),
+            neg_sim.alias("neg_sim"),
+            F.round(pos_sim - neg_sim, 4).alias("margin"),
+        )
     )
 
 
@@ -2357,24 +2362,29 @@ def embedding_triplet_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("ae"), F.col("ce")).alias("cos"),
         )
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    pos = (
-        scored.where(F.col("cand_label") == F.col("anchor_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.round("cos", 4).alias("pos_sim"))
+    # best positive and best negative in ONE pass over the scored
+    # candidates (conditional struct-max, the _ivf_assign fast-path
+    # idiom): separate pos/neg window branches each re-ran the whole
+    # candidate-scoring subtree. Tie-break unchanged (max cos, then min
+    # cand_id via the overflow-safe bit-flip); anchors missing either
+    # side drop out exactly as the former pos⋈neg inner join did.
+    same = F.col("cand_label") == F.col("anchor_label")
+    flip = F.col("cand_id").bitwiseXOR(F.lit(-1))
+    cand_struct = F.struct(F.col("cos").alias("cos"), flip.alias("fc"))
+    best = scored.groupBy("anchor_id").agg(
+        F.max(F.when(same, cand_struct)).alias("p"),
+        F.max(F.when(~same, cand_struct)).alias("ng"),
     )
-    neg = (
-        scored.where(F.col("cand_label") != F.col("anchor_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.round("cos", 4).alias("neg_sim"))
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "pos_id",
-        "pos_sim",
-        "neg_id",
-        "neg_sim",
-        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+    pos_sim = F.round(F.col("p.cos"), 4)
+    neg_sim = F.round(F.col("ng.cos"), 4)
+    return (
+        best.where(F.col("p").isNotNull() & F.col("ng").isNotNull())
+        .select(
+            "anchor_id",
+            F.col("p.fc").bitwiseXOR(F.lit(-1)).alias("pos_id"),
+            pos_sim.alias("pos_sim"),
+            F.col("ng.fc").bitwiseXOR(F.lit(-1)).alias("neg_id"),
+            neg_sim.alias("neg_sim"),
+            F.round(pos_sim - neg_sim, 4).alias("margin"),
+        )
     )
