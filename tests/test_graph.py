@@ -108,3 +108,20 @@ def test_triangle_count_matches_networkless_reference(spark, sf_dir):
         d = r["degree"]
         assert 2 * r["n_triangles"] <= d * (d - 1)
         assert tri_count.get(r["part_id"], 0) // 3 == r["n_triangles"]
+
+
+def test_degree_oriented_triangles_identical_to_entry(spark, sf_dir):
+    """The degree-ordered orientation (the power-law hardening the entry's
+    docstring names) changes only where each triangle forms, never the
+    counts: the full output table must match the id-oriented entry
+    bit-for-bit. sf0.001's co-purchase graph carries thousands of
+    triangles, so the pin is non-trivial."""
+    from live_data_spark.operators.graph import (
+        graph_part_triangles,
+        triangles_degree_oriented,
+    )
+
+    old = [tuple(r) for r in graph_part_triangles(spark, sf_dir).collect()]
+    new = [tuple(r) for r in triangles_degree_oriented(spark, sf_dir).collect()]
+    assert sum(r[1] for r in old) > 0, "no triangles at this SF — pin is vacuous"
+    assert old == new
