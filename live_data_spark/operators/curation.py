@@ -122,8 +122,10 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap is a rate rather than an exact first-N, the skew-free form is a
     two-phase cap: per-source counts (map-side combine) broadcast back,
     then a deterministic hash filter ``pmod(hash(doc_id), n) < cap``
-    keeps ≈cap docs per source with no per-source ordering at all. The
-    exact-rank form here is the oracle-checkable contract.
+    keeps ≈cap docs per source with no per-source ordering at all —
+    implemented as ``source_cap_hash_rate`` below, pinned skew-free and
+    layout-deterministic. The exact-rank form here is the
+    oracle-checkable contract.
     """
     d = load(spark, sf_dir, "documents")
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
@@ -137,6 +139,39 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_ratio"),
         F.when(F.count(F.lit(1)) > _SOURCE_CAP, 1).otherwise(0).alias("cap_hit"),
     )
+
+
+def source_cap_hash_rate(
+    spark: SparkSession, sf_dir: str, cap: int = _SOURCE_CAP
+) -> DataFrame:
+    """``corpus_source_cap``'s hot-domain hardening, implemented: the
+    two-phase hash-rate cap the entry's scale note describes.
+
+    Phase 1 is one map-side-combined per-source count; phase 2 joins the
+    (≤|sources|-row, broadcast-gated) counts back and keeps a doc iff
+    ``pmod(xxhash64(doc_id), n_docs) < cap`` — a stateless per-row
+    decision, so the plan has NO per-source window and no source-keyed
+    shuffle of the corpus: one mega-domain costs exactly its share of the
+    map work instead of one hot partition (the skew ``row_number()
+    PARTITION BY source`` can't avoid). Keeps ≈cap docs per capped
+    source (binomial around cap, exact "keep all" below it, since
+    pmod < n_docs ≤ cap) and the kept SET is a pure function of doc_id —
+    re-runs and re-partitions reproduce it bit-for-bit (pinned in
+    tests/test_curation.py alongside the no-Window plan shape).
+
+    The rank form stays in the catalog entry because an exact first-N is
+    what the SQL oracle replays; this is the form to swap in when a
+    domain outgrows a partition and ≈cap is acceptable — CCNet/RefinedWeb
+    caps are rates, not exact counts.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    from live_data_spark.catalog import broadcast_dim
+
+    dc = d.join(broadcast_dim(counts, sf_dir, "documents", row_bytes=32), "source")
+    return dc.where(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_docs")) < F.lit(cap)
+    ).select("doc_id", "source", "n_docs")
 
 
 # ---------------------------------------------------------------------------

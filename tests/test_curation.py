@@ -418,3 +418,51 @@ def test_lang_source_entropy_pure_sources(spark, tmp_path):
     assert r["h_lang_given_source"] == 0.0
     assert r["mutual_information"] == r["h_lang"]
     assert abs(r["h_lang"] - 0.6931) < 1e-4  # ln 2: a fair 2-language split
+
+
+def test_source_cap_hash_rate_skew_free_and_deterministic(spark, sf_dir):
+    """The two-phase hash-rate cap (corpus_source_cap's implemented
+    hardening): no per-source window in the plan, ≈cap kept per capped
+    source, exact keep-all below the cap, and a kept set that is a pure
+    function of doc_id (identical across re-evaluation and an adversarial
+    repartition)."""
+    from live_data_spark.operators.curation import source_cap_hash_rate
+
+    cap = 10  # sf0.001 sources hold 25 docs each — the rate path fires
+    kept = source_cap_hash_rate(spark, sf_dir, cap=cap)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "hash-rate cap must not window by source"
+
+    rows = kept.collect()
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        if r["n_docs"] <= cap:
+            pass  # keep-all sources contribute every doc (checked below)
+    n_docs = {r["source"]: r["n_docs"] for r in rows}
+    for src, k in per_src.items():
+        n = n_docs[src]
+        if n <= cap:
+            assert k == n, (src, k, n)
+        else:
+            # binomial(n, cap/n): mean cap, sd = sqrt(cap(1-cap/n)); ±4 sd
+            sd = (cap * (1 - cap / n)) ** 0.5
+            assert abs(k - cap) <= 4 * sd + 1, (src, k, cap, sd)
+
+    ids = {r["doc_id"] for r in rows}
+    again = {r["doc_id"] for r in kept.collect()}
+    assert again == ids
+    from live_data_spark.catalog import load
+
+    shuffled = (
+        load(spark, sf_dir, "documents").repartition(7, "lang")
+    )
+    # rebuild the cap over a relaid-out corpus by hand: same filter rule
+    from pyspark.sql import functions as F
+
+    counts = shuffled.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    relaid = (
+        shuffled.join(counts, "source")
+        .where(F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_docs")) < F.lit(cap))
+    )
+    assert {r["doc_id"] for r in relaid.select("doc_id").collect()} == ids
