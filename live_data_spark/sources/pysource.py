@@ -98,8 +98,10 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     (per-row seeding again), which is exactly the recovery contract —
     a failed batch re-reads the same rows. The Simple reader reads on
     the driver (documented for light rates); the partitioned
-    ``DataSourceStreamReader`` is the high-throughput swap-in with the
-    same offset model.
+    ``DataSourceStreamReader`` below
+    (``SyntheticDocsPartitionedStreamReader``) is the implemented
+    high-throughput swap-in with the same offset model, pinned
+    batch-equal via ``parity_report``.
     """
 
     def __init__(self, options):
@@ -141,6 +143,73 @@ class SyntheticDocsStreamDataSource(SyntheticDocsDataSource):
 
 def register_synthetic_docs_stream(spark) -> None:
     spark.dataSource.register(SyntheticDocsStreamDataSource)
+
+
+# -- partitioned streaming form: the high-throughput swap-in ------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class SyntheticDocsPartitionedStreamReader(DataSourceStreamReader):
+    """The full ``DataSourceStreamReader``: executor-parallel micro-batches.
+
+    The Simple reader above reads on the DRIVER (documented for light
+    rates); this is the documented high-throughput swap-in with the same
+    offset model: ``latestOffset`` advances the doc-id watermark, and
+    each micro-batch's [start, end) range splits into ``partitions``
+    ranges that EXECUTORS read in parallel — the same task-per-partition
+    scan semantics as the batch source, now per micro-batch. Per-row
+    seeding keeps any replay of any range bit-identical regardless of
+    how the range was partitioned, which is exactly why recovery and the
+    batch twin agree (pinned in tests/test_sources.py via
+    ``parity_report``).
+    """
+
+    def __init__(self, options):
+        self.total = int(options.get("n", 100))
+        self.num_parts = int(options.get("partitions", 4))
+        # rows admitted per latestOffset() poll; availableNow drains to
+        # whatever latestOffset returns at trigger time, so the default
+        # (everything) means ONE drain covers the declared doc space
+        self.batch_size = int(options.get("batch_size", self.total))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        # a real source would poll its upstream; the synthetic space is
+        # fully available, so advance by the configured admission rate
+        self._latest = min(getattr(self, "_latest", 0) + self.batch_size, self.total)
+        return {"next": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["next"]), int(end["next"])
+        if e <= s:
+            return []
+        step = -(-(e - s) // self.num_parts)
+        return [_DocsPartition(i, min(i + step, e)) for i in range(s, e, step)]
+
+    def read(self, partition: _DocsPartition):
+        # executor-side: identical per-row derivation as the batch reader
+        return SyntheticDocsReader({"n": partition.end}).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing external to ack
+
+
+class SyntheticDocsPartitionedStreamDataSource(SyntheticDocsDataSource):
+    """``spark.readStream.format("synthetic_docs_pstream")...``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_pstream"
+
+    def streamReader(self, schema) -> SyntheticDocsPartitionedStreamReader:
+        return SyntheticDocsPartitionedStreamReader(self.options)
+
+
+def register_synthetic_docs_pstream(spark) -> None:
+    spark.dataSource.register(SyntheticDocsPartitionedStreamDataSource)
 
 
 # -- catalog-visible batch/stream parity twin ---------------------------------

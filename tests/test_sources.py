@@ -435,3 +435,49 @@ def test_pysource_parity_detects_duplicate_delivery(spark):
     corrupt = batch.unionAll(spark.createDataFrame([(2, "B", "en")], schema))
     rows = {r["lang"]: r for r in parity_report(corrupt, batch).collect()}
     assert rows["en"]["n_mismatch"] > 0
+
+
+def test_partitioned_streaming_datasource_parallel_and_equal_to_batch(spark, tmp_path):
+    """The full DataSourceStreamReader (the Simple reader's documented
+    high-throughput swap-in): micro-batch ranges split into
+    executor-read partitions (task-parallel, not driver-side), one
+    availableNow drain covers the declared doc space, and the landed
+    rows equal the batch source's via the multiplicity-aware parity
+    report (n_mismatch 0 everywhere)."""
+    from live_data_spark.sources.pysource import (
+        SyntheticDocsPartitionedStreamReader,
+        parity_report,
+        register_synthetic_docs,
+        register_synthetic_docs_pstream,
+    )
+
+    # partition planning is pure: a [0, 100) batch at 4 parts splits
+    # into 4 executor ranges covering the space without overlap
+    rdr = SyntheticDocsPartitionedStreamReader({"n": 100, "partitions": 4})
+    parts = rdr.partitions({"next": 0}, {"next": 100})
+    assert len(parts) == 4
+    assert [(p.start, p.end) for p in parts] == [(0, 25), (25, 50), (50, 75), (75, 100)]
+    assert rdr.partitions({"next": 60}, {"next": 60}) == []
+
+    register_synthetic_docs(spark)
+    register_synthetic_docs_pstream(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("synthetic_docs_pstream")
+        .option("n", 120)
+        .option("partitions", 4)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(sink)
+    batch = spark.read.format("synthetic_docs").option("n", 120).load()
+    rep = parity_report(streamed, batch).collect()
+    assert rep, "empty parity report"
+    for r in rep:
+        assert r["n_mismatch"] == 0, tuple(r)
+        assert r["n_stream"] == r["n_batch"], tuple(r)
