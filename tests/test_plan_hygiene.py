@@ -113,3 +113,23 @@ def test_no_plan_antipatterns(spark, sf_dir, name):
             f"{name}: nested-loop join — 1-row frame? add to BNLJ_OK with a "
             "reason; range condition? rewrite as explode + equi-join"
         )
+
+
+# non-catalog hardening helpers (implemented swap-ins): same default-deny,
+# enumerated here because the catalog sweep can't see them
+HELPERS = [
+    ("triangles_degree_oriented", "live_data_spark.operators.graph"),
+    ("source_cap_hash_rate", "live_data_spark.operators.curation"),
+    ("html_strip_stats_dom", "live_data_spark.operators.text"),
+]
+
+
+@pytest.mark.parametrize("fn_name,module", HELPERS)
+def test_helper_plan_hygiene(spark, sf_dir, fn_name, module):
+    import importlib
+
+    fn = getattr(importlib.import_module(module), fn_name)
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{fn_name}: row-at-a-time Python UDF"
+    assert "CartesianProduct" not in plan, f"{fn_name}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{fn_name}: nested-loop join"
