@@ -64,3 +64,21 @@ def test_catalog_entry_survives_empty_input(spark, empty_sf_dir, name):
     # handful of entries legitimately emit constant/summary rows (e.g.
     # zero-count funnels). Only assert it is a list of Rows.
     assert isinstance(rows, list)
+
+
+# non-catalog hardening helpers (implemented swap-ins): same contract —
+# enumerated here because the catalog sweep can't see them
+HELPERS = [
+    ("triangles_degree_oriented", "live_data_spark.operators.graph"),
+    ("source_cap_hash_rate", "live_data_spark.operators.curation"),
+    ("html_strip_stats_dom", "live_data_spark.operators.text"),
+]
+
+
+@pytest.mark.parametrize("fn_name,module", HELPERS)
+def test_helper_survives_empty_input(spark, empty_sf_dir, fn_name, module):
+    import importlib
+
+    fn = getattr(importlib.import_module(module), fn_name)
+    rows = fn(spark, empty_sf_dir).collect()
+    assert rows == []
