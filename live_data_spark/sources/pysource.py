@@ -154,33 +154,40 @@ class SyntheticDocsPartitionedStreamReader(DataSourceStreamReader):
     """The full ``DataSourceStreamReader``: executor-parallel micro-batches.
 
     The Simple reader above reads on the DRIVER (documented for light
-    rates); this is the documented high-throughput swap-in with the same
-    offset model: ``latestOffset`` advances the doc-id watermark, and
-    each micro-batch's [start, end) range splits into ``partitions``
-    ranges that EXECUTORS read in parallel — the same task-per-partition
-    scan semantics as the batch source, now per micro-batch. Per-row
-    seeding keeps any replay of any range bit-identical regardless of
-    how the range was partitioned, which is exactly why recovery and the
-    batch twin agree (pinned in tests/test_sources.py via
-    ``parity_report``).
+    rates); this is the documented high-throughput swap-in sharing its
+    ``{"next": doc_id}`` watermark offsets: ``latestOffset`` reports how
+    far the doc space currently extends, and each micro-batch's
+    [start, end) range splits into ``partitions`` ranges that EXECUTORS
+    read in parallel — the same task-per-partition scan semantics as the
+    batch source, now per micro-batch. Per-row seeding keeps any replay
+    of any range bit-identical regardless of how the range was
+    partitioned, which is exactly why recovery and the batch twin agree
+    (pinned in tests/test_sources.py via ``parity_report``).
+
+    Deliberately NO ``batch_size`` admission throttle here, unlike the
+    Simple reader: ``latestOffset()`` takes no start argument in the
+    Python API, so a per-instance "advance by K each poll" counter
+    restarts from zero with every new query instance — after a restart
+    whose checkpoint is past K the advertised latest sits at or behind
+    the committed offset forever and the stream silently stalls (the
+    Simple reader is immune because ``read(start)`` derives from the
+    CHECKPOINTED start). Rate limiting in this API belongs to the
+    upstream poll itself; a fully-available synthetic space reports its
+    true extent, which is safe across any restart because latest ≥ any
+    committed offset. Restart-resume is pinned in tests/test_sources.py.
     """
 
     def __init__(self, options):
         self.total = int(options.get("n", 100))
         self.num_parts = int(options.get("partitions", 4))
-        # rows admitted per latestOffset() poll; availableNow drains to
-        # whatever latestOffset returns at trigger time, so the default
-        # (everything) means ONE drain covers the declared doc space
-        self.batch_size = int(options.get("batch_size", self.total))
 
     def initialOffset(self) -> dict:
         return {"next": 0}
 
     def latestOffset(self) -> dict:
-        # a real source would poll its upstream; the synthetic space is
-        # fully available, so advance by the configured admission rate
-        self._latest = min(getattr(self, "_latest", 0) + self.batch_size, self.total)
-        return {"next": self._latest}
+        # a real source would poll its upstream's current end position;
+        # the synthetic space is fully available up to its declared size
+        return {"next": self.total}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["next"]), int(end["next"])

@@ -462,22 +462,41 @@ def test_partitioned_streaming_datasource_parallel_and_equal_to_batch(spark, tmp
     register_synthetic_docs(spark)
     register_synthetic_docs_pstream(spark)
     sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
-    q = (
-        spark.readStream.format("synthetic_docs_pstream")
-        .option("n", 120)
-        .option("partitions", 4)
-        .load()
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    def drain(n: int) -> None:
+        q = (
+            spark.readStream.format("synthetic_docs_pstream")
+            .option("n", n)
+            .option("partitions", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(120)
     streamed = spark.read.parquet(sink)
     batch = spark.read.format("synthetic_docs").option("n", 120).load()
     rep = parity_report(streamed, batch).collect()
     assert rep, "empty parity report"
     for r in rep:
+        assert r["n_mismatch"] == 0, tuple(r)
+        assert r["n_stream"] == r["n_batch"], tuple(r)
+
+    # restart-resume: a FRESH query instance against the same checkpoint
+    # must pick up from the committed offset, not the reader's own state
+    # (the regression a per-instance latestOffset counter causes: a new
+    # instance re-advertises an offset at/behind the checkpoint and the
+    # stream silently stalls). The doc space grows 120 → 200; the second
+    # drain must deliver exactly rows [120, 200) once each.
+    drain(200)
+    streamed2 = spark.read.parquet(sink)
+    assert streamed2.count() == 200
+    assert streamed2.select("doc_id").distinct().count() == 200
+    batch2 = spark.read.format("synthetic_docs").option("n", 200).load()
+    for r in parity_report(streamed2, batch2).collect():
         assert r["n_mismatch"] == 0, tuple(r)
         assert r["n_stream"] == r["n_batch"], tuple(r)
