@@ -358,9 +358,13 @@ def triangles_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim; this variant is the shape to swap in when the co-purchase
     graph loses its support-floor hub trim.
 
-    The (degree, id) order is packed into one BIGINT key (degree·2³² + id
-    — both factors < 2³¹) so the wedge inequality and the closing-edge
-    equi-join stay single-column integer comparisons.
+    The (degree, id) order travels as a STRUCT key compared
+    lexicographically (structs of orderable fields are orderable in
+    Spark SQL) — NOT packed into one BIGINT as degree·2³² + id: at the
+    scale this hardening exists for (sf100k part ids reach ~2e10 > 2³²)
+    the id term overflows its bit budget and distinct vertices collide
+    to one key, silently corrupting the wedge orientation and the
+    triangle counts. The struct comparison has no magnitude limit.
     """
     li = load(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
@@ -381,9 +385,10 @@ def triangles_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    key = (F.col("degree").cast("bigint") * F.lit(2**32).cast("bigint")) + F.col(
-        "part_id"
-    ).cast("bigint")
+    key = F.struct(
+        F.col("degree").cast("bigint").alias("d"),
+        F.col("part_id").cast("bigint").alias("i"),
+    )
     keyed = deg.select("part_id", key.alias("k"))
     ek = (
         pairs.join(keyed.select(F.col("part_id").alias("p1"), F.col("k").alias("k1")), "p1")

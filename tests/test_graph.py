@@ -125,3 +125,36 @@ def test_degree_oriented_triangles_identical_to_entry(spark, sf_dir):
     new = [tuple(r) for r in triangles_degree_oriented(spark, sf_dir).collect()]
     assert sum(r[1] for r in old) > 0, "no triangles at this SF — pin is vacuous"
     assert old == new
+
+
+def test_degree_oriented_triangles_survive_huge_part_ids(spark, tmp_path):
+    """Regression for the (degree, id) ORDER KEY at production id scale:
+    packing it as degree·2³² + id collides distinct vertices once ids
+    exceed 2³² (sf100k part ids reach ~2e10) — a tied wedge key drops
+    triangles silently. The planted graph makes the collision EXACT
+    under the old packing: deg(u)=3 with id_u = 2·2³²+5 and deg(v)=2
+    with id_v = 3·2³²+5 both packed to 5·2³²+5, erasing the u/v order,
+    so the u-v-w triangle was lost (counted 0). The struct key has no
+    magnitude limit; both orientations must agree on 1 triangle."""
+    from live_data_spark.operators.graph import (
+        graph_part_triangles,
+        triangles_degree_oriented,
+    )
+
+    u = 2 * 2**32 + 5
+    v = 3 * 2**32 + 5
+    w = 2 * 2**32 + 100
+    x = 2 * 2**32 + 200
+    rows = []
+    for ok in (1, 2):  # two orders holding the triangle (support floor = 2)
+        rows += [(ok, u), (ok, v), (ok, w)]
+    for ok in (3, 4):  # two orders holding the extra u-x edge: deg(u)=3
+        rows += [(ok, u), (ok, x)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    ref = {r["part_id"]: tuple(r) for r in graph_part_triangles(spark, str(tmp_path)).collect()}
+    got = {r["part_id"]: tuple(r) for r in triangles_degree_oriented(spark, str(tmp_path)).collect()}
+    assert ref[u][1] == ref[v][1] == ref[w][1] == 1, ref  # the planted triangle
+    assert ref[x][1] == 0
+    assert got == ref
