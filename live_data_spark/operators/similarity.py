@@ -1449,51 +1449,21 @@ WHERE p.rn = 1 AND n.rn = 1
 """
 
 
-@register("embedding_triplet_mine", oracle=_TRIPLET_ORACLE, tags=("similarity", "vector", "training"))
-def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-triplet mining for contrastive training: per anchor, the
-    most-similar SAME-label vector (positive) and the most-similar
-    DIFFERENT-label vector (the hard negative — the one the model
-    currently confuses), with the margin between them. Margins near or
-    below zero are the batch-building signal: those anchors' classes
-    overlap in embedding space and earn a larger share of the training
-    mix.
+def _best_pos_neg(scored: DataFrame) -> DataFrame:
+    """Per-anchor (pos_id, pos_sim, neg_id, neg_sim, margin) from a
+    scored-candidates frame (anchor_id, anchor_label, cand_id,
+    cand_label, cos) — the ONE definition of triplet scoring, shared by
+    the exact tier and the ANN rung so a tie-break or rounding change
+    can never desynchronize them (their agreement pins assume identical
+    scoring).
 
-    Exact demo tier over the broadcast anchor set (one map-only scoring
-    pass + two per-anchor top-1 windows on the same partitioning). At
-    corpus scale the anchor set is the whole table and this exact form
-    is O(n²) — the implemented scale rung is
-    ``embedding_triplet_mine_ann`` below (same output contract, IVF
-    shortlist + exact re-score, agreement pinned vs this tier), the
-    standard FAISS-backed pipeline.
+    Best positive and best negative come from ONE pass over the scored
+    candidates (conditional struct-max, the _ivf_assign fast-path
+    idiom): separate pos/neg window branches each re-ran the whole
+    candidate-scoring subtree. Tie-break: max cos, then min cand_id via
+    the overflow-safe bit-flip; anchors missing either side drop out
+    exactly as a pos⋈neg inner join would.
     """
-    from pyspark.sql import Window
-
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb"), "label"
-    )
-    a = e.where(F.col("vec_id") < TRIPLET_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("emb").alias("ae"),
-        F.col("label").alias("anchor_label"),
-    )
-    scored = (
-        F.broadcast(a)
-        .join(e, F.col("vec_id") != F.col("anchor_id"))
-        .select(
-            "anchor_id",
-            "anchor_label",
-            F.col("vec_id").alias("cand_id"),
-            F.col("label").alias("cand_label"),
-            cosine(F.col("ae"), F.col("emb")).alias("cos"),
-        )
-    )
-    # best positive and best negative in ONE pass over the scored
-    # candidates (conditional struct-max, the _ivf_assign fast-path
-    # idiom): separate pos/neg window branches each re-ran the whole
-    # candidate-scoring subtree. Tie-break unchanged (max cos, then min
-    # cand_id via the overflow-safe bit-flip); anchors missing either
-    # side drop out exactly as the former pos⋈neg inner join did.
     same = F.col("cand_label") == F.col("anchor_label")
     flip = F.col("cand_id").bitwiseXOR(F.lit(-1))
     cand_struct = F.struct(F.col("cos").alias("cos"), flip.alias("fc"))
@@ -1514,6 +1484,46 @@ def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pos_sim - neg_sim, 4).alias("margin"),
         )
     )
+
+
+@register("embedding_triplet_mine", oracle=_TRIPLET_ORACLE, tags=("similarity", "vector", "training"))
+def embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive training: per anchor, the
+    most-similar SAME-label vector (positive) and the most-similar
+    DIFFERENT-label vector (the hard negative — the one the model
+    currently confuses), with the margin between them. Margins near or
+    below zero are the batch-building signal: those anchors' classes
+    overlap in embedding space and earn a larger share of the training
+    mix.
+
+    Exact demo tier over the broadcast anchor set (one map-only scoring
+    pass + two per-anchor top-1 windows on the same partitioning). At
+    corpus scale the anchor set is the whole table and this exact form
+    is O(n²) — the implemented scale rung is
+    ``embedding_triplet_mine_ann`` below (same output contract, IVF
+    shortlist + exact re-score, agreement pinned vs this tier), the
+    standard FAISS-backed pipeline.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb"), "label"
+    )
+    a = e.where(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("emb").alias("ae"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        F.broadcast(a)
+        .join(e, F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            cosine(F.col("ae"), F.col("emb")).alias("cos"),
+        )
+    )
+    return _best_pos_neg(scored)
 
 
 # ---------------------------------------------------------------------------
@@ -2318,8 +2328,6 @@ def embedding_triplet_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb"), "label"
     )
@@ -2362,29 +2370,4 @@ def embedding_triplet_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("ae"), F.col("ce")).alias("cos"),
         )
     )
-    # best positive and best negative in ONE pass over the scored
-    # candidates (conditional struct-max, the _ivf_assign fast-path
-    # idiom): separate pos/neg window branches each re-ran the whole
-    # candidate-scoring subtree. Tie-break unchanged (max cos, then min
-    # cand_id via the overflow-safe bit-flip); anchors missing either
-    # side drop out exactly as the former pos⋈neg inner join did.
-    same = F.col("cand_label") == F.col("anchor_label")
-    flip = F.col("cand_id").bitwiseXOR(F.lit(-1))
-    cand_struct = F.struct(F.col("cos").alias("cos"), flip.alias("fc"))
-    best = scored.groupBy("anchor_id").agg(
-        F.max(F.when(same, cand_struct)).alias("p"),
-        F.max(F.when(~same, cand_struct)).alias("ng"),
-    )
-    pos_sim = F.round(F.col("p.cos"), 4)
-    neg_sim = F.round(F.col("ng.cos"), 4)
-    return (
-        best.where(F.col("p").isNotNull() & F.col("ng").isNotNull())
-        .select(
-            "anchor_id",
-            F.col("p.fc").bitwiseXOR(F.lit(-1)).alias("pos_id"),
-            pos_sim.alias("pos_sim"),
-            F.col("ng.fc").bitwiseXOR(F.lit(-1)).alias("neg_id"),
-            neg_sim.alias("neg_sim"),
-            F.round(pos_sim - neg_sim, 4).alias("margin"),
-        )
-    )
+    return _best_pos_neg(scored)
