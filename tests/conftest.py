@@ -14,6 +14,16 @@ if str(REPO) not in sys.path:
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# Non-catalog hardening helpers (implemented swap-ins documented in
+# SCALE.md): the default-deny sweeps (plan hygiene, empty input) can't
+# discover them through the catalog, so they enumerate this ONE list —
+# append every new swap-in here and both sweeps pick it up together.
+NON_CATALOG_HELPERS = [
+    ("triangles_degree_oriented", "live_data_spark.operators.graph"),
+    ("source_cap_hash_rate", "live_data_spark.operators.curation"),
+    ("html_strip_stats_dom", "live_data_spark.operators.text"),
+]
+
 
 @pytest.fixture(scope="session")
 def spark():

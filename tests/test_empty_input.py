@@ -66,16 +66,12 @@ def test_catalog_entry_survives_empty_input(spark, empty_sf_dir, name):
     assert isinstance(rows, list)
 
 
-# non-catalog hardening helpers (implemented swap-ins): same contract —
-# enumerated here because the catalog sweep can't see them
-HELPERS = [
-    ("triangles_degree_oriented", "live_data_spark.operators.graph"),
-    ("source_cap_hash_rate", "live_data_spark.operators.curation"),
-    ("html_strip_stats_dom", "live_data_spark.operators.text"),
-]
+# non-catalog hardening helpers: same contract, enumerated in ONE shared
+# list (conftest) so the plan-hygiene sweep stays in lockstep
+from conftest import NON_CATALOG_HELPERS
 
 
-@pytest.mark.parametrize("fn_name,module", HELPERS)
+@pytest.mark.parametrize("fn_name,module", NON_CATALOG_HELPERS)
 def test_helper_survives_empty_input(spark, empty_sf_dir, fn_name, module):
     import importlib
 

@@ -115,16 +115,12 @@ def test_no_plan_antipatterns(spark, sf_dir, name):
         )
 
 
-# non-catalog hardening helpers (implemented swap-ins): same default-deny,
-# enumerated here because the catalog sweep can't see them
-HELPERS = [
-    ("triangles_degree_oriented", "live_data_spark.operators.graph"),
-    ("source_cap_hash_rate", "live_data_spark.operators.curation"),
-    ("html_strip_stats_dom", "live_data_spark.operators.text"),
-]
+# non-catalog hardening helpers: same default-deny, enumerated in ONE
+# shared list (conftest) so the empty-input sweep stays in lockstep
+from conftest import NON_CATALOG_HELPERS
 
 
-@pytest.mark.parametrize("fn_name,module", HELPERS)
+@pytest.mark.parametrize("fn_name,module", NON_CATALOG_HELPERS)
 def test_helper_plan_hygiene(spark, sf_dir, fn_name, module):
     import importlib
 
