@@ -235,11 +235,18 @@ PYSOURCE_PARITY_N = 120
 PYSOURCE_PARITY_BATCH = 60
 
 
-def parity_report(streamed: DataFrame, batch: DataFrame) -> DataFrame:
-    """Per-lang (n_stream, n_batch, n_mismatch) between a landed stream
-    frame and its batch twin. Each side is first aggregated to per-row
+def parity_report(
+    streamed: DataFrame,
+    batch: DataFrame,
+    key: str = "doc_id",
+    rollup: str = "lang",
+) -> DataFrame:
+    """Per-``rollup`` (n_stream, n_batch, n_mismatch) between a landed
+    stream frame and its batch twin (defaults fit the synthetic-docs
+    schema; pass ``key``/``rollup`` for any other twin — both must be
+    columns of ``batch``). Each side is first aggregated to per-row
     multiplicities (group by EVERY column); the multiplicity frames then
-    full-outer-join on doc_id, and a row mismatches when any column
+    full-outer-join on ``key``, and a row mismatches when any column
     differs, either side is absent, or either multiplicity ≠ 1. The
     multiplicity step is what makes duplicate deliveries DETECTABLE: a
     raw row-level outer join fans the batch row out once per duplicate,
@@ -258,7 +265,7 @@ def parity_report(streamed: DataFrame, batch: DataFrame) -> DataFrame:
     s = s.select(*[F.col(c).alias(f"s_{c}") for c in cols], "s_cnt")
     b = batch.groupBy(*cols).agg(F.count(F.lit(1)).alias("b_cnt"))
     b = b.select(*[F.col(c).alias(f"b_{c}") for c in cols], "b_cnt")
-    joined = s.join(b, s.s_doc_id == b.b_doc_id, "full_outer")
+    joined = s.join(b, F.col(f"s_{key}") == F.col(f"b_{key}"), "full_outer")
     mismatch = (
         F.when(
             reduce(
@@ -276,18 +283,18 @@ def parity_report(streamed: DataFrame, batch: DataFrame) -> DataFrame:
     )
     return (
         joined.select(
-            F.coalesce("s_lang", "b_lang").alias("lang"),
+            F.coalesce(f"s_{rollup}", f"b_{rollup}").alias(rollup),
             F.coalesce("s_cnt", F.lit(0)).alias("in_stream"),
             F.coalesce("b_cnt", F.lit(0)).alias("in_batch"),
             mismatch,
         )
-        .groupBy("lang")
+        .groupBy(rollup)
         .agg(
             F.sum("in_stream").cast("bigint").alias("n_stream"),
             F.sum("in_batch").cast("bigint").alias("n_batch"),
             F.sum("mm").cast("bigint").alias("n_mismatch"),
         )
-        .orderBy("lang")
+        .orderBy(rollup)
     )
 
 
