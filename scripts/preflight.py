@@ -62,9 +62,11 @@ def main() -> int:
 
     queries, oracles = se.queries(), se.oracle_sql()
     n_bad = 0
+    n_run = 0
     for i, (name, fn) in enumerate(queries.items()):
         if only and not any(s in name for s in only):
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -94,7 +96,8 @@ def main() -> int:
             print(f"[{i:3d}] {name}: {status}")
         else:
             print(f"[{i:3d}] {name}: {status} ({time.time() - t0:.1f}s)")
-    print(f"preflight: {len(queries) - n_bad}/{len(queries)} green at {sf_dir}")
+    scope = f" (filtered from {len(queries)})" if only else ""
+    print(f"preflight: {n_run - n_bad}/{n_run} green{scope} at {sf_dir}")
     return 1 if n_bad else 0
 
 
