@@ -37,6 +37,13 @@ def explode_dim(dim: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+# join types for which salting is equivalence-preserving: every FACT row
+# carries exactly one salt, so fact-preserving joins match iff the plain
+# join matches. DIM-preserving joins (right/full) are NOT safe: an
+# unmatched dim row survives once per replica — n_salts duplicates.
+_SALT_SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -47,7 +54,19 @@ def salted_join(
     """Equi-join with the key salted n_salts ways; result equals the plain
     join (verified in tests/test_skew.py), with the hot key's rows spread
     across n_salts shuffle partitions instead of one.
+
+    Fact-preserving join types only (inner/left/semi/anti): a
+    dim-preserving join (right/full) would emit every UNMATCHED dim row
+    once per salt replica — n_salts duplicates — so those are rejected
+    rather than silently corrupted. To salt a right join, swap the
+    sides (salt what you call dim) and use ``how="left"``.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join: how={how!r} preserves the replicated dim side — "
+            "unmatched dim rows would duplicate n_salts times. Swap the "
+            "sides and use a left join."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     out = salt_fact(fact, n_salts).join(
         explode_dim(dim, n_salts), [*keys, SALT_COL], how

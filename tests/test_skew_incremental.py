@@ -25,6 +25,22 @@ def test_salted_join_equals_plain_join(spark):
         plain = fact.join(dim, "k", how).select("k", "v", "label")
         salted = salted_join(fact, dim, "k", how=how, n_salts=8).select("k", "v", "label")
         assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect())), how
+    # semi/anti are fact-preserving too — equivalence must hold
+    for how in ("left_semi", "left_anti"):
+        plain = fact.join(dim, "k", how).select("k", "v")
+        salted = salted_join(fact, dim, "k", how=how, n_salts=8).select("k", "v")
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect())), how
+
+
+def test_salted_join_rejects_dim_preserving_types(spark):
+    """right/full preserve the REPLICATED side: every unmatched dim row
+    would come back once per salt (n_salts duplicates). The helper must
+    refuse rather than silently corrupt."""
+    fact = spark.createDataFrame([("a", 1)], ["k", "v"])
+    dim = spark.createDataFrame([("a", "x"), ("zzz", "unmatched")], ["k", "label"])
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="dim side"):
+            salted_join(fact, dim, "k", how=how, n_salts=4)
 
 
 def test_salted_join_spreads_hot_key(spark):
