@@ -175,7 +175,7 @@ def broadcast_dim(
     df: DataFrame,
     sf_dir: str,
     table: str,
-    max_bytes: int = BROADCAST_GATE_BYTES,
+    max_bytes: int | None = None,
     row_bytes: int | None = None,
     key: str | None = None,
 ) -> DataFrame:
@@ -213,6 +213,10 @@ def broadcast_dim(
     """
     from pyspark.sql import functions as F
 
+    # resolved at CALL time (not def time) so the gate-closed sweep in
+    # tests/test_broadcast_gate_closed.py can force every gate shut by
+    # patching the module constant — the plan shape a 100× corpus yields
+    gate = BROADCAST_GATE_BYTES if max_bytes is None else max_bytes
     if key is not None:
         if row_bytes is None:
             raise ValueError("key= requires row_bytes=")
@@ -224,7 +228,7 @@ def broadcast_dim(
         bound = table_rowcount(sf_dir, table) * row_bytes
     else:
         bound = table_bytes(sf_dir, table)
-    return F.broadcast(df) if bound <= max_bytes else df
+    return F.broadcast(df) if bound <= gate else df
 
 
 def gated_pair_sides(
@@ -234,7 +238,7 @@ def gated_pair_sides(
     rows_per_base: int,
     row_bytes: int = 40,
     part_key: str = "doc_id",
-    max_bytes: int = BROADCAST_GATE_BYTES,
+    max_bytes: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """("a", "b") aliased sides for a candidate-heavy SELF-join, with the
     exchange-free pair plan applied while the frame passes the broadcast
@@ -265,8 +269,9 @@ def gated_pair_sides(
     ``df`` lineage also read the cache."""
     from pyspark.sql import functions as F
 
+    gate = BROADCAST_GATE_BYTES if max_bytes is None else max_bytes
     small = (
-        table_rowcount(sf_dir, table) * rows_per_base * row_bytes <= max_bytes
+        table_rowcount(sf_dir, table) * rows_per_base * row_bytes <= gate
     )
     if small:
         df = df.persist()
