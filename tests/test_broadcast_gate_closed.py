@@ -68,6 +68,22 @@ _THRESH_CONFS = (
 )
 
 
+def test_gate_patch_actually_closes_the_gate(spark, monkeypatch):
+    """Vacuity guard for the sweep itself: the helpers must read the gate
+    constant at CALL time, so patching the module global genuinely
+    removes the hint. If a refactor re-bakes the constant into a
+    def-time default, the sweep would silently compare two identical
+    runs — this test fails instead."""
+    df = cat.load(spark, SF_SMOKE, "nation")
+    open_plan = cat.broadcast_dim(df, SF_SMOKE, "nation")
+    assert "ResolvedHint" in open_plan._jdf.queryExecution().analyzed().toString()
+    monkeypatch.setattr(cat, "BROADCAST_GATE_BYTES", -1)
+    closed_plan = cat.broadcast_dim(df, SF_SMOKE, "nation")
+    assert "ResolvedHint" not in closed_plan._jdf.queryExecution().analyzed().toString()
+    a, b = cat.gated_pair_sides(df, SF_SMOKE, "nation", 1)
+    assert "ResolvedHint" not in b._jdf.queryExecution().analyzed().toString()
+
+
 @pytest.mark.parametrize("name", sorted(catalog()))
 def test_catalog_entry_survives_closed_broadcast_gates(spark, name, monkeypatch):
     spec = catalog()[name]
