@@ -108,6 +108,50 @@ def clean_dir(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+# -- recoverable directory swap ----------------------------------------------
+
+_SWAP_BAK_SUFFIX = ".__swap_bak"
+
+
+def recover_swapped_dir(out: str | Path) -> None:
+    """Heal an interrupted :func:`swap_dir`: the fully-written table
+    always exists under exactly one of (out, backup), so recovery is
+    deterministic — out missing + backup present means the crash hit
+    between the two renames (restore the backup); both present means it
+    hit before backup cleanup (the new state already won; drop the
+    stale backup). Callers run this BEFORE reading or merging a
+    swap-maintained store."""
+    out = Path(out)
+    bak = out.parent / (out.name + _SWAP_BAK_SUFFIX)
+    if bak.exists():
+        if out.exists():
+            shutil.rmtree(bak)
+        else:
+            bak.rename(out)
+
+
+def swap_dir(tmp: str | Path, out: str | Path) -> None:
+    """Replace directory ``out`` with fully-written ``tmp`` via two
+    renames (out→backup, tmp→out) and a backup cleanup — never
+    rmtree-then-rename, whose crash window silently loses the ENTIRE
+    store: the checkpoint has already committed the merged input files,
+    so a restart neither replays them nor finds the old state, and the
+    orphaned temp is deleted by the next merge. With the rename order
+    here the data survives a crash at ANY point (in out, in the backup,
+    or in both), and :func:`recover_swapped_dir` restores the invariant
+    on restart. POSIX-atomic per rename on one filesystem; object
+    stores swap via a table-format commit instead — this is the
+    file-layout core."""
+    tmp, out = Path(tmp), Path(out)
+    bak = out.parent / (out.name + _SWAP_BAK_SUFFIX)
+    if bak.exists():  # stale backup from a healed crash
+        shutil.rmtree(bak)
+    if out.exists():
+        out.rename(bak)
+    tmp.rename(out)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
@@ -127,6 +171,7 @@ def compact_parquet(
     import math
 
     root = Path(path)
+    recover_swapped_dir(root)  # heal a previously interrupted swap
     parts = list(root.rglob("*.parquet"))
     total = sum(p.stat().st_size for p in parts)
     n_files = max(1, math.ceil(total / target_file_bytes))
@@ -135,11 +180,8 @@ def compact_parquet(
 
     df = spark.read.parquet(str(root))
     tmp = root.with_name(root.name + "__compact_tmp")
-    bak = root.with_name(root.name + "__compact_bak")
     df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
-    root.rename(bak)
-    tmp.rename(root)
-    shutil.rmtree(bak)
+    swap_dir(tmp, root)
     return len(list(root.rglob("*.parquet")))
 
 

@@ -2172,19 +2172,25 @@ def incremental_rollup_update(
     fresh = hourly_rollup_of(
         spark.read.parquet(events_dir).where(SF.col("hour").isin(touched)).drop("hour")
     )
-    # 3. swap the touched groups in the rollup store
+    # 3. swap the touched groups in the rollup store (healing a swap a
+    # prior repair may have left interrupted — the store then lives in
+    # the backup dir and the read below would otherwise fail)
+    from live_data_spark.sources.files import recover_swapped_dir
+
+    recover_swapped_dir(rollup_dir)
     current = spark.read.parquet(rollup_dir)
     kept = current.where(~SF.col("window_start").isin(touched))
     out = kept.unionByName(fresh)
     import shutil
     from pathlib import Path
 
+    from live_data_spark.sources.files import swap_dir
+
     rd = Path(rollup_dir)
     tmp = rd.parent / f"{rd.name}.__repair_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     out.write.mode("overwrite").parquet(str(tmp))
-    shutil.rmtree(rd)
-    tmp.rename(rd)
+    swap_dir(tmp, rd)
     return touched
 
 

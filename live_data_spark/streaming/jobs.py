@@ -755,9 +755,17 @@ def merge_upsert_batch(
 
     from pyspark.sql import Window
 
+    from live_data_spark.sources.files import recover_swapped_dir, swap_dir
+
     sess = batch_df.sparkSession
     out = Path(store_dir)
     cols = batch_df.columns
+    # heal a swap interrupted by a crash: the prior state lives in the
+    # backup dir, not under out — without this, the _SUCCESS probe below
+    # would take the overwrite branch and the store would silently reset
+    # to one batch (the input files are already checkpoint-committed, so
+    # nothing replays the lost history)
+    recover_swapped_dir(out)
     if (out / "_SUCCESS").exists():
         existing = sess.read.parquet(store_dir).select(*cols)
         merged = existing.withColumn("__src", F.lit(0)).unionByName(
@@ -774,8 +782,7 @@ def merge_upsert_batch(
         tmp = out.parent / f"{out.name}.__merge_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         latest.write.mode("overwrite").parquet(str(tmp))
-        shutil.rmtree(out)
-        tmp.rename(out)
+        swap_dir(tmp, out)
     else:
         batch_df.write.mode("overwrite").parquet(store_dir)
 

@@ -682,6 +682,47 @@ def test_upsert_events_stream_keeps_latest_per_key(spark, tmp_path):
     assert s3 == {k: v["value"] for k, v in s2.items()}
 
 
+def test_upsert_store_survives_crash_mid_swap(spark, tmp_path):
+    """The swap's crash window must never lose the store. Simulate a kill
+    between the two renames (out moved to the backup, the new state not
+    yet renamed in): the next merge must heal the store from the backup
+    and see the FULL prior history — the rmtree-then-rename form it
+    replaces silently reset the store to one batch, because the input
+    files were already checkpoint-committed and never replay."""
+    import datetime as dt
+    import shutil
+    from pathlib import Path
+
+    from live_data_spark.sources.files import _SWAP_BAK_SUFFIX
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    store = tmp_path / "store"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema)
+
+    t0 = dt.datetime(2024, 1, 1)
+    jobs.merge_upsert_batch(df([(1, t0, 1, "view", 1.0, "{}")]), str(store), ("user_id", "event_type"), "ts")
+    jobs.merge_upsert_batch(df([(2, t0, 2, "click", 2.0, "{}")]), str(store), ("user_id", "event_type"), "ts")
+    assert spark.read.parquet(str(store)).count() == 2
+
+    # simulate the crash: out renamed away, replacement never landed
+    bak = store.parent / (store.name + _SWAP_BAK_SUFFIX)
+    store.rename(bak)
+
+    # next merge heals from the backup, then merges the new batch
+    jobs.merge_upsert_batch(df([(3, t0, 3, "view", 3.0, "{}")]), str(store), ("user_id", "event_type"), "ts")
+    got = {(r["user_id"], r["event_type"]) for r in spark.read.parquet(str(store)).collect()}
+    assert got == {(1, "view"), (2, "click"), (3, "view")}, "prior history lost in the swap window"
+    assert not bak.exists()
+
+    # the other crash arm: backup left behind AFTER the new state landed
+    shutil.copytree(store, bak)
+    jobs.merge_upsert_batch(df([(4, t0, 4, "view", 4.0, "{}")]), str(store), ("user_id", "event_type"), "ts")
+    assert spark.read.parquet(str(store)).count() == 4
+    assert not bak.exists()
+
+
 def test_incremental_rollup_update_equals_full_recompute(spark, sf_dir, tmp_path):
     """Late data repairs ONLY its hours, yet the repaired rollup must
     equal a from-scratch rebuild (count DISTINCT makes delta-merges
