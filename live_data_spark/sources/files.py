@@ -324,10 +324,16 @@ def read_jsonl_corpus(
     # keeps a real field in the pruned scan so the corrupt column is not
     # the only reference (Spark raises QUERY_ONLY_CORRUPT_RECORD_COLUMN
     # otherwise — SPARK-38962). Under the isNotNull filter it always
-    # returns the raw line.
+    # returns the raw line. The companion field is the schema's FIRST
+    # data column (cast to string) — never a hardcoded name, which made
+    # the quarantine frame unusable for exactly the custom schemas the
+    # ``schema`` parameter exists for.
+    data_cols = [c for c in df.columns if c not in ("_corrupt_record", "source_path")]
     bad = df.where(F.col("_corrupt_record").isNotNull()).select(
         "source_path",
-        F.coalesce(F.col("_corrupt_record"), F.col("text")).alias("raw_line"),
+        F.coalesce(
+            F.col("_corrupt_record"), F.col(data_cols[0]).cast("string")
+        ).alias("raw_line"),
     )
     return good, bad
 

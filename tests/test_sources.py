@@ -223,6 +223,24 @@ def test_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
     assert all(r["source_path"].endswith("shard0.jsonl") for r in b)
 
 
+def test_jsonl_corpus_custom_schema_without_text_column(spark, tmp_path):
+    """The quarantine frame must work for ANY explicit schema — the
+    parameter's whole point. A schema without a `text` column used to
+    crash with UNRESOLVED_COLUMN while building the bad frame (the
+    SPARK-38962 companion column was hardcoded)."""
+    from live_data_spark.sources.files import read_jsonl_corpus
+
+    shard = tmp_path / "s.jsonl"
+    shard.write_text(
+        '{"id": 7, "payload": "abc"}\n'
+        "not json\n"
+        '{"id": 8, "payload": "def"}\n'
+    )
+    good, bad = read_jsonl_corpus(spark, str(shard), schema="id BIGINT, payload STRING")
+    assert {r["id"] for r in good.collect()} == {7, 8}
+    assert [r["raw_line"] for r in bad.collect()] == ["not json"]
+
+
 
 def test_xml_read_rows_and_attributes(spark, tmp_path):
     """Spark 4 built-in XML source: rowTag extraction, attribute columns,
