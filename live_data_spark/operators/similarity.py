@@ -1843,6 +1843,15 @@ def build_pq_codebook(spark: SparkSession, sf_dir: str, index_dir: str, version:
     sample_rows = (
         e.select(F.xxhash64("vec_id").alias("h"), "emb").orderBy("h").limit(PQ_SAMPLE).collect()
     )
+    if not sample_rows:
+        # an empty/fully-filtered corpus cannot train codebooks; fail with
+        # the real reason instead of np.stack's "need at least one array"
+        # (and never persist a garbage artifact version) — the guard the
+        # sibling query tiers implement as an early empty return
+        raise ValueError(
+            f"build_pq_codebook: no embeddings to sample at {sf_dir} — "
+            "refusing to train/persist an empty codebook"
+        )
     sample = np.stack([np.array(r["emb"], dtype=np.float64) for r in sample_rows])
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     books = _pq_train(sample)

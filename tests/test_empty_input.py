@@ -78,3 +78,15 @@ def test_helper_survives_empty_input(spark, empty_sf_dir, fn_name, module):
     fn = getattr(importlib.import_module(module), fn_name)
     rows = fn(spark, empty_sf_dir).collect()
     assert rows == []
+
+
+def test_pq_codebook_build_fails_cleanly_on_empty_corpus(spark, empty_sf_dir, tmp_path):
+    """An artifact BUILD on an empty corpus must refuse with the real
+    reason (and persist nothing) — not crash inside np.stack; the
+    NEEDS_DATA clean-error contract applied to the non-catalog builder."""
+    from live_data_spark.operators.similarity import build_pq_codebook
+
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="no embeddings"):
+        build_pq_codebook(spark, empty_sf_dir, idx)
+    assert not (tmp_path / "idx").exists()
