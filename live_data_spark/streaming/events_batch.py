@@ -2328,7 +2328,7 @@ def events_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Peak burst detection — worst 15-minute error window per day.
 # ---------------------------------------------------------------------------
 
-_PEAK_ORACLE = """
+_PEAK_BURST_ORACLE = """
 WITH err AS (
   SELECT ts FROM events WHERE event_type = 'error'
 ), fan AS (
@@ -2352,7 +2352,7 @@ FROM daily WHERE rn = 1
 """
 
 
-@register("events_peak_error_burst", oracle=_PEAK_ORACLE, tags=("events", "window", "quality"))
+@register("events_peak_error_burst", oracle=_PEAK_BURST_ORACLE, tags=("events", "window", "quality"))
 def events_peak_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The worst 15-minute error burst per day (sliding 5-minute stride):
     incident triage's first question — not "how many errors today" but
@@ -3494,7 +3494,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAY_MS = 86_400_000
 
-_PEAK_ORACLE = f"""
+_PEAK_CONCURRENCY_ORACLE = f"""
 WITH iv AS (
   SELECT epoch_ms(ts) AS s, epoch_ms(ts) + {ACTIVE_WINDOW_MS} AS e FROM events
 ), pieces AS (
@@ -3523,7 +3523,7 @@ GROUP BY p.d, p.peak ORDER BY day
 """
 
 
-@register("events_peak_concurrency", oracle=_PEAK_ORACLE, tags=("events", "interval", "capacity"))
+@register("events_peak_concurrency", oracle=_PEAK_CONCURRENCY_ORACLE, tags=("events", "interval", "capacity"))
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency per day: the classic sweep-line — every 5-minute
     activity window contributes a +1 at its start and a −1 at its end,
