@@ -101,7 +101,38 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _table_files(sf_dir: str, table: str) -> list[_Path]:
+    path = _Path(sf_dir) / f"{table}.parquet"
+    return [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
+
+
+def _table_fingerprint(sf_dir: str, table: str) -> tuple[int, int, int]:
+    """(n_files, total_bytes, max_mtime_ns) — a stat-level change
+    detector recomputed on EVERY metadata call, so the footer caches
+    below key on the table's current on-disk state rather than its
+    path. A path-only cache silently serves pre-rewrite numbers after a
+    compaction/re-ingest at the same location, mis-sizing every
+    data-dependent plan parameter (LSH plane counts, IVF k_lists,
+    broadcast gates) for the rest of the driver process. Stats are
+    O(files) with no file opens — the footer PARSE is what's worth
+    caching."""
+    st = [f.stat() for f in _table_files(sf_dir, table)]
+    return (
+        len(st),
+        sum(s.st_size for s in st),
+        max((s.st_mtime_ns for s in st), default=0),
+    )
+
+
 @_functools.lru_cache(maxsize=128)
+def _rowcount_at(sf_dir: str, table: str, fingerprint: tuple[int, int, int]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(str(f)).metadata.num_rows for f in _table_files(sf_dir, table)
+    )
+
+
 def table_rowcount(sf_dir: str, table: str) -> int:
     """Row count from parquet FOOTER metadata — a driver-side file-stat
     read, not a Spark job. Used to size data-dependent plan parameters
@@ -109,24 +140,21 @@ def table_rowcount(sf_dir: str, table: str) -> int:
     pass over the table: on a 100 TB table that eager count is a full
     extra scan per query build, while footers are O(files) metadata.
     Handles both a single ``{table}.parquet`` file and a directory of
-    part-files (Spark's layout)."""
-    import pyarrow.parquet as pq
-
-    path = _Path(sf_dir) / f"{table}.parquet"
-    files = [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
-    return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+    part-files (Spark's layout). Cached per on-disk STATE (stat
+    fingerprint), not per path — a rewritten/appended table re-parses
+    its footers instead of serving stale counts."""
+    return _rowcount_at(sf_dir, table, _table_fingerprint(sf_dir, table))
 
 
-@_functools.lru_cache(maxsize=128)
 def table_bytes(sf_dir: str, table: str) -> int:
     """On-disk parquet bytes for a table — a file-stat read, no Spark job.
 
     This is the same size estimate Spark's own planner uses for file
     sources (``sizeInBytes`` = total file length), so gating a hint on it
-    agrees with what ``autoBroadcastJoinThreshold`` would see."""
-    path = _Path(sf_dir) / f"{table}.parquet"
-    files = [path] if path.is_file() else path.glob("**/*.parquet")
-    return sum(f.stat().st_size for f in files)
+    agrees with what ``autoBroadcastJoinThreshold`` would see. Pure stat
+    work, recomputed every call (caching would only save the glob while
+    risking post-rewrite staleness)."""
+    return _table_fingerprint(sf_dir, table)[1]
 
 
 # Gate for explicit broadcast hints on frames whose size scales with SF.
@@ -139,7 +167,6 @@ def table_bytes(sf_dir: str, table: str) -> int:
 BROADCAST_GATE_BYTES = 32 * 1024 * 1024
 
 
-@_functools.lru_cache(maxsize=128)
 def key_domain_span(sf_dir: str, table: str, column: str) -> int:
     """Upper bound on an integer key column's DISTINCT count from parquet
     footer min/max statistics: distinct values ≤ max − min + 1. Still a
@@ -150,11 +177,18 @@ def key_domain_span(sf_dir: str, table: str, column: str) -> int:
     POPULATION. Sound in both directions — for a sparse 64-bit id space
     the span is huge, the gate shuts, and the plan falls back to the
     shuffle path; never an OOM. Falls back to the rowcount bound when
-    any row group lacks min/max stats."""
+    any row group lacks min/max stats. Cached per on-disk state, like
+    ``table_rowcount``."""
+    return _key_span_at(sf_dir, table, column, _table_fingerprint(sf_dir, table))
+
+
+@_functools.lru_cache(maxsize=128)
+def _key_span_at(
+    sf_dir: str, table: str, column: str, fingerprint: tuple[int, int, int]
+) -> int:
     import pyarrow.parquet as pq
 
-    path = _Path(sf_dir) / f"{table}.parquet"
-    files = [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
+    files = _table_files(sf_dir, table)
     lo: int | None = None
     hi: int | None = None
     for fp in files:

@@ -319,6 +319,27 @@ def test_broadcast_dim_gate(spark, sf_dir):
     assert sorted(map(tuple, fallback.collect())) == sorted(map(tuple, hinted.collect()))
 
 
+def test_table_metadata_tracks_rewrites(spark, tmp_path):
+    """The footer caches must key on the table's on-disk STATE, not its
+    path: a long-lived driver that re-ingests/compacts a table at the
+    same location must size every data-dependent plan parameter (IVF
+    k_lists, LSH planes, broadcast gates) from the CURRENT corpus. A
+    path-only lru_cache served the pre-rewrite rowcount forever."""
+    from live_data_spark.catalog import key_domain_span, table_bytes, table_rowcount
+
+    t = tmp_path / "embeddings.parquet"
+    spark.range(10).selectExpr("id AS vec_id").write.parquet(str(t))
+    sf = str(tmp_path)
+    assert table_rowcount(sf, "embeddings") == 10
+    b0 = table_bytes(sf, "embeddings")
+    assert key_domain_span(sf, "embeddings", "vec_id") == 10
+
+    spark.range(500).selectExpr("id AS vec_id").write.mode("overwrite").parquet(str(t))
+    assert table_rowcount(sf, "embeddings") == 500, "stale footer cache after rewrite"
+    assert table_bytes(sf, "embeddings") != b0
+    assert key_domain_span(sf, "embeddings", "vec_id") == 500
+
+
 def test_broadcast_dim_row_bytes_bound(spark, sf_dir):
     """The row_bytes arm gates a NARROW per-key derivation on
     rowcount × width instead of the base table's raw bytes: a (doc_id,
