@@ -2768,6 +2768,66 @@ def events_health_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOLT_ALPHA = 0.3  # level smoothing
 HOLT_BETA = 0.1  # trend smoothing
 
+def _hourly_xs(e: DataFrame) -> DataFrame:
+    """(event_type, xs) with xs the GAP-FILLED hourly count series as a
+    sorted double array — the shared input of every smoothing fold
+    (Holt, Holt–Winters, the backtest). One definition so a change to
+    the gap-fill rule can never desynchronize the backtest from the
+    operators it ranks; the heavy side is one map-side-combined hourly
+    hash aggregate, the fold length |hours|×|types| regardless of
+    volume."""
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    grid = bounds.crossJoin(types).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        "event_type",
+    )
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    series = grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
+    )
+    return series.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+
+
+def _holt_init_step():
+    """(init, step) for the Holt level+trend fold — the ONE definition of
+    the recurrence, shared by events_holt_trend and the backtest (each
+    model must be scored by exactly the recurrence it ships)."""
+    a, b = F.lit(HOLT_ALPHA), F.lit(1.0 - HOLT_ALPHA)
+    g, d = F.lit(HOLT_BETA), F.lit(1.0 - HOLT_BETA)
+    init = F.named_struct(
+        F.lit("level"), F.lit(None).cast("double"),
+        F.lit("trend"), F.lit(0.0),
+        F.lit("errs"), F.lit(0.0),
+    )
+
+    def step(acc, x):
+        level1 = a * x + b * (acc["level"] + acc["trend"])
+        return F.when(
+            acc["level"].isNull(),
+            F.named_struct(
+                F.lit("level"), x, F.lit("trend"), F.lit(0.0), F.lit("errs"), F.lit(0.0)
+            ),
+        ).otherwise(
+            F.named_struct(
+                F.lit("level"), level1,
+                F.lit("trend"), g * (level1 - acc["level"]) + d * acc["trend"],
+                F.lit("errs"), acc["errs"] + F.abs(x - (acc["level"] + acc["trend"])),
+            )
+        )
+
+    return init, step
+
+
 # The fold replays Spark's exact IEEE operation sequence (the
 # events_ewma_spikes recipe): list_reduce seeds with the first
 # transformed element ([x0, 0, 0] = level x0, trend 0, abs-err 0), and
@@ -2838,52 +2898,8 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_hours − 1) with a NULLIF guard: a single-hour corpus yields NULL
     rather than an ANSI abort (empty-input contract).
     """
-    e = load(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    types = e.select("event_type").distinct()
-    grid = bounds.crossJoin(types).select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-        "event_type",
-    )
-    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    series = grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
-        "event_type",
-        "h",
-        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x"),
-    )
-    arr = series.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
-        ).alias("xs")
-    )
-    a, b = F.lit(HOLT_ALPHA), F.lit(1.0 - HOLT_ALPHA)
-    g, d = F.lit(HOLT_BETA), F.lit(1.0 - HOLT_BETA)
-    init = F.named_struct(
-        F.lit("level"), F.lit(None).cast("double"),
-        F.lit("trend"), F.lit(0.0),
-        F.lit("errs"), F.lit(0.0),
-    )
-
-    def step(acc, x):
-        level1 = a * x + b * (acc["level"] + acc["trend"])
-        return F.when(
-            acc["level"].isNull(),
-            F.named_struct(
-                F.lit("level"), x, F.lit("trend"), F.lit(0.0), F.lit("errs"), F.lit(0.0)
-            ),
-        ).otherwise(
-            F.named_struct(
-                F.lit("level"), level1,
-                F.lit("trend"), g * (level1 - acc["level"]) + d * acc["trend"],
-                F.lit("errs"), acc["errs"] + F.abs(x - (acc["level"] + acc["trend"])),
-            )
-        )
-
+    arr = _hourly_xs(load(spark, sf_dir, "events"))
+    init, step = _holt_init_step()
     folded = arr.select(
         "event_type",
         F.size("xs").cast("bigint").alias("n_hours"),
@@ -3115,6 +3131,55 @@ FROM folded ORDER BY event_type
 """
 
 
+def _hw_seeded(arr: DataFrame) -> DataFrame:
+    """Classical Holt–Winters warmup over the (event_type, xs) frame:
+    keep types with > one period of hours, carry n_hours and the
+    first-period mean level seed l0."""
+    P = HW_PERIOD
+    return arr.where(F.size("xs") >= P + 1).select(
+        "event_type",
+        "xs",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        (
+            F.aggregate(F.slice("xs", 1, P), F.lit(0.0), lambda a, x: a + x)
+            / float(P)
+        ).alias("l0"),
+    )
+
+
+def _hw_init_step():
+    """(init, step) for the Holt–Winters fold over the 27-double
+    positional state [level, trend, err, s₁..s₂₄] — the ONE definition
+    of the recurrence (and of which constants feed it), shared by
+    events_holt_winters and the backtest: the backtest previously
+    restated the step reading the HOLT constants, which only coincide
+    with the HW ones today."""
+    P = HW_PERIOD
+    al, bl = F.lit(HW_ALPHA), F.lit(1.0 - HW_ALPHA)
+    be, de = F.lit(HW_BETA), F.lit(1.0 - HW_BETA)
+    ga, dg = F.lit(HW_GAMMA), F.lit(1.0 - HW_GAMMA)
+
+    init = F.concat(
+        F.array(F.col("l0"), F.lit(0.0), F.lit(0.0)),
+        F.transform(F.slice("xs", 1, P), lambda v: v - F.col("l0")),
+    )
+
+    def step(acc, x):
+        l, b, e_, s1 = (F.element_at(acc, i) for i in (1, 2, 3, 4))
+        l1 = al * (x - s1) + bl * (l + b)
+        return F.concat(
+            F.array(
+                l1,
+                be * (l1 - l) + de * b,
+                e_ + F.abs(x - (l + b + s1)),
+            ),
+            F.slice(acc, 5, P - 1),
+            F.array(ga * (x - l1) + dg * s1),
+        )
+
+    return init, step
+
+
 @register(
     "events_holt_winters",
     oracle=_HW_ORACLE,
@@ -3146,60 +3211,9 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours × types (volume-independent); the data-sized cost is the one
     hourly hash aggregate.
     """
-    e = load(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    types = e.select("event_type").distinct()
-    grid = bounds.crossJoin(types).select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-        "event_type",
-    )
-    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    series = grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
-        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
-    )
-    arr = series.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
-        ).alias("xs")
-    )
     P = HW_PERIOD
-    seeded = arr.where(F.size("xs") >= P + 1).select(
-        "event_type",
-        "xs",
-        F.size("xs").cast("bigint").alias("n_hours"),
-        (
-            F.aggregate(
-                F.slice("xs", 1, P), F.lit(0.0), lambda a, x: a + x
-            )
-            / float(P)
-        ).alias("l0"),
-    )
-    al, bl = F.lit(HW_ALPHA), F.lit(1.0 - HW_ALPHA)
-    be, de = F.lit(HW_BETA), F.lit(1.0 - HW_BETA)
-    ga, dg = F.lit(HW_GAMMA), F.lit(1.0 - HW_GAMMA)
-
-    def step(acc, x):
-        l, b, e_, s1 = (F.element_at(acc, i) for i in (1, 2, 3, 4))
-        l1 = al * (x - s1) + bl * (l + b)
-        return F.concat(
-            F.array(
-                l1,
-                be * (l1 - l) + de * b,
-                e_ + F.abs(x - (l + b + s1)),
-            ),
-            F.slice(acc, 5, P - 1),
-            F.array(ga * (x - l1) + dg * s1),
-        )
-
-    init = F.concat(
-        F.array(F.col("l0"), F.lit(0.0), F.lit(0.0)),
-        F.transform(F.slice("xs", 1, P), lambda v: v - F.col("l0")),
-    )
+    seeded = _hw_seeded(_hourly_xs(load(spark, sf_dir, "events")))
+    init, step = _hw_init_step()
     folded = seeded.select(
         "event_type",
         "n_hours",
@@ -4008,42 +4022,18 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a model-selection job materializes.
 
     All three recurrences run as JVM folds over ONE shared gap-filled
-    array per type (the holt/holt_winters folds restated side by side —
-    kept inline so each registered operator stays self-contained), so
-    the backtest costs one extra fold over frames already built: hours ×
-    types, volume-independent. Flat series (zero naive error) drop out
-    — no division, no fake infinite skill.
+    array per type, and the Holt/Holt–Winters folds are the SAME
+    (init, step) definitions the registered operators run
+    (``_holt_init_step`` / ``_hw_init_step`` / ``_hourly_xs``) — the
+    backtest must score exactly the recurrences it ranks, and the
+    previous inline restatement read the HOLT constants into the HW
+    fold (coincidentally equal today; a silent desync the moment either
+    is tuned). The backtest costs one extra fold over frames already
+    built: hours × types, volume-independent. Flat series (zero naive
+    error) drop out — no division, no fake infinite skill.
     """
-    e = load(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    types = e.select("event_type").distinct()
-    grid = bounds.crossJoin(types).select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-        "event_type",
-    )
-    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    series = grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
-        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
-    )
     P = HW_PERIOD
-    arr = series.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
-        ).alias("xs")
-    )
-    seeded = arr.where(F.size("xs") >= P + 1).select(
-        "event_type",
-        "xs",
-        F.size("xs").cast("bigint").alias("n_hours"),
-        (F.aggregate(F.slice("xs", 1, P), F.lit(0.0), lambda a, x: a + x) / float(P)).alias(
-            "l0"
-        ),
-    )
+    seeded = _hw_seeded(_hourly_xs(load(spark, sf_dir, "events")))
 
     # naive fold: state [err, prev]
     naive = F.aggregate(
@@ -4057,48 +4047,10 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )["err"]
 
-    al, bl = F.lit(HOLT_ALPHA), F.lit(1.0 - HOLT_ALPHA)
-    be, de = F.lit(HOLT_BETA), F.lit(1.0 - HOLT_BETA)
-    ga, dg = F.lit(HW_GAMMA), F.lit(1.0 - HW_GAMMA)
+    holt_init, holt_step = _holt_init_step()
+    holt = F.aggregate("xs", holt_init, holt_step)["errs"]
 
-    def holt_step(acc, x):
-        l1 = al * x + bl * (acc["level"] + acc["trend"])
-        return F.when(
-            acc["level"].isNull(),
-            F.named_struct(
-                F.lit("level"), x, F.lit("trend"), F.lit(0.0), F.lit("errs"), F.lit(0.0)
-            ),
-        ).otherwise(
-            F.named_struct(
-                F.lit("level"), l1,
-                F.lit("trend"), be * (l1 - acc["level"]) + de * acc["trend"],
-                F.lit("errs"), acc["errs"] + F.abs(x - (acc["level"] + acc["trend"])),
-            )
-        )
-
-    holt = F.aggregate(
-        "xs",
-        F.named_struct(
-            F.lit("level"), F.lit(None).cast("double"),
-            F.lit("trend"), F.lit(0.0),
-            F.lit("errs"), F.lit(0.0),
-        ),
-        holt_step,
-    )["errs"]
-
-    def hw_step(acc, x):
-        l, b_, e_, s1 = (F.element_at(acc, i) for i in (1, 2, 3, 4))
-        l1 = al * (x - s1) + bl * (l + b_)
-        return F.concat(
-            F.array(l1, be * (l1 - l) + de * b_, e_ + F.abs(x - (l + b_ + s1))),
-            F.slice(acc, 5, P - 1),
-            F.array(ga * (x - l1) + dg * s1),
-        )
-
-    hw_init = F.concat(
-        F.array(F.col("l0"), F.lit(0.0), F.lit(0.0)),
-        F.transform(F.slice("xs", 1, P), lambda v: v - F.col("l0")),
-    )
+    hw_init, hw_step = _hw_init_step()
     hw = F.element_at(
         F.aggregate(F.slice("xs", P + 1, F.size("xs") - P), hw_init, hw_step), 3
     )
