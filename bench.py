@@ -6,7 +6,8 @@ Prints ONE JSON line:
 
 Each headline query is executed end-to-end (materialized via a noop write —
 forces full evaluation including shuffles/joins without driver-side collect
-of wide rows). Per-query time is the BEST OF 2 back-to-back runs: the first
+of wide rows). Per-query time is the MIN over SPARK_GRAFT_BENCH_RUNS (default 5)
+back-to-back runs: the first
 run of a plan pays one-time Janino/JIT compilation of its generated code
 (~1-3 s for wide aggregates) and is exposed to transient host load; a
 long-lived production session amortizes both, so steady-state is the

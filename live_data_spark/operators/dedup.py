@@ -71,13 +71,47 @@ def spread(df: DataFrame) -> DataFrame:
     core; at real scale the file count keeps the stage wide, but the
     operator shouldn't degrade on small inputs. The round-robin shuffle
     costs one pass over the (tiny) input and is skipped when the scan
-    already splits. Width is probed from the scan's file list — metadata
-    only, no ``df.rdd`` plan conversion (files < cores ⇒ the scan cannot
-    fill the machine unless files split, and files big enough to split
-    don't need spreading).
+    already splits. Width is probed from metadata only — no ``df.rdd``
+    plan conversion: file COUNT first, and when files are few but
+    LARGE, their byte sizes vs ``files.maxPartitionBytes`` (parquet is
+    splittable, so 4 × 1 GB files already scan ~32-wide — a file-count
+    check alone would bolt a full extra exchange onto exactly the big
+    inputs that least need it). Non-local URIs skip the stat and keep
+    the conservative repartition (one cheap pass).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if len(df.inputFiles()) < target else df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    splits = _estimated_scan_splits(spark, files)
+    return df if splits >= target else df.repartition(target)
+
+
+def _estimated_scan_splits(spark: SparkSession, files: list[str]) -> int:
+    """Σ ceil(file_bytes / maxPartitionBytes) over LOCAL files — the
+    scan width Spark's splittable-format packing will produce, from
+    driver-side stats alone. Returns 0 (unknown → caller repartitions)
+    for remote URIs or unparsable conf."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        max_pb = int(raw.lower().rstrip("b"))
+    except ValueError:
+        max_pb = 128 * 1024 * 1024
+    total = 0
+    for u in files:
+        p = urlparse(u)
+        if p.scheme not in ("", "file"):
+            return 0
+        try:
+            size = os.path.getsize(unquote(p.path))
+        except OSError:
+            return 0
+        total += -(-size // max_pb)
+    return total
 
 
 def shingle_rows(

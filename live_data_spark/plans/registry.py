@@ -327,12 +327,21 @@ class Project:
 
             out = self._table_path(mdef)
             cols = df.columns
+            # heal a swap a prior build may have left interrupted (the
+            # table then lives in the backup dir; the _SUCCESS probe
+            # below would otherwise silently reinitialize from this
+            # batch alone)
+            from live_data_spark.sources.files import recover_swapped_dir, swap_dir
+
+            recover_swapped_dir(out)
             if (out / "_SUCCESS").exists():
                 existing = self.spark.read.parquet(str(out)).select(*cols)
                 # upsert = union + keep-latest per key: ONE shuffle on the
                 # merge key; incoming (__src=1) beats existing on recency
                 # ties. Writes to a temp dir then swaps — the target can't
-                # be overwritten while its scan feeds the plan.
+                # be overwritten while its scan feeds the plan, and the
+                # swap is the crash-recoverable two-rename form (never
+                # rmtree-then-rename, whose kill window loses the table).
                 merged = existing.withColumn("__src", F.lit(0)).unionByName(
                     df.withColumn("__src", F.lit(1))
                 )
@@ -353,8 +362,7 @@ class Project:
                 if mdef.partition_by:
                     writer = writer.partitionBy(*mdef.partition_by)
                 writer.parquet(str(tmp))
-                shutil.rmtree(out)
-                tmp.rename(out)
+                swap_dir(tmp, out)
             else:
                 df, obs = self._attach_observation(mdef, df)
                 writer = df.write.mode("overwrite")

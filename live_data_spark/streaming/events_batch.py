@@ -1369,7 +1369,6 @@ def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("double").alias("xd"),
         F.row_number().over(w).alias("i"),
     )
-    n = F.max(F.count(F.lit(1)).over(Window.partitionBy()))
     # count(*) via a plain agg: rank frame already materializes all rows
     # all-zero-value guard: sum(xd) == 0 makes the Lorenz divisor zero —
     # NULL gini (mirrored by the oracle's NULLIF), never a job abort or inf

@@ -204,10 +204,16 @@ def enrich_events_stream(events: DataFrame, dim: DataFrame, key: str = "user_id"
     Left join keeps unmatched events (enrichment must never drop
     facts); at 100 TB of stream the dim side still broadcasts because
     it's a dimension, not a fact.
+
+    The dim's join key (its first column) is dropped by COLUMN
+    REFERENCE, never by name: the string form ``.drop("user_id")``
+    removes every column of that name, so a dim whose key shares the
+    events key's name would silently lose the events key too (the
+    natural naming — pinned in tests/test_streaming.py).
     """
     return events.join(
         F.broadcast(dim), events[key] == dim[dim.columns[0]], "left"
-    ).drop(dim.columns[0])
+    ).drop(dim[dim.columns[0]])
 
 
 SPIKE_ALPHA = 0.3  # EWMA smoothing

@@ -51,7 +51,9 @@ def normalize(rows, columns):
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = sys.argv[1:]
+    # flags are NOT name filters: `preflight.py -v` used to treat '-v' as
+    # a substring, match nothing, and report an all-green empty run
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
     spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
     for t in TABLES:

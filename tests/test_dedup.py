@@ -270,3 +270,35 @@ def test_threshold_curve_monotone_and_consistent(spark, sf_dir):
     at08 = next(r for r in rows if r["threshold"] == 0.8)
     n_jaccard = catalog()["dedup_ngram_jaccard"].spark(spark, sf_dir).count()
     assert at08["n_pairs"] == n_jaccard
+
+
+def test_spread_skips_shuffle_on_large_splittable_files(spark, tmp_path):
+    """spread() exists for the one-small-file case; it must NOT bolt an
+    extra exchange onto few-but-LARGE splittable files, whose scan is
+    already wide (the file-count-only probe regressed exactly that).
+    Pin both arms: a file whose size spans >= cores maxPartitionBytes
+    chunks passes through un-shuffled; a tiny file still spreads."""
+    from pyspark.sql import functions as F
+
+    from live_data_spark.operators.dedup import spread
+
+    big = tmp_path / "big.parquet"
+    spark.range(200_000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).coalesce(1).write.parquet(str(big))
+    small = tmp_path / "small.parquet"
+    spark.range(10).coalesce(1).write.parquet(str(small))
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # make the big file span many splits without writing gigabytes
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        wide = spread(spark.read.parquet(str(big)))
+        assert "Exchange" not in wide._jdf.queryExecution().executedPlan().toString(), (
+            "spread() shuffled an already-wide splittable scan"
+        )
+        narrow = spread(spark.read.parquet(str(small)))
+        assert "Exchange" in narrow._jdf.queryExecution().executedPlan().toString()
+        assert narrow.count() == 10 and wide.count() == 200_000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -368,6 +368,23 @@ def test_stream_static_enrichment_join(spark, events_dir, tmp_path):
     assert got.where(F.col("tier").isNull()).count() > 0
 
 
+def test_stream_static_enrichment_with_same_key_name(spark, events_dir, tmp_path):
+    """The natural dim naming — its key column named exactly like the
+    events key ('user_id') — must keep the events key in the output.
+    The string-form drop removed EVERY 'user_id' column (both sides),
+    silently deleting the stream's key; the column-reference drop
+    removes only the dim's."""
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")], ["user_id", "tier"]
+    )
+    stream = jobs.read_events_stream(spark, events_dir)
+    enriched = jobs.enrich_events_stream(stream, dim)
+    assert "user_id" in enriched.columns, "events key lost to a by-name drop"
+    got = _drain(spark, enriched, tmp_path, "enrich_samekey")
+    assert got.where(F.col("user_id").isNotNull()).count() == got.count()
+    assert got.where(F.col("tier").isNotNull()).count() > 0
+
+
 def test_events_operators_survive_degenerate_streams(spark, sf_dir, monkeypatch):
     """Singleton user streams, a lone event type, and null value/props —
     shapes real event feeds produce constantly and the driver testdata
