@@ -161,8 +161,14 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, max_dim: int = 64) -> DataFrame:
-    """'Resize' stage: rewrite headers with clamped dims (fake transform,
-    real plumbing — same mapInPandas shape a thumbnailer would use)."""
+    """'Resize' stage: rewrite IMAGE headers with clamped dims (fake
+    transform, real plumbing — same mapInPandas shape a thumbnailer
+    would use). Non-image payloads pass through UNTOUCHED: the same
+    header words mean frame-count/frame-size for video and
+    sample-rate/sample-count for audio, so clamping them "as if" they
+    were pixel dims silently corrupts the metadata every downstream
+    stage reads (the frame sampler would see a 400-frame video as a
+    64-frame one)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,7 +181,10 @@ def resize_images(df: DataFrame, max_dim: int = 64) -> DataFrame:
                 return p[:4] + struct.pack(">III", nw, nh, c) + p[16:]
 
             out = pdf.copy()
-            out["payload"] = out["payload"].map(shrink)
+            out["payload"] = [
+                shrink(p) if k == "image" else p
+                for k, p in zip(out["kind"], out["payload"])
+            ]
             yield out
 
     return df.mapInPandas(resize, schema=MEDIA_SCHEMA)

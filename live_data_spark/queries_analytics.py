@@ -1051,7 +1051,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("rev"))
-        .localCheckpoint()  # computed once, read by both branches
+        # lazy: the checkpoint (lineage cut, so max(rev) reuses rev) runs
+        # at the first ACTION — the eager default executed the whole
+        # aggregation job at plan-CONSTRUCTION time, breaking the catalog
+        # convention that entries return lazy plans (the driver's
+        # queries() enumeration and the plan-shape sweeps would each pay
+        # a full lineitem scan just to build the plan)
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("rev").alias("mx"))
     s = load(spark, sf_dir, "supplier")

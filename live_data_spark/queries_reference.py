@@ -115,7 +115,7 @@ SELECT
   p_type AS category,
   p_size AS size,
   round(p_retailprice, 2) AS product_price,
-  round(p_retailprice * 0.42, 2) AS product_cost
+  cast(round(cast(p_retailprice AS DECIMAL(18,2)) * 0.42, 2) AS DOUBLE) AS product_cost
 FROM part
 """
 
@@ -126,8 +126,19 @@ def stg_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: stg_bike_shop__products.sql:7-23, :20 (round(product_cost,2));
     mock_data.py:31 (cost = price * constant-factor-per-batch).
+
+    product_cost multiplies in EXACT decimal (dec2 × decimal 0.42 —
+    4-dp exact product) before the HALF_UP round, on both engines: a
+    2-dp price ending .25/.75 makes the rational product land exactly
+    on a .xx5 boundary, where float round() is engine-divergent (Spark
+    HALF_UPs the shortest repr, DuckDB rounds the binary — the dec2
+    docstring's rule). product_price stays a float round: the input is
+    already 2-dp-valued, so its round is a no-op on any engine.
     """
     p = load(spark, sf_dir, "part")
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.lit("0.42").cast(
+        "decimal(4,2)"
+    )
     return p.select(
         F.col("p_partkey").alias("product_id"),
         F.col("p_name").alias("model"),
@@ -135,7 +146,7 @@ def stg_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("category"),
         F.col("p_size").alias("size"),
         F.round("p_retailprice", 2).alias("product_price"),
-        F.round(F.col("p_retailprice") * 0.42, 2).alias("product_cost"),
+        F.round(cost, 2).cast("double").alias("product_cost"),
     )
 
 

@@ -45,13 +45,29 @@ def test_decode_media_roundtrip(media):
 
 def test_resize_clamps_dims(media):
     resized = mm.decode_media(mm.resize_images(media, max_dim=64))
-    assert resized.where((F.col("width") > 64) & (F.col("height") > 64)).count() == 0
+    imgs = resized.where(F.col("kind") == "image")
+    assert imgs.where((F.col("width") > 64) & (F.col("height") > 64)).count() == 0
     # aspect ratio preserved-ish: no zero dims
-    assert resized.where((F.col("width") < 1) | (F.col("height") < 1)).count() == 0
+    assert imgs.where((F.col("width") < 1) | (F.col("height") < 1)).count() == 0
     # payload body untouched by the header rewrite → features identical
     orig = {r["media_id"]: r["mean_byte"] for r in mm.decode_media(media).collect()}
     after = {r["media_id"]: r["mean_byte"] for r in resized.collect()}
     assert orig == after
+    # NON-image payloads pass through byte-identical: the same header
+    # words are frame-count/sample-rate there, and clamping them as
+    # pixel dims corrupted every downstream stage (the regression that
+    # made the frame sampler see a 400-frame video as 64 frames)
+    before = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where(F.col("kind") != "image").collect()
+    }
+    after_raw = {
+        r["media_id"]: bytes(r["payload"])
+        for r in mm.resize_images(media, max_dim=64)
+        .where(F.col("kind") != "image")
+        .collect()
+    }
+    assert before == after_raw
 
 
 def test_sample_video_frames(media):
