@@ -223,3 +223,39 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
     finally:
         for key, val in old.items():
             spark.conf.set(key, val)
+
+
+def test_incremental_merge_survives_crash_mid_swap(spark, tmp_path):
+    """A build killed between the swap's two renames (store moved to the
+    backup, replacement not yet renamed in) must NOT reset the table to
+    the next batch alone: the next build heals from the backup and
+    merges on the FULL history. The rmtree-then-rename form this
+    replaces lost every previously merged key silently."""
+    from live_data_spark.sources.files import _SWAP_BAK_SUFFIX
+
+    src = {"rows": [(1, "a-v1", dt.datetime(2026, 1, 1))]}
+    proj = Project(spark, warehouse_dir=str(tmp_path))
+
+    @proj.model(
+        materialized="incremental_merge",
+        incremental_key="updated_at",
+        unique_key=("id",),
+    )
+    def dim_crash(ctx):
+        return ctx.spark.createDataFrame(src["rows"], ["id", "val", "updated_at"])
+
+    proj.build("dim_crash")
+    src["rows"] = [(2, "b-v1", dt.datetime(2026, 1, 2))]
+    proj.invalidate()
+    assert proj.build("dim_crash").count() == 2
+
+    # simulate the kill window: the store directory renamed away
+    store = next(tmp_path.glob("*/dim_crash"))
+    bak = store.parent / (store.name + _SWAP_BAK_SUFFIX)
+    store.rename(bak)
+
+    src["rows"] = [(3, "c-v1", dt.datetime(2026, 1, 3))]
+    proj.invalidate()
+    got = {r["id"]: r["val"] for r in proj.build("dim_crash").collect()}
+    assert got == {1: "a-v1", 2: "b-v1", 3: "c-v1"}, "history lost in the swap window"
+    assert not bak.exists()
