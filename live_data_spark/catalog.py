@@ -101,36 +101,36 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _table_files(sf_dir: str, table: str) -> list[_Path]:
-    path = _Path(sf_dir) / f"{table}.parquet"
-    return [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
-
-
-def _table_fingerprint(sf_dir: str, table: str) -> tuple[int, int, int]:
-    """(n_files, total_bytes, max_mtime_ns) — a stat-level change
-    detector recomputed on EVERY metadata call, so the footer caches
-    below key on the table's current on-disk state rather than its
-    path. A path-only cache silently serves pre-rewrite numbers after a
+def _table_state(
+    sf_dir: str, table: str
+) -> tuple[tuple[str, ...], tuple[int, int, int]]:
+    """ONE directory walk per metadata call: the table's file list plus
+    its (n_files, total_bytes, max_mtime_ns) stat fingerprint — the
+    change detector the footer caches below key on, so they track the
+    table's current ON-DISK state rather than its path. A path-only
+    cache silently serves pre-rewrite numbers after a
     compaction/re-ingest at the same location, mis-sizing every
     data-dependent plan parameter (LSH plane counts, IVF k_lists,
     broadcast gates) for the rest of the driver process. Stats are
     O(files) with no file opens — the footer PARSE is what's worth
-    caching."""
-    st = [f.stat() for f in _table_files(sf_dir, table)]
-    return (
+    caching — and the file list travels WITH the fingerprint so cached
+    bodies never re-glob."""
+    path = _Path(sf_dir) / f"{table}.parquet"
+    files = [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
+    st = [f.stat() for f in files]
+    fp = (
         len(st),
         sum(s.st_size for s in st),
         max((s.st_mtime_ns for s in st), default=0),
     )
+    return tuple(str(f) for f in files), fp
 
 
 @_functools.lru_cache(maxsize=128)
-def _rowcount_at(sf_dir: str, table: str, fingerprint: tuple[int, int, int]) -> int:
+def _rowcount_at(files: tuple[str, ...], fingerprint: tuple[int, int, int]) -> int:
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.ParquetFile(str(f)).metadata.num_rows for f in _table_files(sf_dir, table)
-    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def table_rowcount(sf_dir: str, table: str) -> int:
@@ -143,7 +143,8 @@ def table_rowcount(sf_dir: str, table: str) -> int:
     part-files (Spark's layout). Cached per on-disk STATE (stat
     fingerprint), not per path — a rewritten/appended table re-parses
     its footers instead of serving stale counts."""
-    return _rowcount_at(sf_dir, table, _table_fingerprint(sf_dir, table))
+    files, fp = _table_state(sf_dir, table)
+    return _rowcount_at(files, fp)
 
 
 def table_bytes(sf_dir: str, table: str) -> int:
@@ -154,7 +155,7 @@ def table_bytes(sf_dir: str, table: str) -> int:
     agrees with what ``autoBroadcastJoinThreshold`` would see. Pure stat
     work, recomputed every call (caching would only save the glob while
     risking post-rewrite staleness)."""
-    return _table_fingerprint(sf_dir, table)[1]
+    return _table_state(sf_dir, table)[1][1]
 
 
 # Gate for explicit broadcast hints on frames whose size scales with SF.
@@ -179,25 +180,26 @@ def key_domain_span(sf_dir: str, table: str, column: str) -> int:
     shuffle path; never an OOM. Falls back to the rowcount bound when
     any row group lacks min/max stats. Cached per on-disk state, like
     ``table_rowcount``."""
-    return _key_span_at(sf_dir, table, column, _table_fingerprint(sf_dir, table))
+    files, fp = _table_state(sf_dir, table)
+    return _key_span_at(files, column, fp)
 
 
 @_functools.lru_cache(maxsize=128)
 def _key_span_at(
-    sf_dir: str, table: str, column: str, fingerprint: tuple[int, int, int]
+    files: tuple[str, ...], column: str, fingerprint: tuple[int, int, int]
 ) -> int:
     import pyarrow.parquet as pq
 
-    files = _table_files(sf_dir, table)
     lo: int | None = None
     hi: int | None = None
-    for fp in files:
-        md = pq.ParquetFile(str(fp)).metadata
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
         idx = md.schema.names.index(column)
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(idx).statistics
             if st is None or not st.has_min_max:
-                return table_rowcount(sf_dir, table)
+                # rowcount fallback reuses the SAME file list — no re-glob
+                return _rowcount_at(files, fingerprint)
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
     if lo is None or hi is None:  # zero row groups: empty table

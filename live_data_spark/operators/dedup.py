@@ -88,6 +88,18 @@ def spread(df: DataFrame) -> DataFrame:
     return df if splits >= target else df.repartition(target)
 
 
+def _parse_byte_conf(raw: str) -> int | None:
+    """Spark byte-size conf string → bytes: plain digits, optional
+    trailing 'b', or a k/m/g/t suffix ('64k', '256m', '1g' — the forms
+    Spark itself accepts). None when unparsable."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", raw.lower())
+    if not m:
+        return None
+    return int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)]
+
+
 def _estimated_scan_splits(spark: SparkSession, files: list[str]) -> int:
     """Σ ceil(file_bytes / maxPartitionBytes) over LOCAL files — the
     scan width Spark's splittable-format packing will produce, from
@@ -96,11 +108,11 @@ def _estimated_scan_splits(spark: SparkSession, files: list[str]) -> int:
     import os
     from urllib.parse import unquote, urlparse
 
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    try:
-        max_pb = int(raw.lower().rstrip("b"))
-    except ValueError:
-        max_pb = 128 * 1024 * 1024
+    max_pb = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if not max_pb:
+        return 0
     total = 0
     for u in files:
         p = urlparse(u)

@@ -100,6 +100,11 @@ def main() -> int:
             print(f"[{i:3d}] {name}: {status} ({time.time() - t0:.1f}s)")
     scope = f" (filtered from {len(queries)})" if only else ""
     print(f"preflight: {n_run - n_bad}/{n_run} green{scope} at {sf_dir}")
+    if only and n_run == 0:
+        # a typo'd filter must not read as a passing gate: an empty run
+        # verified nothing
+        print(f"preflight: filter {only} matched NO queries", file=sys.stderr)
+        return 1
     return 1 if n_bad else 0
 
 

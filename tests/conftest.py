@@ -14,6 +14,32 @@ if str(REPO) not in sys.path:
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+def canon_rows(rows, columns):
+    """THE order-insensitive canonical row form the driver's value hash
+    sees (column-name-sorted tuples, %.10g floats with -0.0 collapsed,
+    None sentinel, bools as ints) — one definition shared by every
+    result-comparing sweep (oracle parity, partition-layout invariance,
+    broadcast-gate-closed) so a float-format or NaN-handling tweak can
+    never desynchronize them. scripts/preflight.py carries the same
+    logic as a standalone driver replica."""
+    import math
+
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def canon(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v + 0.0:.10g}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    return sorted(tuple(canon(row[i]) for i in order) for row in rows)
+
+
 # Non-catalog hardening helpers (implemented swap-ins documented in
 # SCALE.md): the default-deny sweeps (plan hygiene, empty input) can't
 # discover them through the catalog, so they enumerate this ONE list —

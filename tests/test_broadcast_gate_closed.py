@@ -32,34 +32,13 @@ hint rather than collapsing to CartesianProduct.
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
 import live_data_spark.catalog as cat
+from conftest import canon_rows as _canon
 from live_data_spark.catalog import catalog
 
 SF_SMOKE = "/root/testdata/sf0.001"
-
-
-def _canon(rows, columns):
-    """The preflight/oracle-parity normalize (column-sorted tuples,
-    %.10g floats, None sentinel): a diff here is a diff the DRIVER's
-    value hash would see."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def c(v):
-        if v is None:
-            return "∅"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v + 0.0:.10g}"
-        if isinstance(v, bool):
-            return str(int(v))
-        return str(v)
-
-    return sorted(tuple(c(row[i]) for i in order) for row in rows)
 
 
 _THRESH_CONFS = (

@@ -291,8 +291,11 @@ def test_spread_skips_shuffle_on_large_splittable_files(spark, tmp_path):
 
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
-        # make the big file span many splits without writing gigabytes
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        # make the big file span many splits without writing gigabytes —
+        # set via the SUFFIXED form Spark itself accepts, pinning the
+        # conf parser (a digits-only parser fell back to 128 MB on
+        # '64k' and re-shuffled the wide scan anyway)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
         wide = spread(spark.read.parquet(str(big)))
         assert "Exchange" not in wide._jdf.queryExecution().executedPlan().toString(), (
             "spread() shuffled an already-wide splittable scan"

@@ -8,7 +8,6 @@ sf0.01 (run here at sf0.001 for speed).
 
 from __future__ import annotations
 
-import math
 
 import duckdb
 import pytest
@@ -27,23 +26,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def normalize(rows, columns):
-    """Order-insensitive canonical form: sort columns by name, stringify."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def canon(v):
-        if v is None:
-            return "∅"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            # collapse -0.0/0.0 and format stably
-            return f"{v + 0.0:.10g}"
-        if isinstance(v, bool):
-            return str(int(v))
-        return str(v)
-
-    return sorted(tuple(canon(row[i]) for i in order) for row in rows)
+from conftest import canon_rows as normalize  # ONE canonicalizer for every sweep
 
 
 ORACLE_CASES = sorted(name for name, spec in catalog().items() if spec.oracle is not None)

@@ -25,33 +25,12 @@ association or partition boundaries shows up as a value diff here.
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
+from conftest import canon_rows as _canon
 from live_data_spark.catalog import catalog
 
 SF_SMOKE = "/root/testdata/sf0.001"
-
-
-def _canon(rows, columns):
-    """Order-insensitive canonical form — the preflight/oracle-parity
-    normalize (column-sorted tuples, %.10g floats, None sentinel) so a
-    diff here means the DRIVER would see a hash mismatch too."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def c(v):
-        if v is None:
-            return "∅"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v + 0.0:.10g}"
-        if isinstance(v, bool):
-            return str(int(v))
-        return str(v)
-
-    return sorted(tuple(c(row[i]) for i in order) for row in rows)
 
 
 @pytest.mark.parametrize("name", sorted(catalog()))
