@@ -490,10 +490,27 @@ def test_update_ledger_script_regenerates_consistently(tmp_path, monkeypatch):
     assert last_red.get("stratified_eval_split", 0) >= 5
     # every currently-ledgered name must be justified by a driver row,
     # with the evidence kind carried through (hash beats rows-only).
+    # Promotion-tolerant: the driver drops CORRECTNESS_r{N}.json AFTER the
+    # round's final commit, so at every healthy round open the regenerated
+    # record may be strictly NEWER than the baked one (higher round, or a
+    # same-round rows→hash upgrade) — that is the normal pre-rebake state,
+    # not staleness. What must still fail: a baked entry with NO driver
+    # row behind it (lost), or regenerated evidence OLDER/downgraded vs
+    # the baked literal (the regex-slip class this test exists for).
     from live_data_spark import ledger
 
-    for name, rec in ledger.LAST_CHECKED.items():
-        assert last_ok.get(name) == rec, name
+    kind_rank = {"rows": 0, "hash": 1}
+    for name, (baked_r, baked_k) in ledger.LAST_CHECKED.items():
+        cur = last_ok.get(name)
+        assert cur is not None, f"{name}: baked but no driver row justifies it"
+        cur_r, cur_k = cur
+        newer = cur_r > baked_r or (
+            cur_r == baked_r and kind_rank[cur_k] >= kind_rank[baked_k]
+        )
+        assert newer, (
+            f"{name}: regenerated {cur} is older/downgraded vs baked "
+            f"({baked_r}, {baked_k!r}) — ledger.py corrupted or rewrite slipped"
+        )
 
     # rewrite against a COPY, then import the copy and compare
     work = tmp_path / "ledger.py"
