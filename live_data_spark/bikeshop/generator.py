@@ -29,6 +29,7 @@ Faithful semantics (and conscious deviations, flagged):
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -58,6 +59,19 @@ SUBCATEGORIES = {
 }
 FRAMES = ["Carbon", "Aluminium", "Steel", "Titanium"]
 ORDER_STATUSES = ["shipped", "delivered", "refunded"]
+
+
+def batch_cost_factor(seed: int, batch: int) -> float:
+    """uniform(0.3, 0.5) per-batch cost factor (the §8.5 quirk), driver-side.
+
+    md5 of the seed tuple — the driver-side twin of ``_u``'s xxhash64
+    recipe. NOT Python's ``hash()``: that one is salted per interpreter for
+    str-bearing tuples (PYTHONHASHSEED), which silently broke the module's
+    cross-process determinism contract until round 8. Pinned by a
+    subprocess-respawn test under two forced hash seeds.
+    """
+    digest = hashlib.md5(f"{seed}-cost_factor-{batch}".encode()).hexdigest()
+    return 0.3 + 0.2 * (int(digest, 16) % 1_000_000) / 1_000_000.0
 
 
 class MockDataSpark:
@@ -106,7 +120,7 @@ class MockDataSpark:
         i = F.col("id_n")
         cat = self._pick(CATEGORIES, "cat", batch, i)
         # one cost factor for the whole batch: drawn from the seed, not the row
-        factor = 0.3 + 0.2 * (hash((self.seed, "cost_factor", batch)) % 1_000_000) / 1_000_000.0
+        factor = batch_cost_factor(self.seed, batch)
         price = F.round(500 + self._u("price", batch, i) * self._u("price2", batch, i) * 12500, 0)
         return (
             self.spark.range(n)

@@ -88,6 +88,42 @@ def test_generator_deterministic(spark, tmp_path):
     )
 
 
+def test_generator_deterministic_across_processes():
+    """The generator's determinism contract (generator.py:6) is
+    CROSS-process, not just within one interpreter — but until round 8 the
+    per-batch cost factor came from Python's ``hash()`` of a str-bearing
+    tuple, which is salted per interpreter (PYTHONHASHSEED), so two runs of
+    the same seed produced different product_cost columns. Every other draw
+    is a JVM-side xxhash64/md5 column expression (process-independent by
+    construction); the cost factor is the one driver-side scalar, so pin it
+    by respawning interpreters with two DIFFERENT forced hash seeds — under
+    the old code these provably diverge, under md5 they must agree."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    prog = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "from live_data_spark.bikeshop.generator import batch_cost_factor; "
+        "print(repr([batch_cost_factor(7, b) for b in range(4)] + [batch_cost_factor(8, 0)]))"
+    )
+    outs = []
+    for hashseed in ("1", "4242"):
+        r = subprocess.run(
+            [sys.executable, "-c", prog, str(repo)],
+            capture_output=True,
+            text=True,
+            env={"PYTHONHASHSEED": hashseed, "PATH": "/usr/bin:/bin"},
+            check=True,
+        )
+        outs.append(r.stdout.strip())
+    assert outs[0] == outs[1]
+    factors = eval(outs[0])  # repr of a float list from our own subprocess
+    assert all(0.3 <= f <= 0.5 for f in factors)
+    assert len(set(factors)) > 1  # varies by (seed, batch), not a constant
+
+
 # -- models (SURVEY §2.2-§2.4, §2.10) ---------------------------------------
 
 
