@@ -25,11 +25,21 @@ The structural half of the tripwire (artifact exists, covers the whole
 catalog, ratios consistent) runs in pytest (tests/test_perf_artifact.py);
 the re-timing half lives here because a 10-minute sweep does not belong
 in the unit suite.
+
+Contention discipline (SCALE.md §15 adjudication): the sweep REFUSES to
+start while another Spark driver is live on the host (`--force` to
+override) — a concurrent JVM inflates streaming entries' fixed machinery
+latency without scaling the anchor, which false-positives the ratio
+tripwire. Entries tagged "streaming" are additionally exempt from the
+ratio comparison and checked against an absolute stall ceiling instead:
+their wall time is availableNow-drain machinery, not plan work, so a
+ratio-to-anchor is not meaningful signal for them under ANY load.
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -46,6 +56,23 @@ ANCHOR = "dedup_exact"
 RUNS = 2
 TRIP_RATIO = 3.0  # flag an entry whose ratio-to-anchor tripled
 NOISE_FLOOR_SEC = 0.2  # sub-floor entries are scheduling noise, not signal
+STREAMING_STALL_SEC = 60.0  # streaming entries: absolute ceiling, not ratio
+
+
+def other_spark_drivers() -> list[str]:
+    """Command lines of live Spark driver JVMs on this host (ours is not
+    started yet when this runs, so every hit is a foreign driver)."""
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "args"], capture_output=True, text=True, check=True
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return []  # no ps — proceed rather than block the sweep
+    return [
+        line.strip()[:120]
+        for line in out.splitlines()
+        if "org.apache.spark.deploy.SparkSubmit" in line
+    ]
 
 
 def _time(spec, spark, runs: int = RUNS) -> float:
@@ -82,26 +109,49 @@ def sweep() -> dict:
     return out
 
 
+def flag_entries(base: dict, fresh: dict, streaming: set[str]) -> list[tuple]:
+    """(name, baseline_ratio, fresh_ratio) rows the tripwire flags."""
+    flagged = []
+    for name, now in fresh["entries"].items():
+        rec = base["entries"].get(name)
+        if rec is None:  # new since the artifact — rewrite will pick it up
+            continue
+        if name in streaming:
+            # fixed drain-machinery latency; ratio-to-anchor is not signal.
+            # Only a genuine stall (a hung offset walk) should flag.
+            if now["sec"] > STREAMING_STALL_SEC:
+                flagged.append((name, rec["ratio"], now["ratio"]))
+            continue
+        if now["sec"] < NOISE_FLOOR_SEC and rec["sec"] < NOISE_FLOOR_SEC:
+            continue
+        if rec["ratio"] > 0 and now["ratio"] / rec["ratio"] > TRIP_RATIO:
+            flagged.append((name, rec["ratio"], now["ratio"]))
+    return flagged
+
+
 def main() -> int:
     check = "--check" in sys.argv
     if check:
         # read the baseline BEFORE the ~10-minute sweep: a missing or
         # merge-mangled artifact should fail in under a second, not after
         base = json.loads(ARTIFACT.read_text())
+    drivers = other_spark_drivers()
+    if drivers and "--force" not in sys.argv:
+        print("perf_sweep: another Spark driver is live on this host —")
+        for d in drivers:
+            print(f"  {d}")
+        print("timings under contention are not signal (streaming entries "
+              "false-positive the tripwire). Wait for it, or re-run with --force.")
+        return 2
     fresh = sweep()
     if not check:
         ARTIFACT.write_text(json.dumps(fresh, indent=1, sort_keys=True) + "\n")
         print(f"perf_sweep: wrote {ARTIFACT.name} ({len(fresh['entries'])} entries)")
         return 0
-    flagged = []
-    for name, now in fresh["entries"].items():
-        rec = base["entries"].get(name)
-        if rec is None:  # new since the artifact — rewrite will pick it up
-            continue
-        if now["sec"] < NOISE_FLOOR_SEC and rec["sec"] < NOISE_FLOOR_SEC:
-            continue
-        if rec["ratio"] > 0 and now["ratio"] / rec["ratio"] > TRIP_RATIO:
-            flagged.append((name, rec["ratio"], now["ratio"]))
+    from live_data_spark.catalog import catalog as _catalog
+
+    streaming = {n for n, s in _catalog().items() if "streaming" in s.tags}
+    flagged = flag_entries(base, fresh, streaming)
     for name, was, is_ in sorted(flagged, key=lambda x: -x[2] / max(x[1], 1e-9)):
         print(f"TRIPWIRE {name}: ratio {was} -> {is_}")
     missing = sorted(set(base["entries"]) - set(fresh["entries"]))

@@ -41,3 +41,77 @@ def test_perf_artifact_structure_and_coverage():
     for name, rec in entries.items():
         assert rec["sec"] >= 0, name
         assert abs(rec["ratio"] - rec["sec"] / anchor) <= 0.01 + 0.005 * rec["ratio"], name
+
+
+def _perf_sweep_module():
+    import importlib.util
+
+    path = ARTIFACT.parent / "scripts" / "perf_sweep.py"
+    spec = importlib.util.spec_from_file_location("perf_sweep", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_perf_check_streaming_entries_use_stall_ceiling_not_ratio():
+    """Streaming entries carry fixed availableNow-drain machinery latency
+    that inflates under host contention WITHOUT scaling the anchor query,
+    so the ratio tripwire false-positives on them (the round-7
+    pysource_stream_batch_parity 22.8→73.8 adjudication). Pin the check's
+    arms: a contended streaming entry (huge ratio, sane seconds) passes; a
+    genuinely stalled one (seconds past the ceiling) still flags; a
+    non-streaming ratio inflation flags as before."""
+    ps = _perf_sweep_module()
+    base = {
+        "entries": {
+            "stream_twin": {"sec": 5.0, "ratio": 22.8},
+            "batch_q": {"sec": 1.0, "ratio": 4.0},
+        }
+    }
+    fresh_contended = {
+        "entries": {
+            "stream_twin": {"sec": 16.0, "ratio": 73.8},  # the r7 false positive
+            "batch_q": {"sec": 1.1, "ratio": 4.4},
+        }
+    }
+    assert ps.flag_entries(base, fresh_contended, {"stream_twin"}) == []
+    fresh_stalled = {
+        "entries": {
+            "stream_twin": {"sec": ps.STREAMING_STALL_SEC + 1, "ratio": 300.0},
+            "batch_q": {"sec": 3.1, "ratio": 12.5},  # >3x ratio: real regression
+        }
+    }
+    flagged = {n for n, *_ in ps.flag_entries(base, fresh_stalled, {"stream_twin"})}
+    assert flagged == {"stream_twin", "batch_q"}
+    # without the streaming exemption the contended run would have flagged
+    assert {n for n, *_ in ps.flag_entries(base, fresh_contended, set())} == {
+        "stream_twin"
+    }
+
+
+def test_perf_sweep_detects_foreign_spark_drivers(monkeypatch):
+    """other_spark_drivers() must spot a live SparkSubmit JVM in ps output
+    and stay silent otherwise (and never crash when ps is unavailable)."""
+    import subprocess
+
+    ps = _perf_sweep_module()
+
+    class R:
+        def __init__(self, out):
+            self.stdout = out
+
+    monkeypatch.setattr(
+        ps.subprocess,
+        "run",
+        lambda *a, **k: R("bash\njava -cp ... org.apache.spark.deploy.SparkSubmit pyspark-shell\n"),
+    )
+    hits = ps.other_spark_drivers()
+    assert len(hits) == 1 and "SparkSubmit" in hits[0]
+    monkeypatch.setattr(ps.subprocess, "run", lambda *a, **k: R("bash\nvim\n"))
+    assert ps.other_spark_drivers() == []
+
+    def boom(*a, **k):
+        raise OSError("no ps")
+
+    monkeypatch.setattr(ps.subprocess, "run", boom)
+    assert ps.other_spark_drivers() == []
