@@ -163,15 +163,43 @@ def source_cap_hash_rate(
     what the SQL oracle replays; this is the form to swap in when a
     domain outgrows a partition and ≈cap is acceptable — CCNet/RefinedWeb
     caps are rates, not exact counts.
+
+    Gate note: the counts frame has one row per DISTINCT source, which no
+    parquet-footer statistic bounds (string column, no NDV stats) — and
+    bounding it by corpus ROWS shuts the gate at ~1M docs even with a
+    handful of sources, degrading this join to a source-keyed shuffle of
+    the whole corpus at exactly the scale the skew-free form exists for.
+    So this helper gates compute-then-decide instead: persist the counts
+    aggregate (≤|sources| rows), materialize it once (`count()` — the one
+    corpus scan phase 1 costs anyway), and hint the broadcast iff the
+    REAL size n_sources×32B is under the gate. Per-domain web caps can
+    legitimately exceed it (~100M registered domains ≈ 3 GiB); above the
+    gate the plain frame falls back to Catalyst's strategy, where AQE's
+    skew-join split handles the mega-domain hot partition. The
+    materialized frame is memoized per sf_dir for the session, so sweeps
+    re-invoking the helper share one ≤|sources|-row cache entry.
     """
     d = load(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    from live_data_spark.catalog import broadcast_dim
+    from live_data_spark import catalog as _cat
 
-    dc = d.join(broadcast_dim(counts, sf_dir, "documents", row_bytes=32), "source")
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _HASH_RATE_COUNTS_MEMO
+    if memo_key not in memo:
+        counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).persist()
+        memo[memo_key] = (counts, counts.count())
+    counts, n_sources = memo[memo_key]
+    # gate read at CALL time so the gate-closed sweep can force it shut
+    if n_sources * 32 <= _cat.BROADCAST_GATE_BYTES:
+        counts = F.broadcast(counts)
+    dc = d.join(counts, "source")
     return dc.where(
         F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_docs")) < F.lit(cap)
     ).select("doc_id", "source", "n_docs")
+
+
+# per-sf_dir (counts frame, n_sources) — one tiny persisted frame per
+# corpus per session (see source_cap_hash_rate's gate note)
+_HASH_RATE_COUNTS_MEMO: dict = {}
 
 
 # ---------------------------------------------------------------------------

@@ -329,6 +329,13 @@ def read_jsonl_corpus(
     # the quarantine frame unusable for exactly the custom schemas the
     # ``schema`` parameter exists for.
     data_cols = [c for c in df.columns if c not in ("_corrupt_record", "source_path")]
+    if not data_cols:
+        raise ValueError(
+            "read_jsonl_corpus: schema must declare at least one data column "
+            "besides the reserved _corrupt_record/source_path — an "
+            "only-reserved schema parses nothing and cannot anchor the "
+            f"quarantine frame's pruned scan (got: {sch!r})"
+        )
     bad = df.where(F.col("_corrupt_record").isNotNull()).select(
         "source_path",
         F.coalesce(

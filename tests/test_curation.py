@@ -466,3 +466,40 @@ def test_source_cap_hash_rate_skew_free_and_deterministic(spark, sf_dir):
         .where(F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_docs")) < F.lit(cap))
     )
     assert {r["doc_id"] for r in relaid.select("doc_id").collect()} == ids
+
+
+def test_source_cap_hash_rate_gates_on_real_counts_size(spark, sf_dir, monkeypatch):
+    """The broadcast gate must bound the counts frame by its REAL size
+    (n_distinct_sources × 32B, known after the compute-then-decide
+    materialization), not by corpus rows — a row-based bound shuts at ~1M
+    docs with a handful of sources, degrading the join to the source-keyed
+    corpus shuffle this form exists to avoid. sf0.001: 500 docs but only
+    20 sources, so a gate BETWEEN 20×32 and 500×32 separates the bounds:
+    the real-size gate broadcasts, a row-bound would not. Forced shut, the
+    hint must disappear (the gate-closed sweep's contract)."""
+    from live_data_spark import catalog as cat
+    from live_data_spark.operators import curation
+
+    curation._HASH_RATE_COUNTS_MEMO.clear()
+    monkeypatch.setattr(cat, "BROADCAST_GATE_BYTES", 5_000)  # 640 < 5000 < 16000
+    plan = (
+        curation.source_cap_hash_rate(spark, sf_dir, cap=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    # force the gate shut: the hint must disappear (with Catalyst's own
+    # auto-broadcast estimator also off, as at real scale — it would
+    # otherwise still pick BHJ for the tiny cached counts frame)
+    monkeypatch.setattr(cat, "BROADCAST_GATE_BYTES", -1)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_shut = (
+            curation.source_cap_hash_rate(spark, sf_dir, cap=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan_shut
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    curation._HASH_RATE_COUNTS_MEMO.clear()

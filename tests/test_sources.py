@@ -241,6 +241,21 @@ def test_jsonl_corpus_custom_schema_without_text_column(spark, tmp_path):
     assert [r["raw_line"] for r in bad.collect()] == ["not json"]
 
 
+def test_jsonl_corpus_rejects_schema_with_no_data_columns(spark, tmp_path):
+    """A schema carrying only the reserved columns leaves the quarantine
+    frame with no companion field to anchor its pruned scan — that must be
+    a descriptive ValueError at call time, not an IndexError from
+    data_cols[0]."""
+    import pytest
+
+    from live_data_spark.sources.files import read_jsonl_corpus
+
+    shard = tmp_path / "s.jsonl"
+    shard.write_text('{"id": 1}\n')
+    with pytest.raises(ValueError, match="at least one data column"):
+        read_jsonl_corpus(spark, str(shard), schema="_corrupt_record STRING")
+
+
 
 def test_xml_read_rows_and_attributes(spark, tmp_path):
     """Spark 4 built-in XML source: rowTag extraction, attribute columns,
