@@ -69,6 +69,7 @@ def catalog() -> dict[str, QuerySpec]:
     from live_data_spark.operators import classifier, clustering, curation, dedup, graph, profiling, similarity, multimodal, text, tokenizer  # noqa: F401
     from live_data_spark.streaming import events_batch  # noqa: F401
     from live_data_spark.corpus import pipeline  # noqa: F401
+    from live_data_spark.plans import snapshot  # noqa: F401
     from live_data_spark.sources import pysource  # noqa: F401
     from live_data_spark import queries_analytics, queries_reference, queries_tpch_extra  # noqa: F401
 
@@ -291,10 +292,13 @@ def gated_pair_sides(
       (default MEMORY_AND_DISK_DESER) because a broadcast build side
       cannot ReuseExchange the probe side's shuffle subtree — without
       the pin the signature subtree recomputes once per use (measured
-      SLOWER than the SMJ baseline). The cache deliberately lives for
-      the session: the caller returns a lazy frame, so there is no
-      post-action unpersist hook, and the gate bounds the residency to
-      under BROADCAST_GATE_BYTES (evictable).
+      SLOWER than the SMJ baseline). The caller returns a lazy frame,
+      so there is no post-action unpersist hook; instead residency is
+      bounded by a small LRU (``_PAIR_CACHE_MAX`` plans, deduped by
+      semantic hash so re-invoking one entry reuses its slot): when a
+      third distinct pair plan persists, the oldest unpersists, so the
+      session-wide bound is ``_PAIR_CACHE_MAX × BROADCAST_GATE_BYTES``
+      regardless of how many entries share this helper.
     - gate CLOSED (huge corpus): the plain self-join shape — SMJ with
       exchange-reused subtrees, pair aggregate with its own shuffle.
       Slower constants, but nothing is ever driver- or cache-resident.
@@ -311,5 +315,16 @@ def gated_pair_sides(
     )
     if small:
         df = df.persist()
+        key = df.semanticHash()
+        _PAIR_CACHE.pop(key, None)  # re-invocation: refresh LRU position
+        _PAIR_CACHE[key] = df
+        while len(_PAIR_CACHE) > _PAIR_CACHE_MAX:
+            _PAIR_CACHE.pop(next(iter(_PAIR_CACHE))).unpersist(blocking=False)
         return df.repartition(part_key).alias("a"), F.broadcast(df.alias("b"))
     return df.alias("a"), df.alias("b")
+
+
+# LRU of persisted pair-build frames, keyed by semantic hash (see
+# gated_pair_sides): bounds cache residency to MAX × gate per session.
+_PAIR_CACHE: dict[int, DataFrame] = {}
+_PAIR_CACHE_MAX = 2

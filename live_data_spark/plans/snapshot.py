@@ -28,6 +28,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from live_data_spark.catalog import load, register
+
 VALID_FROM = "dbt_valid_from"
 VALID_TO = "dbt_valid_to"
 
@@ -48,6 +50,63 @@ def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(str(Path(root) / f"_v{gen}"))
 
 
+def initial_state(source: DataFrame, updated_at: str) -> DataFrame:
+    """The SCD2 state a first snapshot run materializes: every source row
+    opens a version at its own ``updated_at``."""
+    return source.withColumn(VALID_FROM, F.col(updated_at)).withColumn(
+        VALID_TO, F.lit(None).cast(source.schema[updated_at].dataType)
+    )
+
+
+def snapshot_merge(
+    current: DataFrame,
+    source: DataFrame,
+    unique_key: str,
+    updated_at: str,
+) -> DataFrame:
+    """One SCD2 merge, as a pure plan: (current state, new source) → new
+    state. ``snapshot`` wraps this with the generation storage walk; the
+    catalog entry ``snapshot_scd2_orders`` runs it bare so the driver's
+    oracle can check the merge semantics end-to-end.
+
+    Scale shape: ONE full-outer equi-join on ``unique_key`` between the
+    open rows and the source (closed history unions through untouched),
+    and each output arm is a selection over that join — no window, no
+    per-key ordering; both sides shuffle once on the key.
+    """
+    source_cols = list(source.columns)
+    closed = current.where(~_open())
+    open_rows = current.where(_open())
+
+    src = source.select(*[F.col(c).alias(f"src_{c}") for c in source_cols])
+    joined = open_rows.join(
+        src, F.col(unique_key) == F.col(f"src_{unique_key}"), "full_outer"
+    )
+
+    in_snap = F.col(unique_key).isNotNull()
+    in_src = F.col(f"src_{unique_key}").isNotNull()
+    changed = in_snap & in_src & (F.col(f"src_{updated_at}") > F.col(updated_at))
+
+    # open rows that stay open: unchanged, or key absent from source
+    # (hard deletes ignored, dbt default)
+    carried = joined.where(in_snap & ~changed).select(open_rows.columns)
+    # open rows superseded by a newer source version: close them at
+    # the new version's updated_at (contiguous validity intervals)
+    closing = joined.where(changed).select(
+        *[F.col(c) for c in source_cols],
+        F.col(VALID_FROM),
+        F.col(f"src_{updated_at}").alias(VALID_TO),
+    )
+    # new open versions: changed rows + brand-new keys
+    inserts = (
+        joined.where(in_src & (~in_snap | changed))
+        .select(*[F.col(f"src_{c}").alias(c) for c in source_cols])
+        .withColumn(VALID_FROM, F.col(updated_at))
+        .withColumn(VALID_TO, F.lit(None).cast(source.schema[updated_at].dataType))
+    )
+    return closed.unionByName(carried).unionByName(closing).unionByName(inserts)
+
+
 def snapshot(
     spark: SparkSession,
     source: DataFrame,
@@ -64,47 +123,91 @@ def snapshot(
     current = read_snapshot(spark, root)
 
     if current is None:
-        new_state = source.withColumn(VALID_FROM, F.col(updated_at)).withColumn(
-            VALID_TO, F.lit(None).cast(source.schema[updated_at].dataType)
-        )
+        new_state = initial_state(source, updated_at)
     else:
-        closed = current.where(~_open())
-        open_rows = current.where(_open())
-
-        src = source.select(
-            *[F.col(c).alias(f"src_{c}") for c in source.columns]
-        )
-        joined = open_rows.join(
-            src, F.col(unique_key) == F.col(f"src_{unique_key}"), "full_outer"
-        )
-
-        in_snap = F.col(unique_key).isNotNull()
-        in_src = F.col(f"src_{unique_key}").isNotNull()
-        changed = in_snap & in_src & (F.col(f"src_{updated_at}") > F.col(updated_at))
-
-        # open rows that stay open: unchanged, or key absent from source
-        # (hard deletes ignored, dbt default)
-        carried = joined.where(in_snap & ~changed).select(open_rows.columns)
-        # open rows superseded by a newer source version: close them at
-        # the new version's updated_at (contiguous validity intervals)
-        closing = joined.where(changed).select(
-            *[F.col(c) for c in source.columns],
-            F.col(VALID_FROM),
-            F.col(f"src_{updated_at}").alias(VALID_TO),
-        )
-        # new open versions: changed rows + brand-new keys
-        inserts = (
-            joined.where(in_src & (~in_snap | changed))
-            .select(*[F.col(f"src_{c}").alias(c) for c in source.columns])
-            .withColumn(VALID_FROM, F.col(updated_at))
-            .withColumn(VALID_TO, F.lit(None).cast(source.schema[updated_at].dataType))
-        )
-        new_state = closed.unionByName(carried).unionByName(closing).unionByName(inserts)
+        new_state = snapshot_merge(current, source, unique_key, updated_at)
 
     gen = (_latest_generation(rootp) or 0) + 1 if _latest_generation(rootp) is not None else 0
     out = rootp / f"_v{gen}"
     new_state.write.mode("overwrite").parquet(str(out))
     return spark.read.parquet(str(out))
+
+
+_SCD2_ORACLE = """
+WITH b1 AS (
+  SELECT o_orderkey, o_orderstatus AS status, o_orderdate AS updated_at
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+)
+-- closed first version of keys the second batch updated
+SELECT o_orderkey, status, updated_at,
+       updated_at AS dbt_valid_from,
+       updated_at + INTERVAL 400 DAY AS dbt_valid_to
+FROM b1 WHERE o_orderkey % 3 = 0
+UNION ALL
+-- their new open 'U' version
+SELECT o_orderkey, 'U' AS status,
+       updated_at + INTERVAL 400 DAY AS updated_at,
+       updated_at + INTERVAL 400 DAY AS dbt_valid_from,
+       CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+FROM b1 WHERE o_orderkey % 3 = 0
+UNION ALL
+-- unchanged keys AND hard-deleted keys both carry forward open
+SELECT o_orderkey, status, updated_at,
+       updated_at AS dbt_valid_from, CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+FROM b1 WHERE o_orderkey % 3 != 0
+UNION ALL
+-- keys first seen in the second batch insert open
+SELECT o_orderkey, o_orderstatus AS status, o_orderdate AS updated_at,
+       o_orderdate AS dbt_valid_from, CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+"""
+
+
+@register("snapshot_scd2_orders", oracle=_SCD2_ORACLE, tags=("plans", "scd2"))
+def snapshot_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two SCD2 snapshot runs over a deterministic orders change-stream —
+    the catalog-visible parity entry for the snapshot plane (reference
+    declares the capability at dbt_sao/snapshots/.gitkeep; write path
+    pytest-covered in tests/test_snapshot.py).
+
+    Batch 1 is orders before 1998; batch 2 updates every key ≡ 0 (mod 3)
+    (status → 'U', updated_at +400 days), hard-deletes keys ≡ 1 (mod 7)
+    among the rest, carries the remainder unchanged, and inserts the
+    post-1998 orders — so the merge exercises all four arms (close+insert,
+    carry, ignore-delete, new-key insert). The oracle states the expected
+    SCD2 state in closed form rather than replaying the merge machinery.
+    Runs ``snapshot_merge`` bare (no generation storage), so the whole
+    entry is one lazy plan: a full-outer equi-join on o_orderkey plus
+    unions — the sweeps see the real join shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    b1 = o.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("updated_at"),
+    )
+    k3 = F.pmod(F.col("o_orderkey"), F.lit(3)) == 0
+    k7 = F.pmod(F.col("o_orderkey"), F.lit(7)) == 1
+    day400 = F.expr("INTERVAL 400 DAYS")
+    b2 = (
+        b1.where(k3).select(
+            "o_orderkey",
+            F.lit("U").alias("status"),
+            (F.col("updated_at") + day400).alias("updated_at"),
+        )
+        .unionByName(b1.where(~k3 & ~k7))
+        .unionByName(
+            o.where(F.col("o_orderdate") >= cutoff).select(
+                "o_orderkey",
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderdate").alias("updated_at"),
+            )
+        )
+    )
+    return snapshot_merge(
+        initial_state(b1, "updated_at"), b2, "o_orderkey", "updated_at"
+    )
 
 
 def asof_dim_join(

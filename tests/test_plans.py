@@ -486,6 +486,48 @@ def test_gated_pair_sides_closed_arm_identical(spark, sf_dir):
     assert got_open == got_closed and got_open  # identical, non-trivial
 
 
+def test_gated_pair_sides_cache_residency_is_lru_bounded(spark, sf_dir):
+    """The open arm persists its build frame (a broadcast build side
+    can't ReuseExchange the probe's subtree), and the caller returns a
+    lazy frame — no unpersist hook. The residency bound must therefore
+    come from the helper itself: at most _PAIR_CACHE_MAX distinct pair
+    plans stay persisted (oldest unpersists), and re-invoking the SAME
+    plan reuses its slot instead of consuming a new one."""
+    from live_data_spark import catalog as cat
+
+    cat._PAIR_CACHE.clear()
+    base = load(spark, sf_dir, "documents")
+
+    def sig(k):
+        return base.select(
+            "doc_id", F.substring(F.lower("text"), 1, k).alias("term")
+        )
+
+    persisted = {}  # k -> (semantic hash, the helper's persisted frame)
+    for k in (3, 4, 5):
+        cat.gated_pair_sides(sig(k), sf_dir, "documents", 1)
+        seen = {h for h, _ in persisted.values()}
+        new = [h for h in cat._PAIR_CACHE if h not in seen]
+        assert len(new) == 1
+        persisted[k] = (new[0], cat._PAIR_CACHE[new[0]])
+        assert len(cat._PAIR_CACHE) <= cat._PAIR_CACHE_MAX
+
+    def is_persisted(df):
+        return df.storageLevel.useMemory or df.storageLevel.useDisk
+
+    # the oldest (k=3) was evicted AND unpersisted; the two newest remain
+    assert persisted[3][0] not in cat._PAIR_CACHE
+    assert not is_persisted(persisted[3][1])
+    assert is_persisted(persisted[4][1]) and is_persisted(persisted[5][1])
+    # re-invoking an already-cached plan reuses its slot — no eviction
+    cat.gated_pair_sides(sig(5), sf_dir, "documents", 1)
+    assert set(cat._PAIR_CACHE) == {persisted[4][0], persisted[5][0]}
+    assert is_persisted(persisted[4][1])
+    for df in cat._PAIR_CACHE.values():
+        df.unpersist(blocking=False)
+    cat._PAIR_CACHE.clear()
+
+
 def test_simhash_pair_dedup_needs_no_exchange(spark, sf_dir):
     """dedup_simhash's side of the shared gated pair plan
     (catalog.gated_pair_sides): the candidate dropDuplicates — a
