@@ -1451,3 +1451,148 @@ def corpus_lang_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — hashed-n-gram importance weights for data selection.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_LANG = "en"
+# Dirichlet smoothing α = 1/_DSIR_ALPHA_INV. Add-ONE smoothing is wrong
+# here: with prior mass B comparable to the TARGET corpus' gram count, the
+# smaller corpus dilutes more, biasing every occupied bucket's log-ratio
+# negative (measured −0.1/gram at sf0.001 — swamped the signal). α = 0.01
+# keeps the finite-sample dilution below the per-gram signal while still
+# flooring zero-count buckets; (ct+α) = (100·ct+1)/100 keeps the ratio a
+# quotient of exact integer products, so the oracle replays it bit-exact.
+_DSIR_ALPHA_INV = 100
+
+_DSIR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), uni AS (
+  SELECT doc_id, lang, unnest(w) AS g FROM toks
+), idx AS (
+  SELECT doc_id, lang, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM toks
+), big AS (
+  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g FROM idx
+), gb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, g FROM uni UNION ALL SELECT doc_id, lang, g FROM big)
+  WHERE g != ''
+), agg AS (
+  SELECT bucket, count(*) AS cq,
+         count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS ct
+  FROM gb GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cq) AS BIGINT) AS nq, CAST(sum(ct) AS BIGINT) AS nt FROM agg
+), lr AS (
+  SELECT bucket,
+         CAST(floor(ln(CAST((ct * {_DSIR_ALPHA_INV} + 1) * (nq * {_DSIR_ALPHA_INV} + {_DSIR_BUCKETS}) AS DOUBLE)
+                       / CAST((cq * {_DSIR_ALPHA_INV} + 1) * (nt * {_DSIR_ALPHA_INV} + {_DSIR_BUCKETS}) AS DOUBLE))
+                    * 100000000 + 0.5) AS BIGINT) AS lrq
+  FROM agg CROSS JOIN tot
+)
+SELECT gb.doc_id,
+       count(*) AS n_grams,
+       round(CAST(sum(lrq) AS BIGINT) / 100000000.0, 4) AS log_weight
+FROM gb JOIN lr USING (bucket)
+GROUP BY gb.doc_id
+"""
+
+
+@register("corpus_dsir_weights", oracle=_DSIR_ORACLE, tags=("text", "sampling", "pipeline"))
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: hashed-n-gram log-likelihood
+    ratio between a target distribution and the raw corpus (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling").
+    The data-SELECTION step between quality filtering and mix planning:
+    rank raw docs by how target-like their n-gram profile is, then sample
+    ∝ exp(log_weight). Target here is the corpus' own 'en' slice — a
+    deterministic stand-in for the real-world high-quality target set
+    (Wikipedia/books), keeping the entry self-contained and oracle-able.
+
+    Model: unigrams + bigrams of normalized text hash into 4096 buckets
+    (the md5-15-hex portable recipe); bag-of-buckets gram LMs with
+    Dirichlet α=0.01 smoothing (see _DSIR_ALPHA_INV's note — add-one
+    biases the smaller corpus down); log w(doc) = Σ_grams
+    ln(p_target[b]/p_raw[b]).
+
+    Plan shape (100 TB): two map-only corpus passes — one builds the
+    256-row conditional histogram (partial aggregation collapses each
+    task to ≤256 rows, so the shuffle is bucket-count-sized regardless
+    of corpus size), one scores gram rows against the log-ratio table,
+    which is FIXED-domain (≤256 rows) and broadcast per repo rules. The
+    only data-sized shuffle is the final doc_id aggregate, and map-side
+    combine collapses it to ~1 row per document before the wire. No
+    window, no skew surface (a hot bucket is still one histogram row).
+    Engine determinism: the smoothed ratio is a quotient of exact
+    integer products, ln is quantized per BUCKET (not per gram) by the
+    floor(x·1e8 + 0.5) integer recipe, and per-doc sums are integer —
+    order-free on both engines. Magnitude: |ln ratio| < ln(total grams),
+    so quantized terms stay < 2^36 and a per-doc sum stays < 2^53 for
+    any document under ~10^5 grams at any corpus size.
+    """
+    from live_data_spark.operators.text import normalized_text
+
+    d = load(spark, sf_dir, "documents")
+    w = F.split(normalized_text("text"), " ")
+    base = d.select("doc_id", "lang", w.alias("w"))
+    uni = base.select("doc_id", "lang", F.explode("w").alias("g"))
+    big = base.select(
+        "doc_id",
+        "lang",
+        "w",
+        F.explode(
+            F.when(F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)).otherwise(
+                F.expr("array()").cast("array<int>")
+            )
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
+        ).alias("g"),
+    )
+    grams = uni.unionByName(big).where(F.col("g") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint"),
+        F.lit(_DSIR_BUCKETS),
+    )
+    gb = grams.select("doc_id", "lang", bucket.alias("bucket"))
+
+    agg = gb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cq"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("ct"),
+    )
+    tot = agg.agg(F.sum("cq").alias("nq"), F.sum("ct").alias("nt"))
+    b = F.lit(_DSIR_BUCKETS)
+    a_inv = F.lit(_DSIR_ALPHA_INV)
+    # fixed-domain (≤4096-row) frames: plain broadcast is correct here —
+    # the bound never scales with SF (see catalog.broadcast_dim's rules)
+    lr = agg.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.ln(
+                ((F.col("ct") * a_inv + 1) * (F.col("nq") * a_inv + b)).cast("double")
+                / ((F.col("cq") * a_inv + 1) * (F.col("nt") * a_inv + b)).cast("double")
+            )
+            * 100000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lrq"),
+    )
+    return (
+        gb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lrq") / 100000000.0, 4).alias("log_weight"),
+        )
+    )

@@ -18,6 +18,11 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+# tests/test_oracle_parity's shared canonicalizer lives in tests/conftest,
+# which pytest puts on sys.path but a plain import does not — mirror that
+# here so the sweep runs standalone (broke when the canonicalizer was
+# consolidated in round 7 session 4; caught at the round-8 gate).
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 
 from live_data_spark.catalog import catalog  # noqa: E402
 from live_data_spark.session import get_spark  # noqa: E402

@@ -691,3 +691,32 @@ def test_fct_write_metrics_observed(project):
     assert m["n_rows"] > 0
     # every order_product references a real product in the generated data
     assert m["n_orphan_products"] == 0
+
+
+def test_scripts_import_standalone():
+    """Every scripts/ tool must import OUTSIDE pytest: pytest puts
+    tests/conftest on sys.path, so a script importing test helpers can be
+    green in the suite yet crash when actually invoked (sweep_sf01 broke
+    exactly this way when the canonicalizer moved into conftest — found
+    at the round-8 gate, not by the suite). Import each script in a bare
+    subprocess; module level must not start Spark, so this stays cheap."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    for script in sorted((repo / "scripts").glob("*.py")):
+        prog = (
+            "import importlib.util, sys; "
+            f"spec = importlib.util.spec_from_file_location('m', {str(script)!r}); "
+            "m = importlib.util.module_from_spec(spec); "
+            "spec.loader.exec_module(m)"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            cwd="/",  # no repo cwd: imports must not lean on it
+        )
+        assert r.returncode == 0, f"{script.name}: {r.stderr[-800:]}"
