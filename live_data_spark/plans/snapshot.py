@@ -242,3 +242,49 @@ def asof_dim_join(
         & (fact[key] == dim[f"__dim_{key}"])
     )
     return fact.join(dim, cond, how).drop(f"__dim_{key}")
+
+
+_SCD2_ASOF_ORACLE = f"""
+WITH state AS ({_SCD2_ORACLE})
+SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, l.l_shipdate,
+       s.status, s.dbt_valid_from, s.dbt_valid_to
+FROM lineitem l
+LEFT JOIN state s
+  ON s.o_orderkey = l.l_orderkey
+ AND l.l_shipdate >= s.dbt_valid_from
+ AND (s.dbt_valid_to IS NULL OR l.l_shipdate < s.dbt_valid_to)
+"""
+
+
+@register("snapshot_scd2_asof_facts", oracle=_SCD2_ASOF_ORACLE, tags=("plans", "scd2"))
+def snapshot_scd2_asof_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 READ side, catalog-visible: every lineitem joins the order
+    VERSION valid at its ship date — ``asof_dim_join`` over
+    ``snapshot_scd2_orders``'s merged state, completing the snapshot
+    plane's write→read round trip at driver level.
+
+    The deterministic change-stream makes the match arms non-trivial:
+    updated keys' lineitems ship inside the CLOSED first version's
+    [valid_from, valid_to) window; unchanged/hard-deleted keys match
+    their open version; and the synthetic corpus ships ~47% of lineitems
+    BEFORE the order date, so those rows exercise the left join's
+    null-pad arm (no version valid yet). The SCD2 disjoint-interval
+    invariant guarantees at most one version per fact — no fan-out.
+
+    Plan shape: asof_dim_join's documented equi HASH join on the key
+    with the interval predicate as a conjunct — never a range/nested
+    loop; both sides shuffle once on o_orderkey (at 100 TB bucket the
+    snapshot by key so only facts move).
+    """
+    fact = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_shipdate"
+    )
+    state = snapshot_scd2_orders(spark, sf_dir)
+    return asof_dim_join(fact, state, key="o_orderkey", fact_ts="l_shipdate").select(
+        "o_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "status",
+        VALID_FROM,
+        VALID_TO,
+    )
