@@ -1492,8 +1492,8 @@ WITH toks AS (
   SELECT CAST(sum(cq) AS BIGINT) AS nq, CAST(sum(ct) AS BIGINT) AS nt FROM agg
 ), lr AS (
   SELECT bucket,
-         CAST(floor(ln(CAST((ct * {_DSIR_ALPHA_INV} + 1) * (nq * {_DSIR_ALPHA_INV} + {_DSIR_BUCKETS}) AS DOUBLE)
-                       / CAST((cq * {_DSIR_ALPHA_INV} + 1) * (nt * {_DSIR_ALPHA_INV} + {_DSIR_BUCKETS}) AS DOUBLE))
+         CAST(floor(ln((CAST(ct * {_DSIR_ALPHA_INV} + 1 AS DOUBLE) * CAST(nq * {_DSIR_ALPHA_INV} + {_DSIR_BUCKETS} AS DOUBLE))
+                       / (CAST(cq * {_DSIR_ALPHA_INV} + 1 AS DOUBLE) * CAST(nt * {_DSIR_ALPHA_INV} + {_DSIR_BUCKETS} AS DOUBLE)))
                     * 100000000 + 0.5) AS BIGINT) AS lrq
   FROM agg CROSS JOIN tot
 )
@@ -1523,19 +1523,21 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(p_target[b]/p_raw[b]).
 
     Plan shape (100 TB): two map-only corpus passes — one builds the
-    256-row conditional histogram (partial aggregation collapses each
-    task to ≤256 rows, so the shuffle is bucket-count-sized regardless
+    4096-row conditional histogram (partial aggregation collapses each
+    task to ≤4096 rows, so the shuffle is bucket-count-sized regardless
     of corpus size), one scores gram rows against the log-ratio table,
-    which is FIXED-domain (≤256 rows) and broadcast per repo rules. The
+    which is FIXED-domain (≤4096 rows) and broadcast per repo rules. The
     only data-sized shuffle is the final doc_id aggregate, and map-side
     combine collapses it to ~1 row per document before the wire. No
     window, no skew surface (a hot bucket is still one histogram row).
     Engine determinism: the smoothed ratio is a quotient of exact
     integer products, ln is quantized per BUCKET (not per gram) by the
     floor(x·1e8 + 0.5) integer recipe, and per-doc sums are integer —
-    order-free on both engines. Magnitude: |ln ratio| < ln(total grams),
-    so quantized terms stay < 2^36 and a per-doc sum stays < 2^53 for
-    any document under ~10^5 grams at any corpus size.
+    order-free on both engines (factors cast to double BEFORE the
+    multiply — the integer product overflows int64 past ~10^9 grams).
+    Magnitude: |ln ratio| < ln(total grams), so quantized terms stay
+    < 2^36 and a per-doc sum stays < 2^53 for any document under ~10^5
+    grams at any corpus size.
     """
     from live_data_spark.operators.text import normalized_text
 
@@ -1575,12 +1577,16 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_inv = F.lit(_DSIR_ALPHA_INV)
     # fixed-domain (≤4096-row) frames: plain broadcast is correct here —
     # the bound never scales with SF (see catalog.broadcast_dim's rules)
+    # cast EACH factor to double before multiplying: the BIGINT product
+    # (ct·100+1)·(nq·100+B) overflows int64 once the corpus passes ~10^9
+    # grams; per-factor casts round identically on both engines at any
+    # scale, so the quantized ln stays engine-exact with no magnitude cap
     lr = agg.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.floor(
             F.ln(
-                ((F.col("ct") * a_inv + 1) * (F.col("nq") * a_inv + b)).cast("double")
-                / ((F.col("cq") * a_inv + 1) * (F.col("nt") * a_inv + b)).cast("double")
+                ((F.col("ct") * a_inv + 1).cast("double") * (F.col("nq") * a_inv + b).cast("double"))
+                / ((F.col("cq") * a_inv + 1).cast("double") * (F.col("nt") * a_inv + b).cast("double"))
             )
             * 100000000
             + 0.5
