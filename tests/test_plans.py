@@ -495,6 +495,8 @@ def test_gated_pair_sides_cache_residency_is_lru_bounded(spark, sf_dir):
     plan reuses its slot instead of consuming a new one."""
     from live_data_spark import catalog as cat
 
+    for df in cat._PAIR_CACHE.values():  # don't orphan earlier tests' pins
+        df.unpersist(blocking=False)
     cat._PAIR_CACHE.clear()
     base = load(spark, sf_dir, "documents")
 
