@@ -560,21 +560,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # carry the previous label THROUGH the checkpoint: the convergence
+        # check is then a filter over the just-materialized blocks — one
+        # cheap job — instead of a shuffle join of new vs old labels
+        # (measured ~0.1 s/round at sf0.1, and one fewer shuffle per round
+        # on a cluster)
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                F.col("lbl").alias("prev_lbl"),
             )
         )
         new_labels = _truncate_lineage(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("lbl") != F.col("prev_lbl")).count()
+        labels = new_labels.select("doc_id", "lbl")
         if changed == 0:
             break
     else:  # pragma: no cover - adversarial graphs only
