@@ -325,3 +325,73 @@ def test_bloom_no_false_negatives(spark, members, probes):
     }
     missed = [m for m in members if got[m] is not True]
     assert missed == [], f"bloom false negatives: {missed!r}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            keys=st.integers(min_value=0, max_value=5),
+            values=st.tuples(
+                st.integers(min_value=0, max_value=100),  # updated_at
+                st.integers(min_value=0, max_value=3),  # attribute value
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_merge_matches_python_model(spark, batches):
+    """snapshot_merge vs an independent pure-Python SCD2 model over random
+    change-streams (dbt timestamp strategy): only an ADVANCED updated_at
+    opens a new version (stale/equal updates ignored), hard deletes carry
+    forward, per-key intervals stay disjoint and contiguous, and exactly
+    one open version exists per seen key. The catalog entry pins ONE
+    deterministic stream; this pins the merge over the space of streams."""
+    from live_data_spark.plans.snapshot import initial_state, snapshot_merge
+
+    schema = "k long, v long, updated_at long"
+
+    def frame(batch):
+        return spark.createDataFrame(
+            [(k, v, upd) for k, (upd, v) in sorted(batch.items())], schema
+        )
+
+    # python model: key -> list of [v, updated_at, valid_from, valid_to]
+    model: dict[int, list[list]] = {}
+    state = initial_state(frame(batches[0]), "updated_at")
+    for k, (upd, v) in batches[0].items():
+        model[k] = [[v, upd, upd, None]]
+    for batch in batches[1:]:
+        state = snapshot_merge(state, frame(batch), "k", "updated_at")
+        for k, (upd, v) in batch.items():
+            if k not in model:
+                model[k] = [[v, upd, upd, None]]
+                continue
+            open_ver = model[k][-1]
+            assert open_ver[3] is None
+            if upd > open_ver[1]:
+                open_ver[3] = upd  # close at the new version's updated_at
+                model[k].append([v, upd, upd, None])
+
+    got = sorted(
+        (r["k"], r["v"], r["updated_at"], r["dbt_valid_from"], r["dbt_valid_to"])
+        for r in state.collect()
+    )
+    want = sorted(
+        (k, v, upd, vf, vt) for k, vers in model.items() for v, upd, vf, vt in vers
+    )
+    assert got == want
+    # invariants the model construction already encodes, asserted on the
+    # ENGINE output independently: one open version per key, disjoint
+    # contiguous intervals
+    by_key: dict[int, list] = {}
+    for k, v, upd, vf, vt in got:
+        by_key.setdefault(k, []).append((vf, vt))
+    for vers in by_key.values():
+        vers.sort(key=lambda x: x[0])
+        assert sum(1 for _, vt in vers if vt is None) == 1
+        for (_, vt1), (vf2, _) in zip(vers, vers[1:]):
+            assert vt1 == vf2  # contiguous, disjoint
