@@ -315,7 +315,19 @@ def gated_pair_sides(
     )
     if small:
         df = df.persist()
-        key = df.semanticHash()
+        app_id = df.sparkSession.sparkContext.applicationId
+        # Entries from a stopped SparkSession hold frames bound to a dead
+        # context: they can't be unpersisted (the eviction call would
+        # raise into the first gated call of the NEW session) and they
+        # squat the LRU slots, so purge them on app change — their cached
+        # blocks died with the old context anyway.
+        for stale_key in [k for k in _PAIR_CACHE if k[0] != app_id]:
+            stale = _PAIR_CACHE.pop(stale_key)
+            try:
+                stale.unpersist(blocking=False)
+            except Exception:
+                pass  # frame belongs to a stopped context
+        key = (app_id, df.semanticHash())
         _PAIR_CACHE.pop(key, None)  # re-invocation: refresh LRU position
         _PAIR_CACHE[key] = df
         while len(_PAIR_CACHE) > _PAIR_CACHE_MAX:
@@ -324,7 +336,8 @@ def gated_pair_sides(
     return df.alias("a"), df.alias("b")
 
 
-# LRU of persisted pair-build frames, keyed by semantic hash (see
+# LRU of persisted pair-build frames, keyed by (applicationId, semantic
+# hash) — the appId factor scopes entries to the live SparkSession (see
 # gated_pair_sides): bounds cache residency to MAX × gate per session.
-_PAIR_CACHE: dict[int, DataFrame] = {}
+_PAIR_CACHE: dict[tuple[str, int], DataFrame] = {}
 _PAIR_CACHE_MAX = 2

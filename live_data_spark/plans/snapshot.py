@@ -85,7 +85,17 @@ def snapshot_merge(
 
     in_snap = F.col(unique_key).isNotNull()
     in_src = F.col(f"src_{unique_key}").isNotNull()
-    changed = in_snap & in_src & (F.col(f"src_{updated_at}") > F.col(updated_at))
+    # NULL-safe "source version advanced": a NULL updated_at comparison
+    # yields SQL NULL, which would fail the carried filter (in_snap &
+    # ~changed) AND the closing/inserts filters — both the open version
+    # and the source row silently vanish. Coalesce so a NULL-timestamped
+    # source row carries the open version forward (no evidence it
+    # advanced), while a NULL-timestamped OPEN row superseded by a real
+    # timestamp counts as changed.
+    src_upd, upd = F.col(f"src_{updated_at}"), F.col(updated_at)
+    changed = (
+        in_snap & in_src & F.coalesce(src_upd > upd, upd.isNull() & src_upd.isNotNull())
+    )
 
     # open rows that stay open: unchanged, or key absent from source
     # (hard deletes ignored, dbt default)

@@ -530,6 +530,37 @@ def test_gated_pair_sides_cache_residency_is_lru_bounded(spark, sf_dir):
     cat._PAIR_CACHE.clear()
 
 
+def test_gated_pair_sides_purges_dead_session_entries(spark, sf_dir):
+    """Cache entries keyed to a STOPPED SparkSession hold frames whose
+    context is gone: an LRU eviction calling their unpersist() would
+    raise into the first gated call of the new session, and the dead
+    entries squat the two LRU slots. The helper must purge other-app
+    entries without raising and key its own under the live appId."""
+    from live_data_spark import catalog as cat
+
+    class DeadFrame:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("Cannot call methods on a stopped SparkContext")
+
+    for df in cat._PAIR_CACHE.values():  # don't orphan earlier tests' pins
+        df.unpersist(blocking=False)
+    cat._PAIR_CACHE.clear()
+    cat._PAIR_CACHE[("app-dead", 1)] = DeadFrame()
+    cat._PAIR_CACHE[("app-dead", 2)] = DeadFrame()
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower("text"), 1, 3).alias("term")
+    )
+    cat.gated_pair_sides(base, sf_dir, "documents", 1)  # must not raise
+    app = spark.sparkContext.applicationId
+    assert set(cat._PAIR_CACHE) != set() and all(
+        k[0] == app for k in cat._PAIR_CACHE
+    )
+    for df in cat._PAIR_CACHE.values():
+        df.unpersist(blocking=False)
+    cat._PAIR_CACHE.clear()
+
+
 def test_simhash_pair_dedup_needs_no_exchange(spark, sf_dir):
     """dedup_simhash's side of the shared gated pair plan
     (catalog.gated_pair_sides): the candidate dropDuplicates — a

@@ -333,7 +333,11 @@ def test_bloom_no_false_negatives(spark, members, probes):
         st.dictionaries(
             keys=st.integers(min_value=0, max_value=5),
             values=st.tuples(
-                st.integers(min_value=0, max_value=100),  # updated_at
+                # updated_at, incl. NULL: a NULL-timestamped source row
+                # must CARRY the open version (not vanish both rows — the
+                # SQL-NULL comparison bug), and a NULL-timestamped open
+                # row superseded by a real timestamp must close.
+                st.one_of(st.none(), st.integers(min_value=0, max_value=100)),
                 st.integers(min_value=0, max_value=3),  # attribute value
             ),
             min_size=0,
@@ -346,10 +350,13 @@ def test_bloom_no_false_negatives(spark, members, probes):
 def test_scd2_merge_matches_python_model(spark, batches):
     """snapshot_merge vs an independent pure-Python SCD2 model over random
     change-streams (dbt timestamp strategy): only an ADVANCED updated_at
-    opens a new version (stale/equal updates ignored), hard deletes carry
-    forward, per-key intervals stay disjoint and contiguous, and exactly
-    one open version exists per seen key. The catalog entry pins ONE
-    deterministic stream; this pins the merge over the space of streams."""
+    opens a new version (stale/equal/NULL updates ignored; a NULL open
+    timestamp beaten by a real one closes), hard deletes carry forward,
+    per-key intervals stay disjoint and contiguous, and exactly one open
+    version exists per seen key. The catalog entry pins ONE deterministic
+    stream; this pins the merge over the space of streams."""
+    from collections import Counter
+
     from live_data_spark.plans.snapshot import initial_state, snapshot_merge
 
     schema = "k long, v long, updated_at long"
@@ -358,6 +365,12 @@ def test_scd2_merge_matches_python_model(spark, batches):
         return spark.createDataFrame(
             [(k, v, upd) for k, (upd, v) in sorted(batch.items())], schema
         )
+
+    def advanced(src_upd, upd):
+        # mirrors the engine's F.coalesce(src > cur, cur NULL & src set)
+        if src_upd is not None and upd is not None:
+            return src_upd > upd
+        return upd is None and src_upd is not None
 
     # python model: key -> list of [v, updated_at, valid_from, valid_to]
     model: dict[int, list[list]] = {}
@@ -372,26 +385,27 @@ def test_scd2_merge_matches_python_model(spark, batches):
                 continue
             open_ver = model[k][-1]
             assert open_ver[3] is None
-            if upd > open_ver[1]:
+            if advanced(upd, open_ver[1]):
                 open_ver[3] = upd  # close at the new version's updated_at
                 model[k].append([v, upd, upd, None])
 
-    got = sorted(
+    got = [
         (r["k"], r["v"], r["updated_at"], r["dbt_valid_from"], r["dbt_valid_to"])
         for r in state.collect()
-    )
-    want = sorted(
+    ]
+    want = [
         (k, v, upd, vf, vt) for k, vers in model.items() for v, upd, vf, vt in vers
-    )
-    assert got == want
+    ]
+    assert Counter(got) == Counter(want)
     # invariants the model construction already encodes, asserted on the
     # ENGINE output independently: one open version per key, disjoint
-    # contiguous intervals
+    # contiguous intervals (a NULL valid_from — a NULL-timestamped first
+    # version — orders before every real timestamp)
     by_key: dict[int, list] = {}
     for k, v, upd, vf, vt in got:
         by_key.setdefault(k, []).append((vf, vt))
     for vers in by_key.values():
-        vers.sort(key=lambda x: x[0])
+        vers.sort(key=lambda x: (x[0] is not None, x[0] if x[0] is not None else 0))
         assert sum(1 for _, vt in vers if vt is None) == 1
         for (_, vt1), (vf2, _) in zip(vers, vers[1:]):
             assert vt1 == vf2  # contiguous, disjoint
