@@ -58,16 +58,22 @@ def initial_state(source: DataFrame, updated_at: str) -> DataFrame:
     )
 
 
-def snapshot_merge(
+def _scd2_merge(
     current: DataFrame,
     source: DataFrame,
     unique_key: str,
-    updated_at: str,
+    changed_core: F.Column,
+    new_version_ts: F.Column,
+    vt_type,
 ) -> DataFrame:
-    """One SCD2 merge, as a pure plan: (current state, new source) → new
-    state. ``snapshot`` wraps this with the generation storage walk; the
-    catalog entry ``snapshot_scd2_orders`` runs it bare so the driver's
-    oracle can check the merge semantics end-to-end.
+    """The strategy-independent SCD2 merge skeleton shared by dbt's two
+    stock strategies (``timestamp``: snapshot_merge; ``check``:
+    snapshot_merge_check). ``changed_core`` is the strategy's change
+    predicate over the full-outer join (source columns ``src_``-prefixed);
+    ``new_version_ts`` is the timestamp (a Column over the join) that
+    closes the superseded version AND opens its replacement — the source
+    row's ``updated_at`` for the timestamp strategy, the run's ``asof``
+    literal for check.
 
     Scale shape: ONE full-outer equi-join on ``unique_key`` between the
     open rows and the source (closed history unions through untouched),
@@ -85,36 +91,101 @@ def snapshot_merge(
 
     in_snap = F.col(unique_key).isNotNull()
     in_src = F.col(f"src_{unique_key}").isNotNull()
-    # NULL-safe "source version advanced": a NULL updated_at comparison
-    # yields SQL NULL, which would fail the carried filter (in_snap &
-    # ~changed) AND the closing/inserts filters — both the open version
-    # and the source row silently vanish. Coalesce so a NULL-timestamped
-    # source row carries the open version forward (no evidence it
-    # advanced), while a NULL-timestamped OPEN row superseded by a real
-    # timestamp counts as changed.
-    src_upd, upd = F.col(f"src_{updated_at}"), F.col(updated_at)
-    changed = (
-        in_snap & in_src & F.coalesce(src_upd > upd, upd.isNull() & src_upd.isNotNull())
-    )
+    changed = in_snap & in_src & changed_core
 
     # open rows that stay open: unchanged, or key absent from source
     # (hard deletes ignored, dbt default)
     carried = joined.where(in_snap & ~changed).select(open_rows.columns)
-    # open rows superseded by a newer source version: close them at
-    # the new version's updated_at (contiguous validity intervals)
+    # open rows superseded by a newer source version: close them at the
+    # new version's timestamp (contiguous validity intervals); the
+    # closed version keeps the OLD attribute values
     closing = joined.where(changed).select(
         *[F.col(c) for c in source_cols],
         F.col(VALID_FROM),
-        F.col(f"src_{updated_at}").alias(VALID_TO),
+        new_version_ts.alias(VALID_TO),
     )
     # new open versions: changed rows + brand-new keys
-    inserts = (
-        joined.where(in_src & (~in_snap | changed))
-        .select(*[F.col(f"src_{c}").alias(c) for c in source_cols])
-        .withColumn(VALID_FROM, F.col(updated_at))
-        .withColumn(VALID_TO, F.lit(None).cast(source.schema[updated_at].dataType))
+    inserts = joined.where(in_src & (~in_snap | changed)).select(
+        *[F.col(f"src_{c}").alias(c) for c in source_cols],
+        new_version_ts.alias(VALID_FROM),
+        F.lit(None).cast(vt_type).alias(VALID_TO),
     )
     return closed.unionByName(carried).unionByName(closing).unionByName(inserts)
+
+
+def snapshot_merge(
+    current: DataFrame,
+    source: DataFrame,
+    unique_key: str,
+    updated_at: str,
+) -> DataFrame:
+    """One SCD2 merge under dbt's **timestamp strategy**, as a pure plan:
+    (current state, new source) → new state. ``snapshot`` wraps this with
+    the generation storage walk; the catalog entry ``snapshot_scd2_orders``
+    runs it bare so the driver's oracle can check the merge end-to-end.
+
+    NULL-safe "source version advanced": a NULL updated_at comparison
+    yields SQL NULL, which would fail the carried filter (in_snap &
+    ~changed) AND the closing/inserts filters — both the open version
+    and the source row silently vanish. Coalesce so a NULL-timestamped
+    source row carries the open version forward (no evidence it
+    advanced), while a NULL-timestamped OPEN row superseded by a real
+    timestamp counts as changed.
+    """
+    src_upd, upd = F.col(f"src_{updated_at}"), F.col(updated_at)
+    changed_core = F.coalesce(src_upd > upd, upd.isNull() & src_upd.isNotNull())
+    return _scd2_merge(
+        current,
+        source,
+        unique_key,
+        changed_core,
+        new_version_ts=src_upd,
+        vt_type=source.schema[updated_at].dataType,
+    )
+
+
+def initial_state_check(source: DataFrame, asof, vt_type="timestamp_ntz") -> DataFrame:
+    """First-run SCD2 state under the check strategy: every source row
+    opens at the RUN's timestamp (there is no per-row ``updated_at`` to
+    anchor on — dbt stamps the run's started_at)."""
+    ts = F.lit(asof).cast(vt_type) if not isinstance(asof, F.Column) else asof
+    return source.withColumn(VALID_FROM, ts).withColumn(
+        VALID_TO, F.lit(None).cast(vt_type)
+    )
+
+
+def snapshot_merge_check(
+    current: DataFrame,
+    source: DataFrame,
+    unique_key: str,
+    check_cols: list[str],
+    asof,
+    vt_type="timestamp_ntz",
+) -> DataFrame:
+    """One SCD2 merge under dbt's **check strategy** (`strategy: check`,
+    `check_cols: [...]`): for sources without a reliable ``updated_at``,
+    a matched key is changed iff ANY compared column's value differs —
+    NULL-safe (`eqNullSafe`, dbt's column-hash compare treats NULL as a
+    comparable value), so NULL→value, value→NULL and value→value' all
+    open a new version while NULL→NULL carries. Columns OUTSIDE
+    ``check_cols`` never trigger a version; a carried row keeps its OLD
+    values for them (the snapshot only advances when a compared column
+    moves — dbt's documented semantics).
+
+    ``asof`` is the run's snapshot timestamp (dbt uses the run's
+    started_at; passing it in keeps the merge a pure deterministic plan):
+    it closes superseded versions and opens their replacements and
+    brand-new keys. Same single full-outer-join shape as the timestamp
+    strategy (see ``_scd2_merge``).
+    """
+    ts = F.lit(asof).cast(vt_type) if not isinstance(asof, F.Column) else asof
+    changed_core = None
+    for c in check_cols:
+        diff = ~F.col(c).eqNullSafe(F.col(f"src_{c}"))
+        changed_core = diff if changed_core is None else (changed_core | diff)
+    return _scd2_merge(
+        current, source, unique_key, changed_core, new_version_ts=ts, vt_type=vt_type
+    )
 
 
 def snapshot(
@@ -217,6 +288,96 @@ def snapshot_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_merge(
         initial_state(b1, "updated_at"), b2, "o_orderkey", "updated_at"
+    )
+
+
+_SCD2_CHECK_ORACLE = """
+WITH b1 AS (
+  SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS note
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+)
+-- closed first version of keys whose COMPARED column (status) changed
+SELECT o_orderkey, status, note,
+       TIMESTAMP '1998-01-01 00:00:00' AS dbt_valid_from,
+       TIMESTAMP '1998-07-01 00:00:00' AS dbt_valid_to
+FROM b1 WHERE o_orderkey % 3 = 0
+UNION ALL
+-- their new open 'U' version, stamped with the run's asof
+SELECT o_orderkey, 'U' AS status, note,
+       TIMESTAMP '1998-07-01 00:00:00' AS dbt_valid_from,
+       CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+FROM b1 WHERE o_orderkey % 3 = 0
+UNION ALL
+-- everything else carries forward open WITH ITS ORIGINAL VALUES:
+-- unchanged keys, hard-deleted keys, AND keys whose only change was in
+-- the non-compared note column (check_cols=[status] must ignore it)
+SELECT o_orderkey, status, note,
+       TIMESTAMP '1998-01-01 00:00:00' AS dbt_valid_from,
+       CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+FROM b1 WHERE o_orderkey % 3 != 0
+UNION ALL
+-- keys first seen in the second batch insert open at the run's asof
+SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS note,
+       TIMESTAMP '1998-07-01 00:00:00' AS dbt_valid_from,
+       CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+"""
+
+
+@register(
+    "snapshot_scd2_check_orders", oracle=_SCD2_CHECK_ORACLE, tags=("plans", "scd2")
+)
+def snapshot_scd2_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's **check** snapshot strategy over a deterministic orders
+    change-stream — the strategy for sources without a reliable
+    ``updated_at`` (dbt `strategy: check`, `check_cols: ['status']`),
+    completing the snapshot plane against dbt's stock surface (the
+    reference declares snapshots without exercising them,
+    dbt_sao/snapshots/.gitkeep).
+
+    Batch 1 (run asof 1998-01-01) is orders before 1998 with a compared
+    column (status) and a non-compared one (note = o_orderpriority).
+    Batch 2 (run asof 1998-07-01) flips status → 'U' for keys ≡ 0 (mod 3)
+    — the ONLY arm that versions; rewrites note for keys ≡ 2 (mod 3)
+    (must carry with the ORIGINAL note: non-compared columns never
+    trigger); hard-deletes keys ≡ 1 (mod 7) of the remainder (carry);
+    and inserts the post-1998 orders (open at the run's asof). The
+    oracle states the expected state in closed form. Runs
+    ``snapshot_merge_check`` bare (no generation storage) — one lazy
+    full-outer equi-join on o_orderkey, the sweeps see the real shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    b1 = o.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("note"),
+    )
+    k3 = F.pmod(F.col("o_orderkey"), F.lit(3))
+    k7 = F.pmod(F.col("o_orderkey"), F.lit(7)) == 1
+    b2 = (
+        b1.where(k3 == 0)
+        .select("o_orderkey", F.lit("U").alias("status"), "note")
+        .unionByName(b1.where((k3 == 1) & ~k7))
+        .unionByName(
+            b1.where(k3 == 2).select(
+                "o_orderkey", "status", F.concat(F.col("note"), F.lit("-X")).alias("note")
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderdate") >= cutoff).select(
+                "o_orderkey",
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("note"),
+            )
+        )
+    )
+    return snapshot_merge_check(
+        initial_state_check(b1, "1998-01-01 00:00:00"),
+        b2,
+        "o_orderkey",
+        check_cols=["status"],
+        asof="1998-07-01 00:00:00",
     )
 
 

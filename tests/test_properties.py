@@ -409,3 +409,81 @@ def test_scd2_merge_matches_python_model(spark, batches):
         assert sum(1 for _, vt in vers if vt is None) == 1
         for (_, vt1), (vf2, _) in zip(vers, vers[1:]):
             assert vt1 == vf2  # contiguous, disjoint
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            keys=st.integers(min_value=0, max_value=5),
+            values=st.tuples(
+                # compared column, incl. NULL (eqNullSafe: NULL→NULL
+                # carries; NULL→value and value→NULL both version)
+                st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+                st.integers(min_value=0, max_value=3),  # NON-compared col
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_check_merge_matches_python_model(spark, batches):
+    """snapshot_merge_check vs a pure-Python model of dbt's check
+    strategy over random change-streams: a new version opens iff the
+    COMPARED column's value differs null-safely; the non-compared column
+    never triggers and a carried row keeps its OLD value for it; hard
+    deletes carry; versions stamp the run counter (asof), one open
+    version per key, contiguous intervals. The catalog entry pins ONE
+    deterministic stream; this pins the merge over the space of streams."""
+    from collections import Counter
+
+    from live_data_spark.plans.snapshot import (
+        initial_state_check,
+        snapshot_merge_check,
+    )
+
+    schema = "k long, v long, w long"
+
+    def frame(batch):
+        return spark.createDataFrame(
+            [(k, v, w) for k, (v, w) in sorted(batch.items())], schema
+        )
+
+    # python model: key -> list of [v, w, valid_from, valid_to]
+    model: dict[int, list[list]] = {}
+    state = initial_state_check(frame(batches[0]), asof=0, vt_type="long")
+    for k, (v, w) in batches[0].items():
+        model[k] = [[v, w, 0, None]]
+    for t, batch in enumerate(batches[1:], start=1):
+        state = snapshot_merge_check(
+            state, frame(batch), "k", check_cols=["v"], asof=t, vt_type="long"
+        )
+        for k, (v, w) in batch.items():
+            if k not in model:
+                model[k] = [[v, w, t, None]]
+                continue
+            open_ver = model[k][-1]
+            assert open_ver[3] is None
+            if open_ver[0] != v:  # null-safe compare: None != 2, None == None
+                open_ver[3] = t
+                model[k].append([v, w, t, None])
+            # else: carried — keeps the OLD w even if the source's moved
+
+    got = [
+        (r["k"], r["v"], r["w"], r["dbt_valid_from"], r["dbt_valid_to"])
+        for r in state.collect()
+    ]
+    want = [
+        (k, v, w, vf, vt) for k, vers in model.items() for v, w, vf, vt in vers
+    ]
+    assert Counter(got) == Counter(want)
+    by_key: dict[int, list] = {}
+    for k, v, w, vf, vt in got:
+        by_key.setdefault(k, []).append((vf, vt))
+    for vers in by_key.values():
+        vers.sort()
+        assert sum(1 for _, vt in vers if vt is None) == 1
+        for (_, vt1), (vf2, _) in zip(vers, vers[1:]):
+            assert vt1 == vf2  # contiguous, disjoint
