@@ -121,6 +121,19 @@ def build_corpus_project(spark: SparkSession, warehouse_dir: str, sf_dir: str) -
         return exact_dedup(ctx.ref("corpus_clean"))
 
     @proj.model(materialized="table")
+    def corpus_selected(ctx: BuildContext) -> DataFrame:
+        """DSIR selection over the deduped corpus: importance weights →
+        Gumbel-top-k resample under the gram budget (the data-SELECTION
+        stage between dedup and mix planning; lazy twin:
+        ``corpus_dsir_pipeline_stats``)."""
+        from live_data_spark.operators.curation import dsir_log_weights, dsir_select
+
+        ded = ctx.ref("corpus_deduped")
+        return dsir_select(dsir_log_weights(ded)).join(
+            ded.select("doc_id", "lang", "source", "n_tokens"), "doc_id"
+        )
+
+    @proj.model(materialized="table")
     def corpus_stats(ctx: BuildContext) -> DataFrame:
         return corpus_rollup(ctx.ref("corpus_deduped"))
 
@@ -131,6 +144,7 @@ def build_corpus_project(spark: SparkSession, warehouse_dir: str, sf_dir: str) -
         not_null("corpus_deduped", "doc_id"),
         unique("corpus_deduped", "fp"),
         relationships("corpus_deduped", "doc_id", "corpus_clean", "doc_id"),
+        relationships("corpus_selected", "doc_id", "corpus_deduped", "doc_id"),
         relationships("corpus_stats", "source", "corpus_deduped", "source"),
     ):
         proj.add_test(t)
@@ -172,6 +186,66 @@ def corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses into a single optimized query (view-chain inlining, the
     same property dbt view models get from the warehouse)."""
     return corpus_rollup(exact_dedup(quality_gate(stage_documents(load(spark, sf_dir, "documents")))))
+
+
+def _dsir_pipe_oracle() -> str:
+    from live_data_spark.operators.curation import _dsir_sample_sql
+
+    return rf"""
+WITH stg AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         len(regexp_extract_all(text, '\b(the|a|of|and|is|in|to|for|on|with)\b')) AS n_stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, source, ntext, fp FROM stg
+  WHERE n_tokens >= 20
+    AND ((n_stop / n_tokens BETWEEN 0.01 AND 0.5) OR lang <> 'en')
+    AND n_punct / n_chars < 0.2
+), surv AS (
+  SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp
+), ded AS (
+  SELECT q.doc_id, q.lang, q.source, q.ntext AS text FROM q JOIN surv USING (fp, doc_id)
+), {_dsir_sample_sql("ded")}
+SELECT d.lang, d.source, count(*) AS n_docs, CAST(sum(sel.n_grams) AS BIGINT) AS sel_grams
+FROM sel JOIN ded d USING (doc_id)
+GROUP BY d.lang, d.source
+"""
+
+
+@register(
+    "corpus_dsir_pipeline_stats",
+    oracle=_dsir_pipe_oracle(),
+    tags=("text", "sampling", "dedup", "pipeline"),
+)
+def corpus_dsir_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-SELECTION pipeline end-to-end as ONE lazy plan: quality
+    gate → exact dedup → DSIR importance weights → Gumbel-top-k resample
+    under the 30% gram budget → per-(lang, source) accounting of the
+    SELECTED subset. This is ``corpus_pipeline_stats``' story with the
+    resampling stage wired in (Xie et al. 2023: weight → sample → mix),
+    and the lazy twin of the registry's materialized ``corpus_selected``
+    model. Stage plan shapes are documented on their operators
+    (stage_documents, exact_dedup, corpus_dsir_weights, dsir_select);
+    nothing here adds a corpus-sized shuffle beyond theirs — the final
+    rollup is (lang × source)-sized.
+    """
+    from live_data_spark.operators.curation import dsir_log_weights, dsir_select
+
+    ded = exact_dedup(quality_gate(stage_documents(load(spark, sf_dir, "documents"))))
+    sel = dsir_select(dsir_log_weights(ded))
+    return (
+        sel.join(ded.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("sel_grams"),
+        )
+    )
 
 
 # -- training manifest: the full path from raw docs to batch budgets --------

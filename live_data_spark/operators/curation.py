@@ -1492,11 +1492,16 @@ _DSIR_TARGET_LANG = "en"
 # quotient of exact integer products, so the oracle replays it bit-exact.
 _DSIR_ALPHA_INV = 100
 
-_DSIR_ORACLE = rf"""
-WITH toks AS (
+def _dsir_core_sql(src: str = "documents") -> str:
+    """The DSIR CTE chain up to ``docw(doc_id, n_grams, slrq)`` — the
+    per-doc integer (1e-8-quantized) log-weight sum — over any relation
+    ``src`` exposing (doc_id, lang, text). Shared by the weights entry,
+    the Gumbel-top-k sampler, and the pipeline composition so all three
+    oracles replay ONE definition."""
+    return rf"""toks AS (
   SELECT doc_id, lang,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-  FROM documents
+  FROM {src}
 ), uni AS (
   SELECT doc_id, lang, unnest(w) AS g FROM toks
 ), idx AS (
@@ -1520,12 +1525,18 @@ WITH toks AS (
                        / (CAST(cq * {_DSIR_ALPHA_INV} + 1 AS DOUBLE) * CAST(nt * {_DSIR_ALPHA_INV} + {_DSIR_BUCKETS} AS DOUBLE)))
                     * 100000000 + 0.5) AS BIGINT) AS lrq
   FROM agg CROSS JOIN tot
-)
-SELECT gb.doc_id,
-       count(*) AS n_grams,
-       round(CAST(sum(lrq) AS BIGINT) / 100000000.0, 4) AS log_weight
-FROM gb JOIN lr USING (bucket)
-GROUP BY gb.doc_id
+), docw AS (
+  SELECT gb.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(lrq) AS BIGINT) AS slrq
+  FROM gb JOIN lr USING (bucket)
+  GROUP BY gb.doc_id
+)"""
+
+
+_DSIR_ORACLE = rf"""
+WITH {_dsir_core_sql()}
+SELECT doc_id, n_grams, round(slrq / 100000000.0, 4) AS log_weight FROM docw
 """
 
 
@@ -1563,9 +1574,24 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2^36 and a per-doc sum stays < 2^53 for any document under ~10^5
     grams at any corpus size.
     """
+    docw = dsir_log_weights(load(spark, sf_dir, "documents"))
+    return docw.select(
+        "doc_id",
+        "n_grams",
+        F.round(F.col("slrq") / 100000000.0, 4).alias("log_weight"),
+    )
+
+
+def dsir_log_weights(d: DataFrame) -> DataFrame:
+    """Per-doc DSIR log-weight as the INTEGER 1e-8-quantized sum
+    ``slrq`` (plus the gram count) over any frame exposing (doc_id,
+    lang, text) — the pure core shared by ``corpus_dsir_weights``
+    (formats it), ``dsir_select`` (ranks on it), and the pipeline
+    composition entry. Text normalization is idempotent, so
+    already-normalized pipeline text re-normalizes to itself. Plan
+    shape documented on ``corpus_dsir_weights``."""
     from live_data_spark.operators.text import normalized_text
 
-    d = load(spark, sf_dir, "documents")
     w = F.split(normalized_text("text"), " ")
     base = d.select("doc_id", "lang", w.alias("w"))
     uni = base.select("doc_id", "lang", F.explode("w").alias("g"))
@@ -1623,6 +1649,155 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.sum("lrq") / 100000000.0, 4).alias("log_weight"),
+            F.sum("lrq").alias("slrq"),
         )
     )
+
+
+# Gumbel-top-k selection constants. The key is an integer at the same
+# 1e-8 scale as slrq: sel_key = slrq + floor(gumbel(u)·1e8 + 0.5) with
+# u a 60-bit md5-hash uniform per doc. Magnitudes: |slrq/1e8| ≤
+# ln(total grams) and |gumbel| ≤ ln(2^60) ≈ 41.6, so |sel_key| < 2^36
+# for any corpus under 10^15 grams — the 2^40 shift makes it positive
+# and the 2^24-wide ranges bound the range frame at ≤2^13 rows (a
+# fixed-domain broadcast, never SF-scaling).
+_DSIR_KEY_SHIFT = 1 << 40
+_DSIR_RANGE_WIDTH = float(1 << 24)
+_DSIR_BUDGET_NUM, _DSIR_BUDGET_DEN = 3, 10  # 30% gram budget, exact ints
+
+
+def dsir_gumbel_key() -> Column:
+    """slrq + quantized Gumbel noise — the integer Gumbel-top-k sort key
+    over a frame with (doc_id, slrq). Top-k by (log w + Gumbel) samples
+    k docs WITHOUT replacement with probability ∝ exp(log w) (the
+    Gumbel-max trick; Vieira 2014 "Gumbel-max trick and weighted
+    reservoir sampling"). u = (h+0.5)/2^60 from the repo's 15-hex md5
+    recipe is an engine-identical double (the int64→double cast rounds
+    identically; the 2^60 divide is exact), and the noise is quantized
+    to the same 1e-8 integer scale as slrq so ordering, membership, and
+    the output key replay exactly on the oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 60))
+    g = -F.ln(-F.ln(u))
+    return F.col("slrq") + F.floor(g * 100000000 + 0.5).cast("bigint")
+
+
+def dsir_select(docw: DataFrame) -> DataFrame:
+    """DSIR's importance-RESAMPLING step (Xie et al. 2023 §2: sample
+    docs ∝ exp(log w) without replacement, here under a gram budget):
+    keep docs in descending (log w + Gumbel) order until 30% of the
+    corpus' grams are taken — a doc is kept iff it STARTS within the
+    budget.
+
+    Scale shape — exact global top-k-by-budget WITHOUT a global sort:
+    keys bucket into 2^24-wide ranges (≤2^13 distinct for any corpus
+    under 10^15 grams — a fixed-domain frame). One map-side-combined
+    aggregate sizes each range; a window over that tiny frame computes
+    range prefix totals. Every range wholly inside the budget keeps ALL
+    its docs via a broadcast-joined map-only filter (no ordering
+    needed); exactly ONE range straddles the budget boundary, and only
+    ITS docs (an expected 1/n_ranges of the corpus; recurse on narrower
+    ranges if a skewed key distribution ever makes it large) flow into
+    the cumulative-start window. Ranges past the budget drop map-only.
+    So the corpus-sized work is: one agg shuffle of (rng, n_grams)
+    pairs + one broadcast-join filter; the only ordered region is the
+    cut range.
+
+    Determinism: sel_key, range ids, prefix sums, and the budget
+    (total·3 div 10, exact integer arithmetic) are all integers; ties
+    at identical keys break by doc_id in the cut window.
+    """
+    from pyspark.sql import Window
+
+    keyed = docw.select("doc_id", "n_grams", dsir_gumbel_key().alias("sel_key"))
+    rng = F.floor((F.col("sel_key") + F.lit(_DSIR_KEY_SHIFT)) / F.lit(_DSIR_RANGE_WIDTH)).cast(
+        "bigint"
+    )
+    keyed = keyed.withColumn("rng", rng)
+    rngs = keyed.groupBy("rng").agg(F.sum("n_grams").alias("t"))
+    w_rng = Window.orderBy(F.col("rng").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    pre = rngs.withColumn(
+        "before", F.coalesce(F.sum("t").over(w_rng), F.lit(0)).cast("bigint")
+    )
+    bud = docw.agg(
+        F.expr(
+            f"(sum(n_grams) * {_DSIR_BUDGET_NUM}) div {_DSIR_BUDGET_DEN}"
+        ).alias("budget")
+    )
+    # pre is fixed-domain (≤2^13 rows), bud is 1 row: plain broadcasts
+    k2 = keyed.join(F.broadcast(pre), "rng").crossJoin(F.broadcast(bud))
+    whole = k2.where(F.col("before") + F.col("t") <= F.col("budget"))
+    cut = k2.where(
+        (F.col("before") < F.col("budget"))
+        & (F.col("before") + F.col("t") > F.col("budget"))
+    )
+    w_cut = Window.partitionBy("rng").orderBy(
+        F.col("sel_key").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cut_kept = cut.withColumn(
+        "start", F.col("before") + F.coalesce(F.sum("n_grams").over(w_cut), F.lit(0))
+    ).where(F.col("start") < F.col("budget"))
+    cols = ["doc_id", "n_grams", "sel_key"]
+    return whole.select(cols).unionByName(cut_kept.select(cols))
+
+
+def _dsir_sample_sql(src: str = "documents") -> str:
+    """The oracle twin of ``dsir_select`` over ``_dsir_core_sql(src)``'s
+    docw: same integer key, same range-prefix selection, same cut
+    window."""
+    return rf"""{_dsir_core_sql(src)}, keyed AS (
+  SELECT doc_id, n_grams,
+         slrq + CAST(floor(-ln(-ln((CAST(h AS DOUBLE) + 0.5) / {float(1 << 60)!r}))
+                           * 100000000 + 0.5) AS BIGINT) AS sel_key
+  FROM (SELECT doc_id, n_grams, slrq,
+               CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM docw)
+), rk AS (
+  SELECT *, CAST(floor((sel_key + {_DSIR_KEY_SHIFT}) / {_DSIR_RANGE_WIDTH!r}) AS BIGINT) AS rng
+  FROM keyed
+), pre AS (
+  SELECT rng, CAST(sum(n_grams) AS BIGINT) AS t,
+         COALESCE(CAST(sum(sum(n_grams)) OVER
+           (ORDER BY rng DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+  FROM rk GROUP BY rng
+), bud AS (
+  SELECT (CAST(sum(n_grams) AS BIGINT) * {_DSIR_BUDGET_NUM}) // {_DSIR_BUDGET_DEN} AS budget FROM docw
+), sel AS (
+  SELECT rk.doc_id, rk.n_grams, rk.sel_key
+  FROM rk JOIN pre USING (rng) CROSS JOIN bud
+  WHERE pre.before + pre.t <= bud.budget
+  UNION ALL
+  SELECT doc_id, n_grams, sel_key FROM (
+    SELECT rk.doc_id, rk.n_grams, rk.sel_key, bud.budget,
+           pre.before + COALESCE(sum(rk.n_grams) OVER
+             (PARTITION BY rk.rng ORDER BY rk.sel_key DESC, rk.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+    FROM rk JOIN pre USING (rng) CROSS JOIN bud
+    WHERE pre.before < bud.budget AND pre.before + pre.t > bud.budget
+  ) WHERE start_off < budget
+)"""
+
+
+_DSIR_SAMPLE_ORACLE = rf"""
+WITH {_dsir_sample_sql()}
+SELECT doc_id, n_grams, sel_key FROM sel
+"""
+
+
+@register(
+    "corpus_dsir_sample",
+    oracle=_DSIR_SAMPLE_ORACLE,
+    tags=("text", "sampling", "pipeline"),
+)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end: importance weights → Gumbel-top-k resampling
+    under a 30% gram budget (Xie et al. 2023's weight-then-resample
+    recipe, the step that turns ``corpus_dsir_weights``' ranking into a
+    selected training subset). Returns the selected docs with their
+    integer selection key. Plan shape and determinism documented on
+    ``dsir_select``; the weight plan on ``corpus_dsir_weights``."""
+    return dsir_select(dsir_log_weights(load(spark, sf_dir, "documents")))

@@ -10,7 +10,13 @@ from live_data_spark.corpus.pipeline import build_corpus_project
 def test_corpus_project_builds_and_tests_pass(spark, sf_dir, tmp_path):
     proj = build_corpus_project(spark, str(tmp_path / "wh"), sf_dir)
     built = proj.run()
-    assert set(built) == {"stg_documents", "corpus_clean", "corpus_deduped", "corpus_stats"}
+    assert set(built) == {
+        "stg_documents",
+        "corpus_clean",
+        "corpus_deduped",
+        "corpus_selected",
+        "corpus_stats",
+    }
 
     results = proj.run_tests()
     assert all(r.passed for r in results), [str(r) for r in results if not r.passed]
@@ -21,6 +27,9 @@ def test_corpus_project_builds_and_tests_pass(spark, sf_dir, tmp_path):
     n_clean = built["corpus_clean"].count()
     assert 0 < n_clean < n_src
     assert built["corpus_deduped"].count() == n_clean
+    # DSIR selection is a real subset: the 30% gram budget keeps some
+    # docs and drops others
+    assert 0 < built["corpus_selected"].count() < n_clean
 
     # lang partitioning materialized → per-language reads prune partitions
     part_dirs = {p.name for p in (tmp_path / "wh" / "dev_main" / "corpus_clean").iterdir()}
@@ -65,7 +74,7 @@ def test_manifest_exports_full_graph(spark, sf_dir, tmp_path):
     assert models["corpus_clean"]["partition_by"] == ["lang"]
     assert "stg_documents" in models["corpus_clean"]["depends_on"]
     assert "source:testdata.documents" in models["stg_documents"]["depends_on"]
-    assert len(m["tests"]) == 7
+    assert len(m["tests"]) == 8
     assert any(s["table"] == "documents" for s in m["sources"])
 
 

@@ -541,6 +541,36 @@ def test_source_cap_hash_rate_memo_tracks_on_disk_state(spark, tmp_path):
     curation._HASH_RATE_COUNTS_MEMO.clear()
 
 
+def test_dsir_select_equals_global_prefix_rule(spark, sf_dir):
+    """The range-decomposed selection (whole-keep / drop / cut-window
+    arms) must equal the direct definition: docs taken in (sel_key desc,
+    doc_id) order until the 30% gram budget is exhausted, a doc kept iff
+    it STARTS within the budget. Replays the rule in pure Python over
+    Spark's OWN keys — pins the decomposition machinery independent of
+    ln quantization (which the DuckDB oracle covers)."""
+    from live_data_spark.catalog import load
+    from live_data_spark.operators.curation import (
+        dsir_gumbel_key,
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    docw = dsir_log_weights(load(spark, sf_dir, "documents"))
+    keyed = docw.select(
+        "doc_id", "n_grams", dsir_gumbel_key().alias("sel_key")
+    ).collect()
+    rows = sorted(keyed, key=lambda r: (-r["sel_key"], r["doc_id"]))
+    budget = sum(r["n_grams"] for r in rows) * 3 // 10
+    want, start = set(), 0
+    for r in rows:
+        if start < budget:
+            want.add(r["doc_id"])
+        start += r["n_grams"]
+    got = {r["doc_id"] for r in dsir_select(docw).collect()}
+    assert got == want
+    assert 0 < len(got) < len(rows)  # a real subset, not trivially all/none
+
+
 def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
     """Formula-plane pin the oracle cannot give (a sign flip would be
     wrong the same way on both engines): DSIR log-weights must rank the

@@ -45,6 +45,8 @@ BNLJ_OK: set[str] = {
     "dedup_incremental_bloom",  # 1-row bloom word-map blob broadcast x batch
     "text_bigram_surprisal",  # 1-row vocab-size scalar broadcast
     "corpus_dsir_weights",  # 1-row (nq, nt) gram-totals scalar × 4096-bucket histogram
+    "corpus_dsir_sample",  # 1-row gram-budget scalar × keyed docs (plus the weights' totals scalar)
+    "corpus_dsir_pipeline_stats",  # same 1-row budget/totals scalars through the composed plan
     "text_bm25_topdocs",  # 1-row (N, avgdl) corpus-stats scalar broadcast
     "corpus_vocab_coverage",  # 4-row cutoff grid fan-out over the vocab frame
     "embedding_triplet_mine",  # broadcast anchor set × corpus (exact demo tier, like ann_cosine_topk)
