@@ -1656,13 +1656,12 @@ def dsir_log_weights(d: DataFrame) -> DataFrame:
 
 # Gumbel-top-k selection constants. The key is an integer at the same
 # 1e-8 scale as slrq: sel_key = slrq + floor(gumbel(u)·1e8 + 0.5) with
-# u a 60-bit md5-hash uniform per doc. Magnitudes: |slrq/1e8| ≤
-# ln(total grams) and |gumbel| ≤ ln(2^60) ≈ 41.6, so |sel_key| < 2^36
-# for any corpus under 10^15 grams — the 2^40 shift makes it positive
-# and the 2^24-wide ranges bound the range frame at ≤2^13 rows (a
-# fixed-domain broadcast, never SF-scaling).
-_DSIR_KEY_SHIFT = 1 << 40
-_DSIR_RANGE_WIDTH = float(1 << 24)
+# u a 60-bit md5-hash uniform per doc. Range width is ADAPTIVE —
+# ((kmax−kmin) div N_RANGES)+1 from the corpus' real key span — so the
+# range frame is ≤ N_RANGES+1 rows for ANY key distribution (a per-doc
+# slrq is a SUM over the doc's grams: a 10^5-gram doc can push |key|
+# past 2^48, so no fixed width bounds the frame).
+_DSIR_N_RANGES = 4096
 _DSIR_BUDGET_NUM, _DSIR_BUDGET_DEN = 3, 10  # 30% gram budget, exact ints
 
 
@@ -1694,42 +1693,48 @@ def dsir_select(docw: DataFrame) -> DataFrame:
     budget.
 
     Scale shape — exact global top-k-by-budget WITHOUT a global sort:
-    keys bucket into 2^24-wide ranges (≤2^13 distinct for any corpus
-    under 10^15 grams — a fixed-domain frame). One map-side-combined
-    aggregate sizes each range; a window over that tiny frame computes
-    range prefix totals. Every range wholly inside the budget keeps ALL
-    its docs via a broadcast-joined map-only filter (no ordering
-    needed); exactly ONE range straddles the budget boundary, and only
-    ITS docs (an expected 1/n_ranges of the corpus; recurse on narrower
-    ranges if a skewed key distribution ever makes it large) flow into
-    the cumulative-start window. Ranges past the budget drop map-only.
-    So the corpus-sized work is: one agg shuffle of (rng, n_grams)
-    pairs + one broadcast-join filter; the only ordered region is the
-    cut range.
+    keys bucket into ranges whose width adapts to the corpus' real key
+    span (((kmax−kmin) div 4096)+1), so the range frame is ≤4097 rows
+    for ANY key distribution — a broadcastable bound that no fixed
+    width gives, since per-doc key magnitude grows with document
+    length. One map-side-combined aggregate sizes each range; a window
+    over that tiny frame computes range prefix totals. Every range
+    wholly inside the budget keeps ALL its docs via a broadcast-joined
+    map-only filter (no ordering needed); exactly ONE range straddles
+    the budget boundary, and only ITS docs (an expected 1/4096 of the
+    corpus; recurse on narrower ranges if a skewed key distribution
+    ever makes it large) flow into the cumulative-start window. Ranges
+    past the budget drop map-only. So the corpus-sized work is: one
+    bounds/budget aggregate, one agg shuffle of (rng, n_grams) pairs +
+    one broadcast-join filter; the only ordered region is the cut
+    range.
 
-    Determinism: sel_key, range ids, prefix sums, and the budget
-    (total·3 div 10, exact integer arithmetic) are all integers; ties
-    at identical keys break by doc_id in the cut window.
+    Determinism: sel_key, kmin, width, range ids, prefix sums, and the
+    budget (total·3 div 10) are all exact integer arithmetic; ties at
+    identical keys break by doc_id in the cut window.
     """
     from pyspark.sql import Window
 
     keyed = docw.select("doc_id", "n_grams", dsir_gumbel_key().alias("sel_key"))
-    rng = F.floor((F.col("sel_key") + F.lit(_DSIR_KEY_SHIFT)) / F.lit(_DSIR_RANGE_WIDTH)).cast(
-        "bigint"
+    bounds = keyed.agg(
+        F.min("sel_key").alias("kmin"),
+        F.expr(f"((max(sel_key) - min(sel_key)) div {_DSIR_N_RANGES}) + 1").alias(
+            "width"
+        ),
+        F.expr(
+            f"(sum(n_grams) * {_DSIR_BUDGET_NUM}) div {_DSIR_BUDGET_DEN}"
+        ).alias("budget"),
     )
-    keyed = keyed.withColumn("rng", rng)
-    rngs = keyed.groupBy("rng").agg(F.sum("n_grams").alias("t"))
+    kb = keyed.crossJoin(F.broadcast(bounds)).withColumn(
+        "rng", F.expr("(sel_key - kmin) div width")
+    )
+    rngs = kb.groupBy("rng").agg(F.sum("n_grams").alias("t"))
     w_rng = Window.orderBy(F.col("rng").desc()).rowsBetween(Window.unboundedPreceding, -1)
     pre = rngs.withColumn(
         "before", F.coalesce(F.sum("t").over(w_rng), F.lit(0)).cast("bigint")
     )
-    bud = docw.agg(
-        F.expr(
-            f"(sum(n_grams) * {_DSIR_BUDGET_NUM}) div {_DSIR_BUDGET_DEN}"
-        ).alias("budget")
-    )
-    # pre is fixed-domain (≤2^13 rows), bud is 1 row: plain broadcasts
-    k2 = keyed.join(F.broadcast(pre), "rng").crossJoin(F.broadcast(bud))
+    # pre is span-bounded (≤4097 rows), bounds is 1 row: plain broadcasts
+    k2 = kb.join(F.broadcast(pre), "rng")
     whole = k2.where(F.col("before") + F.col("t") <= F.col("budget"))
     cut = k2.where(
         (F.col("before") < F.col("budget"))
@@ -1756,28 +1761,31 @@ def _dsir_sample_sql(src: str = "documents") -> str:
   FROM (SELECT doc_id, n_grams, slrq,
                CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         FROM docw)
-), rk AS (
-  SELECT *, CAST(floor((sel_key + {_DSIR_KEY_SHIFT}) / {_DSIR_RANGE_WIDTH!r}) AS BIGINT) AS rng
+), bounds AS (
+  SELECT CAST(min(sel_key) AS BIGINT) AS kmin,
+         ((CAST(max(sel_key) AS BIGINT) - CAST(min(sel_key) AS BIGINT)) // {_DSIR_N_RANGES}) + 1 AS width,
+         (CAST(sum(n_grams) AS BIGINT) * {_DSIR_BUDGET_NUM}) // {_DSIR_BUDGET_DEN} AS budget
   FROM keyed
+), rk AS (
+  SELECT keyed.*, bounds.budget, (sel_key - kmin) // width AS rng
+  FROM keyed CROSS JOIN bounds
 ), pre AS (
   SELECT rng, CAST(sum(n_grams) AS BIGINT) AS t,
          COALESCE(CAST(sum(sum(n_grams)) OVER
            (ORDER BY rng DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
   FROM rk GROUP BY rng
-), bud AS (
-  SELECT (CAST(sum(n_grams) AS BIGINT) * {_DSIR_BUDGET_NUM}) // {_DSIR_BUDGET_DEN} AS budget FROM docw
 ), sel AS (
   SELECT rk.doc_id, rk.n_grams, rk.sel_key
-  FROM rk JOIN pre USING (rng) CROSS JOIN bud
-  WHERE pre.before + pre.t <= bud.budget
+  FROM rk JOIN pre USING (rng)
+  WHERE pre.before + pre.t <= rk.budget
   UNION ALL
   SELECT doc_id, n_grams, sel_key FROM (
-    SELECT rk.doc_id, rk.n_grams, rk.sel_key, bud.budget,
+    SELECT rk.doc_id, rk.n_grams, rk.sel_key, rk.budget,
            pre.before + COALESCE(sum(rk.n_grams) OVER
              (PARTITION BY rk.rng ORDER BY rk.sel_key DESC, rk.doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-    FROM rk JOIN pre USING (rng) CROSS JOIN bud
-    WHERE pre.before < bud.budget AND pre.before + pre.t > bud.budget
+    FROM rk JOIN pre USING (rng)
+    WHERE pre.before < rk.budget AND pre.before + pre.t > rk.budget
   ) WHERE start_off < budget
 )"""
 

@@ -178,6 +178,8 @@ def snapshot_merge_check(
     brand-new keys. Same single full-outer-join shape as the timestamp
     strategy (see ``_scd2_merge``).
     """
+    if not check_cols:
+        raise ValueError("check strategy needs at least one compared column")
     ts = F.lit(asof).cast(vt_type) if not isinstance(asof, F.Column) else asof
     changed_core = None
     for c in check_cols:
