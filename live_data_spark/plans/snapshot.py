@@ -65,6 +65,7 @@ def _scd2_merge(
     changed_core: F.Column,
     new_version_ts: F.Column,
     vt_type,
+    delete_ts: F.Column | None = None,
 ) -> DataFrame:
     """The strategy-independent SCD2 merge skeleton shared by dbt's two
     stock strategies (``timestamp``: snapshot_merge; ``check``:
@@ -73,7 +74,9 @@ def _scd2_merge(
     ``new_version_ts`` is the timestamp (a Column over the join) that
     closes the superseded version AND opens its replacement — the source
     row's ``updated_at`` for the timestamp strategy, the run's ``asof``
-    literal for check.
+    literal for check. ``delete_ts`` (dbt `invalidate_hard_deletes=True`)
+    closes the open version of a key ABSENT from the source at that
+    timestamp instead of carrying it; None (dbt's default) carries.
 
     Scale shape: ONE full-outer equi-join on ``unique_key`` between the
     open rows and the source (closed history unions through untouched),
@@ -92,17 +95,26 @@ def _scd2_merge(
     in_snap = F.col(unique_key).isNotNull()
     in_src = F.col(f"src_{unique_key}").isNotNull()
     changed = in_snap & in_src & changed_core
+    deleted = in_snap & ~in_src
 
-    # open rows that stay open: unchanged, or key absent from source
-    # (hard deletes ignored, dbt default)
-    carried = joined.where(in_snap & ~changed).select(open_rows.columns)
+    # open rows that stay open: unchanged (plus, under dbt's default
+    # carry-deletes posture, keys absent from the source)
+    carry_pred = in_snap & ~changed if delete_ts is None else in_snap & in_src & ~changed
+    carried = joined.where(carry_pred).select(open_rows.columns)
     # open rows superseded by a newer source version: close them at the
     # new version's timestamp (contiguous validity intervals); the
-    # closed version keeps the OLD attribute values
-    closing = joined.where(changed).select(
+    # closed version keeps the OLD attribute values. Hard-deleted keys
+    # close at delete_ts when invalidation is on.
+    close_pred = changed if delete_ts is None else changed | deleted
+    close_at = (
+        new_version_ts
+        if delete_ts is None
+        else F.when(changed, new_version_ts).otherwise(delete_ts)
+    )
+    closing = joined.where(close_pred).select(
         *[F.col(c) for c in source_cols],
         F.col(VALID_FROM),
-        new_version_ts.alias(VALID_TO),
+        close_at.alias(VALID_TO),
     )
     # new open versions: changed rows + brand-new keys
     inserts = joined.where(in_src & (~in_snap | changed)).select(
@@ -118,6 +130,8 @@ def snapshot_merge(
     source: DataFrame,
     unique_key: str,
     updated_at: str,
+    invalidate_hard_deletes: bool = False,
+    delete_asof=None,
 ) -> DataFrame:
     """One SCD2 merge under dbt's **timestamp strategy**, as a pure plan:
     (current state, new source) → new state. ``snapshot`` wraps this with
@@ -131,9 +145,26 @@ def snapshot_merge(
     source row carries the open version forward (no evidence it
     advanced), while a NULL-timestamped OPEN row superseded by a real
     timestamp counts as changed.
+
+    ``invalidate_hard_deletes`` (dbt's config of the same name): close
+    the open version of keys ABSENT from the source at ``delete_asof``
+    (the run's timestamp — there is no source row to take updated_at
+    from) instead of carrying them. Default False = dbt's default carry.
     """
     src_upd, upd = F.col(f"src_{updated_at}"), F.col(updated_at)
     changed_core = F.coalesce(src_upd > upd, upd.isNull() & src_upd.isNotNull())
+    dts = None
+    if invalidate_hard_deletes:
+        if delete_asof is None:
+            raise ValueError(
+                "invalidate_hard_deletes needs delete_asof (the run timestamp)"
+            )
+        vt = source.schema[updated_at].dataType
+        dts = (
+            delete_asof
+            if isinstance(delete_asof, F.Column)
+            else F.lit(delete_asof).cast(vt)
+        )
     return _scd2_merge(
         current,
         source,
@@ -141,6 +172,7 @@ def snapshot_merge(
         changed_core,
         new_version_ts=src_upd,
         vt_type=source.schema[updated_at].dataType,
+        delete_ts=dts,
     )
 
 
@@ -158,9 +190,10 @@ def snapshot_merge_check(
     current: DataFrame,
     source: DataFrame,
     unique_key: str,
-    check_cols: list[str],
+    check_cols,
     asof,
     vt_type="timestamp_ntz",
+    invalidate_hard_deletes: bool = False,
 ) -> DataFrame:
     """One SCD2 merge under dbt's **check strategy** (`strategy: check`,
     `check_cols: [...]`): for sources without a reliable ``updated_at``,
@@ -176,8 +209,12 @@ def snapshot_merge_check(
     started_at; passing it in keeps the merge a pure deterministic plan):
     it closes superseded versions and opens their replacements and
     brand-new keys. Same single full-outer-join shape as the timestamp
-    strategy (see ``_scd2_merge``).
+    strategy (see ``_scd2_merge``). ``check_cols="all"`` (dbt's
+    shorthand) compares every non-key source column;
+    ``invalidate_hard_deletes`` closes source-absent keys at ``asof``.
     """
+    if check_cols == "all":
+        check_cols = [c for c in source.columns if c != unique_key]
     if not check_cols:
         raise ValueError("check strategy needs at least one compared column")
     ts = F.lit(asof).cast(vt_type) if not isinstance(asof, F.Column) else asof
@@ -186,7 +223,13 @@ def snapshot_merge_check(
         diff = ~F.col(c).eqNullSafe(F.col(f"src_{c}"))
         changed_core = diff if changed_core is None else (changed_core | diff)
     return _scd2_merge(
-        current, source, unique_key, changed_core, new_version_ts=ts, vt_type=vt_type
+        current,
+        source,
+        unique_key,
+        changed_core,
+        new_version_ts=ts,
+        vt_type=vt_type,
+        delete_ts=ts if invalidate_hard_deletes else None,
     )
 
 

@@ -119,3 +119,61 @@ def test_asof_dim_join_picks_version_valid_at_fact_time(spark, tmp_path):
     # plan sanity: equi hash join on the key, not a nested loop
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_invalidate_hard_deletes_closes_absent_keys(spark):
+    """dbt `invalidate_hard_deletes=True`: a key absent from the source
+    closes its open version at the run timestamp (default carries it) —
+    both strategies; the closed row keeps its old values."""
+    from live_data_spark.plans.snapshot import (
+        initial_state,
+        initial_state_check,
+        snapshot_merge,
+        snapshot_merge_check,
+    )
+
+    b1 = _src(spark, [(1, "new", T1), (2, "new", T1)])
+    b2 = _src(spark, [(1, "shipped", T2)])  # id=2 hard-deleted
+
+    # timestamp strategy
+    out = snapshot_merge(
+        initial_state(b1, "updated_at"), b2, "id", "updated_at",
+        invalidate_hard_deletes=True, delete_asof=T2,
+    )
+    rows = {(r["id"], r["status"], r[VALID_FROM], r[VALID_TO]) for r in out.collect()}
+    assert rows == {
+        (1, "new", T1, T2),
+        (1, "shipped", T2, None),
+        (2, "new", T1, T2),  # closed at the run timestamp, not carried
+    }
+
+    # check strategy (and default carry for contrast)
+    out_c = snapshot_merge_check(
+        initial_state_check(b1.drop("updated_at"), T1, "timestamp"),
+        b2.drop("updated_at"), "id", ["status"], T2, "timestamp",
+        invalidate_hard_deletes=True,
+    )
+    rows_c = {(r["id"], r["status"], r[VALID_TO]) for r in out_c.collect()}
+    assert (2, "new", T2) in rows_c
+    carried = snapshot_merge_check(
+        initial_state_check(b1.drop("updated_at"), T1, "timestamp"),
+        b2.drop("updated_at"), "id", ["status"], T2, "timestamp",
+    )
+    assert (2, "new", None) in {
+        (r["id"], r["status"], r[VALID_TO]) for r in carried.collect()
+    }
+
+
+def test_check_cols_all_compares_every_nonkey_column(spark):
+    """check_cols='all' (dbt shorthand): any non-key column difference
+    versions the row — including one outside an explicit subset."""
+    from live_data_spark.plans.snapshot import initial_state_check, snapshot_merge_check
+
+    b1 = spark.createDataFrame([(1, "a", "x"), (2, "a", "x")], ["id", "v", "w"])
+    b2 = spark.createDataFrame([(1, "a", "y"), (2, "a", "x")], ["id", "v", "w"])
+    out = snapshot_merge_check(
+        initial_state_check(b1, T1, "timestamp"), b2, "id", "all", T2, "timestamp"
+    )
+    rows = {(r["id"], r["w"], r[VALID_TO]) for r in out.collect()}
+    # id=1 versioned on the w change; id=2 carried
+    assert rows == {(1, "x", T2), (1, "y", None), (2, "x", None)}
