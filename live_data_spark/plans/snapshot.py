@@ -245,16 +245,50 @@ def snapshot(
     Reruns with an unchanged source are no-ops (idempotent): nothing
     closes, nothing inserts, history is stable.
     """
-    rootp = Path(root)
     current = read_snapshot(spark, root)
-
     if current is None:
         new_state = initial_state(source, updated_at)
     else:
         new_state = snapshot_merge(current, source, unique_key, updated_at)
+    return _write_generation(spark, Path(root), new_state)
 
-    gen = (_latest_generation(rootp) or 0) + 1 if _latest_generation(rootp) is not None else 0
-    out = rootp / f"_v{gen}"
+
+def snapshot_check(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    unique_key: str,
+    check_cols,
+    asof,
+    vt_type="timestamp_ntz",
+    invalidate_hard_deletes: bool = False,
+) -> DataFrame:
+    """The generation-storage walk for dbt's **check** strategy — the
+    storage twin of ``snapshot`` (dbt's one materialization dispatches on
+    its ``strategy`` config; here each strategy keeps its own natural
+    signature). ``asof`` is the run's timestamp: it stamps the first
+    generation's open rows and every later run's closes/opens. Same
+    versioned-parquet generations, same idempotent-rerun property
+    (an unchanged source under unchanged check_cols closes nothing)."""
+    current = read_snapshot(spark, root)
+    if current is None:
+        new_state = initial_state_check(source, asof, vt_type)
+    else:
+        new_state = snapshot_merge_check(
+            current,
+            source,
+            unique_key,
+            check_cols,
+            asof,
+            vt_type,
+            invalidate_hard_deletes=invalidate_hard_deletes,
+        )
+    return _write_generation(spark, Path(root), new_state)
+
+
+def _write_generation(spark: SparkSession, rootp: Path, new_state: DataFrame) -> DataFrame:
+    prev = _latest_generation(rootp)
+    out = rootp / f"_v{0 if prev is None else prev + 1}"
     new_state.write.mode("overwrite").parquet(str(out))
     return spark.read.parquet(str(out))
 

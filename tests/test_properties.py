@@ -487,3 +487,40 @@ def test_scd2_check_merge_matches_python_model(spark, batches):
         assert sum(1 for _, vt in vers if vt is None) == 1
         for (_, vt1), (vf2, _) in zip(vers, vers[1:]):
             assert vt1 == vf2  # contiguous, disjoint
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**9),  # doc_id
+            st.integers(min_value=1, max_value=10**5),  # n_grams
+            st.integers(min_value=-(2**45), max_value=2**45),  # slrq
+        ),
+        min_size=1,
+        max_size=150,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_dsir_select_decomposition_property(spark, rows):
+    """dsir_select's range decomposition (adaptive width, whole-keep /
+    drop / cut-window arms) over ADVERSARIAL synthetic frames — single
+    doc, near-identical slrq (all keys land in one cut range, width
+    degenerates to ~1), 2^45-wide spans, gram totals small enough that
+    the 30% budget floors to 0 — must equal the direct rule: docs in
+    (sel_key desc, doc_id) order, kept iff their cumulative start is
+    inside the budget. Uses Spark's OWN Gumbel keys so the pin isolates
+    the decomposition, as in test_dsir_select_equals_global_prefix_rule
+    (tests/test_curation.py) which covers the real-corpus path."""
+    from live_data_spark.operators.curation import dsir_gumbel_key, dsir_select
+
+    docw = spark.createDataFrame(rows, "doc_id long, n_grams long, slrq long")
+    keyed = docw.select("doc_id", "n_grams", dsir_gumbel_key().alias("sel_key")).collect()
+    ordered = sorted(keyed, key=lambda r: (-r["sel_key"], r["doc_id"]))
+    budget = sum(r["n_grams"] for r in ordered) * 3 // 10
+    want, start = set(), 0
+    for r in ordered:
+        if start < budget:
+            want.add(r["doc_id"])
+        start += r["n_grams"]
+    assert {r["doc_id"] for r in dsir_select(docw).collect()} == want

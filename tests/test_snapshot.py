@@ -177,3 +177,36 @@ def test_check_cols_all_compares_every_nonkey_column(spark):
     rows = {(r["id"], r["w"], r[VALID_TO]) for r in out.collect()}
     # id=1 versioned on the w change; id=2 carried
     assert rows == {(1, "x", T2), (1, "y", None), (2, "x", None)}
+
+
+def test_snapshot_check_storage_walk(spark, tmp_path):
+    """snapshot_check: the generation-storage walk under the check
+    strategy — first run opens at the run's asof, a compared-column
+    change versions, an identical rerun is a no-op, generations
+    survive on disk."""
+    from live_data_spark.plans.snapshot import snapshot_check
+
+    root = str(tmp_path / "snap_check")
+    b1 = spark.createDataFrame([(1, "new"), (2, "new")], ["id", "status"])
+    s1 = snapshot_check(spark, b1, root, "id", ["status"], T1, "timestamp")
+    assert {(r["id"], r[VALID_FROM], r[VALID_TO]) for r in s1.collect()} == {
+        (1, T1, None),
+        (2, T1, None),
+    }
+
+    b2 = spark.createDataFrame([(1, "shipped"), (2, "new")], ["id", "status"])
+    s2 = snapshot_check(spark, b2, root, "id", ["status"], T2, "timestamp")
+    assert {(r["id"], r["status"], r[VALID_FROM], r[VALID_TO]) for r in s2.collect()} == {
+        (1, "new", T1, T2),
+        (1, "shipped", T2, None),
+        (2, "new", T1, None),
+    }
+
+    again = snapshot_check(spark, b2, root, "id", ["status"], T3, "timestamp")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, s2.collect()))
+    # three generations on disk, earlier ones untouched
+    assert read_snapshot(spark, root).count() == 3
+    assert {(r["id"], r[VALID_TO]) for r in spark.read.parquet(f"{root}/_v0").collect()} == {
+        (1, None),
+        (2, None),
+    }
