@@ -885,3 +885,76 @@ def test_observed_stream_metrics_ride_micro_batches(spark, events_dir, tmp_path)
     sunk = spark.read.parquet(str(sink))
     assert sum(m["n_rows"] for m in got) == sunk.count()
     assert sum(m["n_buy"] or 0 for m in got) == sunk.where("event_type = 'buy'").count()
+
+
+def test_snapshot_scd2_stream_versions_and_replays_idempotently(spark, tmp_path):
+    """Streaming SCD2: change batches drain into versioned generations —
+    updates close-and-reopen, new keys insert, quiet drains write
+    nothing; a multi-file batch with several versions of one key keeps
+    only the latest (dbt-between-runs semantics); and re-draining
+    everything from a WIPED checkpoint replays to the SAME state content
+    (the merge is idempotent, so replayed generations differ only in
+    counter, never in history)."""
+    import datetime as dt
+    import shutil
+
+    T1, T2, T3 = (dt.datetime(2026, 1, d) for d in (1, 2, 3))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    schema = "id long, status string, updated_at timestamp"
+
+    def stage(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / name))
+
+    def drain():
+        jobs.snapshot_scd2_stream(
+            spark, f"{landing}/*", root, ckpt, schema, "id", "updated_at"
+        )
+
+    def state():
+        from live_data_spark.plans.snapshot import VALID_FROM, VALID_TO, read_snapshot
+
+        return {
+            (r["id"], r["status"], r[VALID_FROM], r[VALID_TO])
+            for r in read_snapshot(spark, root).collect()
+        }
+
+    def gens():
+        return len(list((tmp_path / "snap").glob("_v*")))
+
+    stage([(1, "new", T1), (2, "new", T1)], "b1")
+    drain()
+    assert state() == {(1, "new", T1, None), (2, "new", T1, None)}
+
+    # one update, one insert; key 2 untouched carries
+    stage([(1, "shipped", T2), (2, "new", T1), (3, "new", T2)], "b2")
+    drain()
+    assert state() == {
+        (1, "new", T1, T2),
+        (1, "shipped", T2, None),
+        (2, "new", T1, None),
+        (3, "new", T2, None),
+    }
+
+    # quiet drain: no files → no merge, no new generation
+    n = gens()
+    drain()
+    assert gens() == n
+
+    # two files land between drains, BOTH moving key 3: one micro-batch
+    # carries two versions; only the latest (T3) may open
+    stage([(3, "packed", T2 + dt.timedelta(hours=1))], "b3a")
+    stage([(3, "shipped", T3)], "b3b")
+    drain()
+    assert (3, "shipped", T3, None) in state()
+    assert sum(1 for r in state() if r[0] == 3 and r[3] is None) == 1
+    expect = state()
+
+    # wipe the checkpoint: every file replays against the built state —
+    # content must not change (idempotent merge), only the gen counter
+    shutil.rmtree(ckpt)
+    drain()
+    assert state() == expect
