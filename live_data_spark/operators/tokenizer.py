@@ -156,13 +156,81 @@ def bpe_train(
     return merges
 
 
-@register("bpe_train_merges", oracle=None, tags=("text", "tokenizer", "iterative"))
+_BPE_WORDS_SQL = r"""
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+"""
+
+
+def _bpe_chain_sql(n_merges: int = N_MERGES) -> str:
+    """The trainer's n merge rounds unrolled as materialized CTEs — the
+    iterative-oracle recipe (SCALE.md §13: PageRank/MMR precedent).
+
+    Per round k: ``p{k}`` counts adjacent pairs over the symbol arrays
+    (list_zip of slices — generate_series can't take lateral bounds),
+    ``m{k}`` is the argmax with the trainer's exact tie-break (count
+    desc, then pair), ``w{k}`` applies the merge to every word as a
+    seeded left-to-right list_reduce fold — the init empty-array rides
+    as the FIRST element (the Holt-Winters seeding trick) and elements
+    index POSITIONALLY (the list_reduce struct-name landmine). The fold
+    is the exact twin of ``_merge_fold``. ``LEFT JOIN ON TRUE`` (not a
+    cross join) keeps the chain total when a round exhausts: an empty
+    ``m{k}`` leaves syms unchanged instead of emptying the vocabulary,
+    so the encode tail still sees every word. No ``len >= 2`` filter —
+    1-symbol words contribute no pairs, so the merge sequence is
+    unaffected and the final ``w{n}`` doubles as the encode table.
+    """
+    parts = [
+        f"w0 AS MATERIALIZED (\n"
+        f"  SELECT word, freq, regexp_split_to_array(word, '') || ['{END_MARK}'] AS syms\n"
+        f"  FROM ({_BPE_WORDS_SQL})\n)"
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT s[1] AS l, s[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, unnest(list_zip(syms[:len(syms)-1], syms[2:])) AS s FROM w{p})
+  GROUP BY 1, 2
+), m{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+), w{k} AS MATERIALIZED (
+  SELECT w.word, w.freq, list_reduce(
+    [CAST([] AS VARCHAR[])] || list_transform(w.syms, s -> [s]),
+    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l AND x[1] = m.r
+                THEN acc[:len(acc)-1] || [m.l || m.r] ELSE acc || [x[1]] END
+  ) AS syms
+  FROM w{p} w LEFT JOIN m{k} m ON TRUE
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = N_MERGES) -> str:
+    rows = "\nUNION ALL ".join(
+        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", cnt AS pair_count FROM m{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_chain_sql(n_merges)}\n{rows}"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table as a DataFrame: (rank, left, right,
-    pair_count). Rows-only with the driver (iterative argmax — no SQL
-    oracle); the merge SEQUENCE is pinned exactly against a pure-Python
-    Sennrich-style reference in tests/test_tokenizer.py, and the
-    counting core is oracle-anchored by ``bpe_pair_stats``.
+    pair_count). Fully oracle-checked (promoted r9 from rows-only): the
+    24 argmax rounds unroll as materialized CTEs — pair counts are exact
+    integers, the tie-break (count desc, then pair — binary collation on
+    ASCII symbols both engines) is total, and the merge application is
+    the same left-to-right greedy fold on both sides, so the learned
+    SEQUENCE replays exactly. The merge sequence is also pinned against
+    a pure-Python Sennrich-style reference in tests/test_tokenizer.py,
+    and the counting core is anchored by ``bpe_pair_stats``.
     """
     merges = bpe_train(spark, sf_dir)
     return spark.createDataFrame(
@@ -243,13 +311,42 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
     return len(syms)
 
 
-@register("bpe_encode_stats", oracle=None, tags=("text", "tokenizer"))
+def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
+    """Encode oracle off the SAME unrolled chain: token count per word
+    type is len(syms) in the final ``w{n}``. Sequential rank-order
+    application (what the chain does) equals the encoder's GPT-2-style
+    lowest-rank-first loop: a merge learned at rank r only creates
+    symbols whose pairs were learned LATER, so after rank r is
+    exhausted no pair of rank ≤ r can reappear — the two orders produce
+    the same segmentation. Docs with no words LEFT JOIN to (0, 0, NULL)
+    exactly like the Spark side's empty-array arm."""
+    return f"""WITH {_bpe_chain_sql(n_merges)},
+wtok AS MATERIALIZED (SELECT word, len(syms) AS n_tok FROM w{n_merges}),
+docw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), perdoc AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(t.n_tok) AS BIGINT) AS n_bpe
+  FROM (SELECT doc_id, w FROM docw WHERE w <> '') d JOIN wtok t ON t.word = d.w
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_bpe, 0) AS n_bpe_tokens,
+       CASE WHEN p.n_words > 0 THEN round(p.n_bpe / CAST(p.n_words AS DOUBLE), 4) END AS bpe_per_word
+FROM documents doc LEFT JOIN perdoc p USING (doc_id)"""
+
+
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle(), tags=("text", "tokenizer"))
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts under the corpus-learned BPE merges:
     (doc_id, n_words, n_bpe_tokens, bpe_per_word). The budget-math
-    ground truth the chars/4 estimate approximates. Rows-only (the
-    encoder is the iterative merge loop); exactness pinned against the
-    pure-Python path in tests/test_tokenizer.py.
+    ground truth the chars/4 estimate approximates. Fully oracle-checked
+    (promoted r9 with the trainer): the oracle replays the merge chain
+    and scores each word type from the final symbol table — rank-order
+    application ≡ the encoder's lowest-rank-first loop (see
+    ``_bpe_encode_oracle``). Also pinned against the pure-Python path
+    in tests/test_tokenizer.py.
 
     The ranks dict is broadcast state inside an Arrow-batched pandas_udf
     (plan-hygiene allowlisted: tokenization is per-word sequential, the
