@@ -105,7 +105,11 @@ def logreg_fit(
     entry re-paid the full 8-pass fit (train-once/score-everywhere; the
     durable cross-job form is an artifacts.py table).
     """
-    key = (sf_dir, target, iters, ridge)
+    from live_data_spark.catalog import _table_state
+
+    # fingerprint factor: a rewrite at the same sf_dir re-fits instead of
+    # serving pre-rewrite weights (uniform with the trainer/footer caches)
+    key = (sf_dir, target, iters, ridge, _table_state(sf_dir, "embeddings")[1])
     if history is None and key in _FIT_CACHE:
         return _FIT_CACHE[key]
     e = load(spark, sf_dir, "embeddings").select(

@@ -55,7 +55,7 @@ END_MARK = "</w>"  # end-of-word sentinel so merges can't cross word ends
 # session-lifetime memo keyed by (sf_dir, n_merges): training is
 # deterministic, and the trainer + encoder catalog entries share one run
 # instead of re-paying the full merge loop (durable form: artifacts.py)
-_TRAIN_CACHE: dict[tuple[str, int], list[tuple[str, str, int]]] = {}
+_TRAIN_CACHE: dict[tuple, list[tuple[str, str, int]]] = {}
 
 
 def word_type_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +116,12 @@ def bpe_train(
     lexicographically smallest (left, right) — mirrored by the Python
     reference in tests.
     """
-    key = (sf_dir, n_merges)
+    from live_data_spark.catalog import _table_state
+
+    # fingerprint factor: a rewrite/re-ingest at the same sf_dir re-trains
+    # instead of serving the pre-rewrite merge table (the same staleness
+    # class the footer caches and the hash-rate memo key on)
+    key = (sf_dir, n_merges, _table_state(sf_dir, "documents")[1])
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
     wt = word_type_table(spark, sf_dir).select(
