@@ -32,6 +32,7 @@ from live_data_spark.plans import (
     accepted_values,
     not_null,
     relationships,
+    singular,
     unique,
 )
 
@@ -162,8 +163,50 @@ def register_models(project: Project) -> None:
         )
 
 
+# -- singular (SQL) test bodies ----------------------------------------------
+# dbt: these would be tests/*.sql files; each is a violation query — rows
+# returned are failures (reference dir dbt_sao/tests/ is declared empty;
+# plans.testing.SingularTest docstring has the full mapping).
+
+
+def _fact_margin_violations(project: Project) -> DataFrame:
+    """Fact rows selling below cost. The generator guarantees
+    cost = price × U(0.3, 0.5) (reference mock_data.py:31), so any
+    violation means a join brought the wrong product row. NULL
+    price/cost (orphan products) pass — the relationships test owns
+    those. One fact scan, no shuffle."""
+    return (
+        project.relation("fct_order_products")
+        .where(F.col("product_cost") > F.col("product_price"))
+        .select("order_product_id", "product_id", "product_price", "product_cost")
+    )
+
+
+def _fact_line_parity_violations(project: Project) -> DataFrame:
+    """Per-order line-count parity between the fact and its staging
+    grain: the two left joins in fct_order_products must neither fan
+    out (a dup key in products/orders multiplies lines) nor drop rows.
+    Two key-only aggregates + one full-outer join on order_id;
+    eqNullSafe so an order present on only one side is a violation,
+    not a NULL-swallowed pass."""
+    fct = (
+        project.relation("fct_order_products")
+        .groupBy("order_id")
+        .agg(F.count(F.lit(1)).alias("n_fact"))
+    )
+    stg = (
+        project.relation("stg_bike_shop__order_products")
+        .groupBy("order_id")
+        .agg(F.count(F.lit(1)).alias("n_staged"))
+    )
+    return fct.join(stg, "order_id", "full_outer").where(
+        ~F.col("n_fact").eqNullSafe(F.col("n_staged"))
+    )
+
+
 def register_tests(project: Project) -> None:
-    """All 20 declared data tests (SURVEY.md §5 inventory, 1:1)."""
+    """The complete 20-test reference inventory (SURVEY.md §5, 1:1) plus
+    two singular tests for the reference's declared-empty tests/ dir."""
     src = "source:bike_shop."
     tests = [
         # sources/_bike_shop.yml
@@ -191,6 +234,19 @@ def register_tests(project: Project) -> None:
         unique("fct_order_products", "order_product_id"),
         not_null("fct_order_products", "order_id"),          # :8-10
         not_null("fct_order_products", "customer_id"),       # :11-13
+        # singular (SQL) tests — the reference reserves dbt_sao/tests/
+        # (.gitkeep, declared empty) for these; two real ones its data
+        # supports, run through the same runner/severity path:
+        singular(
+            "assert_fact_margin_nonnegative",
+            "fct_order_products",
+            _fact_margin_violations,
+        ),
+        singular(
+            "assert_fact_conserves_order_lines",
+            "fct_order_products",
+            _fact_line_parity_violations,
+        ),
     ]
     for t in tests:
         project.add_test(t)

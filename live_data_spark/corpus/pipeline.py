@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 from live_data_spark.catalog import load, register
 from live_data_spark.operators.text import _STOPWORDS, fingerprint, normalized_text
 from live_data_spark.plans.registry import BuildContext, Project, SourceDef
-from live_data_spark.plans.testing import accepted_values, not_null, relationships, unique
+from live_data_spark.plans.testing import (
+    accepted_values,
+    not_null,
+    relationships,
+    singular,
+    unique,
+)
 
 LANGS = ("en", "de", "es", "fr", "zh")
 
@@ -146,9 +152,40 @@ def build_corpus_project(spark: SparkSession, warehouse_dir: str, sf_dir: str) -
         relationships("corpus_deduped", "doc_id", "corpus_clean", "doc_id"),
         relationships("corpus_selected", "doc_id", "corpus_deduped", "doc_id"),
         relationships("corpus_stats", "source", "corpus_deduped", "source"),
+        # singular test (dbt tests/*.sql analog): the materialized stats
+        # table must reconcile with a fresh rollup of corpus_deduped —
+        # a cross-model invariant no generic test shape can express
+        singular("assert_stats_reconcile", "corpus_stats", _stats_reconcile_violations),
     ):
         proj.add_test(t)
     return proj
+
+
+def _stats_reconcile_violations(proj: Project) -> DataFrame:
+    """Violations: (lang, source) groups where the materialized
+    corpus_stats disagrees with corpus_rollup recomputed over
+    corpus_deduped — catches a stale or partially-written stats table.
+    Both sides are (lang × source)-sized aggregates, so the full-outer
+    join is tiny regardless of corpus size; eqNullSafe makes a group
+    present on only one side a violation."""
+    rec = corpus_rollup(proj.relation("corpus_deduped")).select(
+        "lang",
+        "source",
+        F.col("n_docs").alias("r_docs"),
+        F.col("total_tokens").alias("r_tokens"),
+        F.col("avg_tokens").alias("r_avg"),
+    )
+    return (
+        proj.relation("corpus_stats")
+        .join(rec, ["lang", "source"], "full_outer")
+        .where(
+            ~(
+                F.col("n_docs").eqNullSafe(F.col("r_docs"))
+                & F.col("total_tokens").eqNullSafe(F.col("r_tokens"))
+                & F.col("avg_tokens").eqNullSafe(F.col("r_avg"))
+            )
+        )
+    )
 
 
 # -- oracle-checked catalog twin --------------------------------------------

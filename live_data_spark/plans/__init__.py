@@ -13,6 +13,7 @@ from live_data_spark.plans.testing import (
     accepted_values,
     not_null,
     relationships,
+    singular,
     unique,
 )
 
@@ -24,6 +25,7 @@ __all__ = [
     "not_null",
     "read_snapshot",
     "relationships",
+    "singular",
     "snapshot",
     "unique",
 ]

@@ -22,8 +22,8 @@ shuffle with map-side combine; violations short-circuit via ``limit`` in
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import TYPE_CHECKING
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -147,6 +147,42 @@ class AcceptedValuesTest(GenericTest):
         )
 
 
+@dataclass(frozen=True)
+class SingularTest(GenericTest):
+    """dbt singular (SQL) test: an arbitrary violation query as a test node.
+
+    Closes the reference's last declared-empty project dir
+    (``dbt_sao/tests/.gitkeep``): dbt compiles every ``tests/*.sql`` file
+    into a SELECT whose returned rows are the violations — the test passes
+    iff it returns 0 rows. Here the query body is any callable
+    ``Project -> DataFrame`` written against ``project.relation(...)`` /
+    ``project.read_source(...)`` (the ``ref()``/``source()`` analog), and
+    the node runs through the exact same ``run`` / severity /
+    store_failures path as the generic tests — one runner, two
+    declaration styles, like dbt.
+
+    ``model`` names the primary relation under test (drives
+    ``run_tests(select=...)`` and the manifest edge); ``column`` stays
+    ``""`` — a singular test asserts a cross-column or cross-model
+    invariant, not a column property.
+
+    Scale: the violation query is an ordinary lazy plan — whatever the
+    author writes is what runs, so the same plan-hygiene rules apply as
+    to models (the bundled examples are one scan + one key-only shuffle
+    each, and ``run``'s limited collect keeps a pathological failure from
+    materializing more than the sample).
+    """
+
+    builder: Optional[Callable[["Project"], DataFrame]] = field(
+        default=None, compare=False
+    )
+
+    def build(self, project: "Project") -> DataFrame:
+        if self.builder is None:
+            raise ValueError(f"singular test {self.test_name} declared without a query")
+        return self.builder(project)
+
+
 # -- declaration helpers (the YAML shorthand) --------------------------------
 
 
@@ -174,3 +210,13 @@ def accepted_values(model: str, column: str, values: list, severity: str = "erro
     return AcceptedValuesTest(
         f"accepted_values_{column}", model, column, params=tuple(values), severity=severity
     )
+
+
+def singular(
+    test_name: str,
+    model: str,
+    builder: Callable[["Project"], DataFrame],
+    severity: str = "error",
+) -> SingularTest:
+    """Declare a singular test (dbt: one ``tests/<test_name>.sql`` file)."""
+    return SingularTest(test_name, model, column="", builder=builder, severity=severity)

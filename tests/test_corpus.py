@@ -74,7 +74,7 @@ def test_manifest_exports_full_graph(spark, sf_dir, tmp_path):
     assert models["corpus_clean"]["partition_by"] == ["lang"]
     assert "stg_documents" in models["corpus_clean"]["depends_on"]
     assert "source:testdata.documents" in models["stg_documents"]["depends_on"]
-    assert len(m["tests"]) == 8
+    assert len(m["tests"]) == 9  # 8 generic + the assert_stats_reconcile singular
     assert any(s["table"] == "documents" for s in m["sources"])
 
 

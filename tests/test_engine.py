@@ -220,12 +220,19 @@ def test_cycle_detection(spark, tmp_path):
         proj.build("a")
 
 
-# -- the 20 declared data tests (SURVEY §5) ---------------------------------
+# -- the 20 declared data tests (SURVEY §5) + 2 singular --------------------
 
 
-def test_all_twenty_declared_tests(project):
+def test_all_declared_tests(project):
+    """The reference's 20 generic tests plus the two singular (SQL)
+    tests for its declared-empty dbt_sao/tests/ dir."""
     results = project.run_tests()
-    assert len(results) == 20
+    assert len(results) == 22
+    singular_res = {r.test_name: r for r in results if r.test_name.startswith("assert_")}
+    assert set(singular_res) == {
+        "assert_fact_margin_nonnegative",
+        "assert_fact_conserves_order_lines",
+    }
     failures = [str(r) for r in results if not r.passed]
     # §8.1: orders.customer_id unique is violated across appended batches
     # when a returning customer re-orders — the reference test would fail
