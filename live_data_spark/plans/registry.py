@@ -161,6 +161,14 @@ class Project:
         scale posture for fact tables (date partitions → partition
         pruning + dynamic partition pruning on date-keyed joins).
 
+        ``materialized="ephemeral"`` (dbt's fourth stock materialization)
+        never becomes a relation: ``ref()`` hands consumers the composed
+        lazy plan itself — no temp view, no write, nothing addressable by
+        name — and Catalyst inlines it into each downstream query, which
+        is dbt's compile-to-CTE behavior made literal. Use it for shared
+        intermediate logic too small or too hot to deserve a
+        materialization barrier.
+
         ``materialized="incremental"`` requires ``incremental_key``: on
         rebuild, only rows with key strictly above the stored high
         watermark append (dbt's incremental materialization with an
@@ -191,12 +199,23 @@ class Project:
             model_name = name or f.__name__
             if materialized not in (
                 "view",
+                "ephemeral",
                 "table",
                 "incremental",
                 "incremental_merge",
                 "table_bucketed",
             ):
                 raise ValueError(f"unknown materialization {materialized!r}")
+            if materialized == "ephemeral" and (partition_by or bucket_by or incremental_key):
+                raise ValueError(
+                    "ephemeral models never write — partition/bucket/incremental "
+                    "configs have no materialization to apply to"
+                )
+            if observe and materialized == "ephemeral":
+                raise ValueError(
+                    "observe metrics need a write to ride on — ephemeral models "
+                    "have no materialization action (use a data test instead)"
+                )
             if materialized in ("incremental", "incremental_merge") and not incremental_key:
                 raise ValueError(f"{materialized} materialization needs incremental_key")
             if materialized == "incremental_merge" and not unique_key:
@@ -264,6 +283,15 @@ class Project:
         finally:
             self._building.pop()
 
+        if mdef.materialized == "ephemeral":
+            # dbt ephemeral: the model is never a relation — every ref()
+            # interpolates it as a CTE into the consumer. Spark's laziness
+            # makes that literal: the memoized DataFrame IS the unexecuted
+            # subplan, and Catalyst inlines it into each downstream plan
+            # (no temp view, no warehouse path, nothing addressable by
+            # name in SQL — exactly dbt's contract).
+            self._built[name] = df
+            return df
         if mdef.materialized == "table":
             out = self._table_path(mdef)
             cols = df.columns
@@ -432,8 +460,15 @@ class Project:
         return order
 
     def run(self, select: list[str] | None = None) -> dict[str, DataFrame]:
-        """Build every (selected) model, upstream-first. Returns name → df."""
-        names = select or list(self._models)
+        """Build every (selected) model, upstream-first. Returns name → df.
+
+        Like ``dbt run``, ephemeral models are not run as nodes — they
+        build implicitly (lazily) inside whichever consumers ref them.
+        An explicit ``select`` can still name one to get its plan.
+        """
+        names = select or [
+            n for n, m in self._models.items() if m.materialized != "ephemeral"
+        ]
         return {n: self.build(n) for n in names}
 
     def run_tests(self, select: list[str] | None = None, store_failures: bool = False):
