@@ -27,6 +27,17 @@ discounted) plus per-query RATIOS to that anchor. Cross-round
 comparisons should read the `ratios` column: host load multiplies the
 anchor and the query alike, so the ratio cancels it to first order,
 while a genuine plan regression moves only its own ratio.
+
+Contamination is machine-readable (BENCH_r09 lesson — its +24% anchor
+drift needed a human dividing two files to spot): the JSON carries
+`host` (loadavg sampled BEFORE the JVM starts — the external-load
+signal; our own executors dominate loadavg once the run begins — plus
+cpu count) and `anchor_drift` (this run's anchor vs BOTH the newest
+committed BENCH_r*.json at the same SF — the round-over-round read — and
+the best/lowest committed anchor — the idle-host reference, since the
+newest round may itself have run loaded). `host_load_suspect` is true
+when the anchor ran >20% slower than the best committed anchor; absolute
+totals in such a run overstate cost and only the ratios should be read.
 """
 
 from __future__ import annotations
@@ -45,9 +56,32 @@ from live_data_spark.catalog import catalog  # noqa: E402
 from live_data_spark.session import get_spark  # noqa: E402
 
 
+def _committed_anchors(sf) -> list[tuple[str, float]]:
+    """(filename, anchor_sec) per committed BENCH_r*.json at the same SF,
+    round order. Two baselines matter: the NEWEST (the verdict-to-verdict
+    comparison) and the BEST/lowest (the idle-host reference — the newest
+    round may itself have run loaded, as BENCH_r09 did)."""
+    found = []
+    for f in sorted(Path(_REPO).glob("BENCH_r*.json")):
+        try:
+            d = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps bench.py's stdout line under "parsed"
+        d = d.get("parsed") or d
+        sec = (d.get("anchor") or {}).get("sec")
+        if d.get("sf") == sf and sec:
+            found.append((f.name, float(sec)))
+    return found
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # external-load sample BEFORE the JVM exists: once the run starts our
+    # own executor threads dominate loadavg, so only this pre-start sample
+    # measures the rest of the host
+    loadavg_pre = [round(v, 2) for v in os.getloadavg()]
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -91,6 +125,20 @@ def main() -> None:
     ratios = {n: round(t / anchor_sec, 2) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    anchors = _committed_anchors(sf_val)
+    drift = None
+    if anchors:
+        newest_name, newest_sec = anchors[-1]
+        best_name, best_sec = min(anchors, key=lambda kv: kv[1])
+        drift = {
+            "vs_newest": newest_name,
+            "newest_sec": newest_sec,
+            "factor": round(anchor_sec / newest_sec, 2),
+            "vs_best": best_name,
+            "best_sec": best_sec,
+            "factor_vs_best": round(anchor_sec / best_sec, 2),
+        }
     print(
         json.dumps(
             {
@@ -100,7 +148,14 @@ def main() -> None:
                 "queries": timings,
                 "anchor": {"query": anchor_name, "sec": round(anchor_sec, 3)},
                 "ratios": ratios,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host": {"loadavg_pre_jvm": loadavg_pre, "cpus": os.cpu_count()},
+                "anchor_drift": drift,
+                # >20% anchor slowdown vs the best committed anchor (the
+                # idle-host reference) = loaded host; absolute totals
+                # overstate, read the ratios. This rule applied to
+                # BENCH_r09 flags it: 0.242/0.195 = 1.24.
+                "host_load_suspect": bool(drift and drift["factor_vs_best"] > 1.2),
+                "sf": sf_val,
                 "runs_per_query": runs,
                 "timing": "min (steady-state; excludes one-time codegen compile); "
                 "ratios = query_sec / anchor_sec, host-load-invariant to first order",
