@@ -43,9 +43,12 @@ N_NEWTON = 8
 RIDGE = 1e-3  # on coefficients (not the intercept-only path): keeps X'SX+λI PD
 
 # session-lifetime memo of fitted weights keyed by (sf_dir, target, iters,
-# ridge): the fit is deterministic, so caching is exact, and the eval +
-# calibration entries share one training run instead of two
-_FIT_CACHE: dict[tuple, "np.ndarray"] = {}
+# ridge), storing (table_fingerprint, beta): the fit is deterministic, so
+# caching is exact, and the eval + calibration entries share one training
+# run instead of two. Fingerprint in the VALUE (compared, not keyed) so a
+# rewrite at the same sf_dir replaces the entry instead of leaking a dead
+# weight vector per rewrite for the driver's lifetime.
+_FIT_CACHE: dict[tuple, tuple[object, "np.ndarray"]] = {}
 
 
 def _partials_fn(beta: np.ndarray, target: int):
@@ -107,11 +110,14 @@ def logreg_fit(
     """
     from live_data_spark.catalog import _table_state
 
-    # fingerprint factor: a rewrite at the same sf_dir re-fits instead of
-    # serving pre-rewrite weights (uniform with the trainer/footer caches)
-    key = (sf_dir, target, iters, ridge, _table_state(sf_dir, "embeddings")[1])
-    if history is None and key in _FIT_CACHE:
-        return _FIT_CACHE[key]
+    # fingerprint check: a rewrite at the same sf_dir re-fits instead of
+    # serving pre-rewrite weights (uniform with the trainer/footer
+    # caches), and the re-fit evicts the stale entry
+    key = (sf_dir, target, iters, ridge)
+    fp = _table_state(sf_dir, "embeddings")[1]
+    hit = _FIT_CACHE.get(key)
+    if history is None and hit is not None and hit[0] == fp:
+        return hit[1]
     e = load(spark, sf_dir, "embeddings").select(
         as_double("embedding").alias("emb"), "label"
     )
@@ -141,7 +147,7 @@ def logreg_fit(
         # the history tracks (otherwise separable data still diverges).
         beta = beta + np.linalg.solve(A + reg, g - reg @ beta)
     if history is None:
-        _FIT_CACHE[key] = beta
+        _FIT_CACHE[key] = (fp, beta)
     return beta
 
 

@@ -38,7 +38,18 @@ def _open() -> F.Column:
 
 
 def _latest_generation(root: Path) -> int | None:
-    gens = sorted(int(p.name[2:]) for p in root.glob("_v*") if p.name[2:].isdigit())
+    """Newest COMMITTED generation. Only directories whose write finished
+    (Spark's ``_SUCCESS`` job-commit marker) count: a crash DURING a
+    generation write must leave the previous generation selected — a
+    name-only probe would pick the partial ``_v{n}`` and silently orphan
+    the real history (the 'previous generation intact' ACID-swap
+    contract; crash-replay then merges against corrupt state). The
+    in-flight temp dirs (``_v{n}.__tmp``) fail the isdigit gate too."""
+    gens = sorted(
+        int(p.name[2:])
+        for p in root.glob("_v*")
+        if p.name[2:].isdigit() and (p / "_SUCCESS").exists()
+    )
     return gens[-1] if gens else None
 
 
@@ -287,9 +298,24 @@ def snapshot_check(
 
 
 def _write_generation(spark: SparkSession, rootp: Path, new_state: DataFrame) -> DataFrame:
+    """Write the next generation crash-safely: to a temp dir first, then
+    ONE atomic rename — a reader (or a crash-replayed batch) can never
+    observe a half-written ``_v{n}``. ``_latest_generation``'s _SUCCESS
+    gate is the second line of defense (pre-fix partial dirs, non-POSIX
+    rename). Serves both the batch walk (``snapshot``/``snapshot_check``)
+    and the streaming twin (streaming/jobs.py::snapshot_scd2_stream)."""
+    import os
+    import shutil
+
     prev = _latest_generation(rootp)
-    out = rootp / f"_v{0 if prev is None else prev + 1}"
-    new_state.write.mode("overwrite").parquet(str(out))
+    n = 0 if prev is None else prev + 1
+    out, tmp = rootp / f"_v{n}", rootp / f"_v{n}.__tmp"
+    # clear leftovers from a crashed prior attempt: an existing _v{n}
+    # here is by definition UNCOMMITTED (a committed one would be prev)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    new_state.write.mode("overwrite").parquet(str(tmp))
+    os.rename(tmp, out)
     return spark.read.parquet(str(out))
 
 

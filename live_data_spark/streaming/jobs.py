@@ -905,12 +905,18 @@ def snapshot_scd2_stream(
     versions inside one batch are skipped, exactly as dbt skips source
     states between two scheduled runs.
 
-    Replay safety: a batch that crashed after its generation write
-    replays against the NEWER state — the timestamp merge is idempotent
-    (no ``updated_at`` advanced → everything carries), so the replayed
-    generation is byte-identical in CONTENT and the history it serves is
-    exactly-once even though the generation counter moved. Pinned in
-    tests/test_streaming.py by re-draining from a wiped checkpoint.
+    Replay safety, both crash windows: a batch that crashed AFTER its
+    generation write replays against the NEWER state — the timestamp
+    merge is idempotent (no ``updated_at`` advanced → everything
+    carries), so the replayed generation is byte-identical in CONTENT
+    and the history it serves is exactly-once even though the generation
+    counter moved. A crash DURING the write leaves only an uncommitted
+    temp/partial dir, which ``_latest_generation`` ignores (_SUCCESS
+    gate; the write itself is temp-dir + atomic rename) — the replay
+    merges against the intact previous generation, never corrupt state.
+    Pinned in tests/test_streaming.py by re-draining from a wiped
+    checkpoint, and in tests/test_snapshot.py with planted partial
+    generations.
 
     100 TB shape: per batch, ONE full-outer equi-join of the open rows
     against the (tiny) change batch — identical to the batch twin; the

@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""Scale-linearity replay: time catalog entries on m×-unioned corpora.
+
+Promotes the round-9 one-off recipe (SCALE.md "Measured scale-linearity")
+into a reusable tool: for each multiplier m it materializes a scaled
+sf-dir — the corpus tables unioned m× with remapped ids — then times the
+entry against it, and prints a wall-time table with observed slopes so a
+claimed-linear path gets a measured number instead of a paragraph.
+
+    python scripts/scale_replay.py dedup_minhash dedup_clusters \
+        [--mults 1,3,10] [--runs 2] [--sf-dir /root/testdata/sf0.1]
+
+Scaled-copy construction (the part that keeps the replay HONEST —
+naively unioning identical copies manufactures m-sized duplicate
+clusters and ~m² candidate pairs, which would misreport a linear
+banded path as super-linear):
+
+- documents: copy i>0 suffixes EVERY whitespace token with ``~i``.
+  Token/char-count distributions and the in-copy duplicate structure
+  are preserved exactly (equal texts stay equal within a copy), while
+  shingle sets across copies become disjoint — m× the corpus means m×
+  the clusters, not bigger ones. n_chars is recomputed; doc_id shifts
+  by i×(max_id+1).
+- embeddings: copy i>0 multiplies each dimension by a per-copy
+  Rademacher ±1 vector (sign from xxhash64(i, dim)). diag(±1) is an
+  orthogonal transform, so norms and ALL in-copy angles are exactly
+  preserved — each copy is an isometric image with identical near-dup
+  structure — while cross-copy cosines decorrelate. vec_id shifts by
+  i×(max_id+1).
+- every other table is symlinked unscaled.
+
+Timing discipline: per (entry, m), min over --runs noop-write
+executions (first run pays one-time codegen; min discounts it and load
+bursts — same rationale as bench.py). Slopes compare successive
+multipliers: slope = t[m2]/t[m1] vs the linear reference m2/m1; a slope
+persistently above linear is the super-linear red flag. Like the r9
+measurement this is evidence for SCALE.md prose, not a committed
+artifact — PERF_SF01's anchored ratios remain the regression tripwire.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SCALED_TABLES = ("documents", "embeddings")
+
+
+def _scaled_documents(spark, src: str, m: int):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(src)
+    offset = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = []
+    for i in range(m):
+        c = d
+        if i > 0:
+            salted = F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda w: F.concat(w, F.lit(f"~{i}")),
+                ),
+            )
+            c = c.withColumn("text", salted)
+        copies.append(
+            c.withColumn("doc_id", F.col("doc_id") + F.lit(i * offset)).withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _scaled_embeddings(spark, src: str, m: int):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(src)
+    offset = d.agg(F.max("vec_id")).collect()[0][0] + 1
+    def _signer(i: int):
+        def sign(v, j):
+            flip = F.lit(1.0) - 2.0 * F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)).cast(
+                "double"
+            )
+            return (v * flip).cast("float")
+
+        return sign
+
+    copies = []
+    for i in range(m):
+        c = d
+        if i > 0:
+            c = c.withColumn("embedding", F.transform(F.col("embedding"), _signer(i)))
+        copies.append(c.withColumn("vec_id", F.col("vec_id") + F.lit(i * offset)))
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.select("vec_id", "embedding", "label")
+
+
+def build_scaled_dir(spark, sf_dir: str, m: int, root: Path) -> str:
+    """Materialize the m× sf-dir: scaled corpus tables, symlinked rest."""
+    out = root / f"x{m}"
+    if m == 1:
+        return sf_dir  # identity — time against the real dir
+    out.mkdir(parents=True, exist_ok=True)
+    for f in Path(sf_dir).glob("*.parquet"):
+        if f.stem not in SCALED_TABLES:
+            dst = out / f.name
+            if not dst.exists():
+                os.symlink(f, dst)
+    _scaled_documents(spark, f"{sf_dir}/documents.parquet", m).write.mode(
+        "overwrite"
+    ).parquet(str(out / "documents.parquet"))
+    _scaled_embeddings(spark, f"{sf_dir}/embeddings.parquet", m).write.mode(
+        "overwrite"
+    ).parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def time_entry(spark, spec, sf_dir: str, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("entries", nargs="+", help="catalog entry names")
+    ap.add_argument("--mults", default="1,3,10", help="comma-separated multipliers")
+    ap.add_argument("--runs", type=int, default=2, help="timed runs per point (min kept)")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--keep", action="store_true", help="keep the scaled dirs on exit")
+    args = ap.parse_args()
+    mults = sorted({int(x) for x in args.mults.split(",")})
+
+    from live_data_spark.catalog import catalog
+    from live_data_spark.session import get_spark
+
+    cat = catalog()
+    unknown = [e for e in args.entries if e not in cat]
+    if unknown:
+        print(f"unknown entries: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="scale_replay")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = Path(tempfile.mkdtemp(prefix="scale_replay_"))
+    try:
+        dirs = {m: build_scaled_dir(spark, args.sf_dir, m, root) for m in mults}
+        results: dict[str, dict[int, float]] = {}
+        for name in args.entries:
+            results[name] = {}
+            # one untimed run at the smallest multiplier: session-level
+            # warmup (codegen, worker pools) would otherwise land entirely
+            # on the first timed point and flatten the measured slope
+            time_entry(spark, cat[name], dirs[mults[0]], 1)
+            for m in mults:
+                sec = time_entry(spark, cat[name], dirs[m], args.runs)
+                results[name][m] = round(sec, 2)
+                print(f"  {name} x{m}: {sec:.2f}s", file=sys.stderr)
+
+        # markdown table for SCALE.md + one JSON line for tooling
+        hdr = " | ".join(f"{m}×" for m in mults)
+        slope_hdr = " | ".join(
+            f"{b}×/{a}× (lin {b / a:.1f})" for a, b in zip(mults, mults[1:])
+        )
+        print(f"| entry | {hdr} | {slope_hdr} |")
+        print("|" + "---|" * (1 + len(mults) + len(mults) - 1))
+        for name, ts in results.items():
+            cells = " | ".join(f"{ts[m]:.2f}s" for m in mults)
+            slopes = " | ".join(
+                f"{ts[b] / ts[a]:.2f}" for a, b in zip(mults, mults[1:])
+            )
+            print(f"| {name} | {cells} | {slopes} |")
+        print(json.dumps({"sf_dir": args.sf_dir, "mults": mults, "runs": args.runs, "sec": results}))
+    finally:
+        if args.keep:
+            print(f"scaled dirs kept at {root}", file=sys.stderr)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

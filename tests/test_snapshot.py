@@ -204,9 +204,51 @@ def test_snapshot_check_storage_walk(spark, tmp_path):
 
     again = snapshot_check(spark, b2, root, "id", ["status"], T3, "timestamp")
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, s2.collect()))
-    # three generations on disk, earlier ones untouched
+    # three generations on disk (counted as directories, not rows —
+    # the latest state ALSO having 3 rows is coincidental), earlier
+    # generations untouched, no leftover temp dirs from the atomic swap
+    gens = sorted(p.name for p in (tmp_path / "snap_check").glob("_v*"))
+    assert gens == ["_v0", "_v1", "_v2"]
     assert read_snapshot(spark, root).count() == 3
     assert {(r["id"], r[VALID_TO]) for r in spark.read.parquet(f"{root}/_v0").collect()} == {
         (1, None),
         (2, None),
     }
+
+
+def test_crashed_generation_write_is_ignored_and_healed(spark, tmp_path):
+    """A crash DURING a generation write (partial _v{n}, no _SUCCESS; or
+    an abandoned .__tmp dir) must neither be selected as state nor block
+    the next run — the previous generation stays the ACID-swap truth and
+    the next write replaces the debris (ADVICE r9 medium)."""
+    from pathlib import Path
+
+    from live_data_spark.plans.snapshot import _latest_generation
+
+    root = tmp_path / "snap_crash"
+    s1 = snapshot(spark, _src(spark, [(1, "new", T1)]), str(root), "id", "updated_at")
+    assert s1.count() == 1
+
+    # plant both crash artifacts: a partial _v1 (files but no _SUCCESS)
+    # and an in-flight temp dir from an interrupted atomic swap
+    partial = root / "_v1"
+    partial.mkdir()
+    (partial / "part-00000.parquet").write_bytes(b"\x00corrupt")
+    (root / "_v1.__tmp").mkdir()
+
+    # reads resolve to the committed generation, not the debris
+    assert _latest_generation(Path(root)) == 0
+    assert read_snapshot(spark, str(root)).count() == 1
+
+    # the replayed run merges against the intact _v0 and REPLACES the
+    # partial _v1 with a committed one
+    s2 = snapshot(
+        spark, _src(spark, [(1, "shipped", T2)]), str(root), "id", "updated_at"
+    )
+    assert {(r["id"], r["status"], r[VALID_TO]) for r in s2.collect()} == {
+        (1, "new", T2),
+        (1, "shipped", None),
+    }
+    assert _latest_generation(Path(root)) == 1
+    assert (root / "_v1" / "_SUCCESS").exists()
+    assert not (root / "_v1.__tmp").exists()
