@@ -418,10 +418,17 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_neardup_pairs``'s semantics (same output schema, same
     oracle).
 
-    Shuffle cost is O(n · tables · probes) rows — LINEAR in n — versus
-    the exact twin's O(n²/block) replication; candidates re-score with
-    true cosine so precision is exactly 1, and any hash-mismatch risk is
-    confined to recall. Parameters here (8 tables, radius-2 multi-probe)
+    Shuffle cost is O(n · tables · probes) rows — QUASI-linear in n:
+    plane count p grows with log2(n) to hold bucket occupancy constant,
+    and the radius-2 probe set is 1 + p + p(p−1)/2 = O(p²), so the
+    total is O(n · log²n) versus the exact twin's O(n²/block)
+    replication. Measured (scripts/scale_replay.py, 10× corpus at
+    sf0.1, idle host): 12.8× cost at 10× rows against the n·probes(p)
+    model's 19× ceiling — the probe set grew 29 → 56 as p went 7 → 10,
+    and the n² term is verifiably absent (the exact twin would have
+    paid 100×). Candidates re-score with true cosine so
+    precision is exactly 1, and any hash-mismatch risk is confined to
+    recall. Parameters here (8 tables, radius-2 multi-probe)
     are sized for FULL recall of the 0.4-cosine band on uniform-random
     embeddings — the adversarial worst case for angular LSH (θ ≈ 66°,
     per-plane agreement ~0.63). A production corpus near-dups at ≥0.9
