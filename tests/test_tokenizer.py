@@ -137,10 +137,16 @@ def test_bpe_train_cache_tracks_on_disk_state(spark, tmp_path):
             [(1, text, "en", "s")], "doc_id long, text string, lang string, source string"
         ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
 
+    from live_data_spark.operators.tokenizer import _TRAIN_CACHE
+
     write("abab abab cdcd")
+    n0 = len(_TRAIN_CACHE)
     m1 = bpe_train(spark, sf, n_merges=2)
     assert bpe_train(spark, sf, n_merges=2) is m1  # same state: memo hit
     time.sleep(0.02)  # mtime_ns tick so the fingerprint must move
     write("xyxy xyxy qrqr")
     m2 = bpe_train(spark, sf, n_merges=2)
     assert m2 != m1 and all("a" not in l + r for l, r, _ in m2)
+    # the retrain REPLACED the stale entry (fingerprint lives in the
+    # value, not the key) — no dead entry leaks per rewrite (ADVICE r9)
+    assert len(_TRAIN_CACHE) == n0 + 1
