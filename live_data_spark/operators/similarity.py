@@ -451,8 +451,32 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n ≈ 10⁵ at 64 dims. The entry is benched at this SF precisely to
     keep its cost visible, not because small n is its regime.
     """
+    return neardup_lsh_pairs(spark, sf_dir)
+
+
+def neardup_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_tables: int = _NEARDUP_LSH_TABLES,
+    radius: int = _NEARDUP_LSH_RADIUS,
+) -> DataFrame:
+    """The parameterized SRP-LSH near-dup core — ``embedding_neardup_lsh``
+    with its defaults, and the PRODUCTION TUNE-DOWN LEVER as executed
+    code: ``radius``/``n_tables`` set the recall-vs-cost point for the
+    similarity band actually being hunted. The catalog entry's
+    adversarial 0.4-band config is (8 tables, radius 2) — probe set
+    1 + p + p(p−1)/2; a real corpus near-dupping at ≥0.7 cosine runs
+    (4 tables, radius 1) — probe set 1 + p, cutting the O(n·log²n)
+    shuffle's log² factor to log while holding recall (pinned against
+    the exact twin in tests/test_similarity.py's production-band arm).
+    ``radius`` ∈ {0, 1, 2}: 0 = own bucket only (the ann_srp_lsh
+    posture, recall from table count alone).
+    """
     import math
 
+    if radius not in (0, 1, 2):
+        raise ValueError("radius must be 0, 1, or 2")
     e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
     # plane count from parquet-footer metadata, NOT an eager e.count():
     # building this plan must not run a Spark job (was the one eager
@@ -465,22 +489,30 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "emb",
         F.posexplode(
-            srp_buckets_udf(n_dims, n_planes, n_tables=_NEARDUP_LSH_TABLES)(F.col("emb"))
+            srp_buckets_udf(n_dims, n_planes, n_tables=n_tables)(F.col("emb"))
         ).alias("table_id", "bucket"),
     )
 
-    # probe side: every bucket within Hamming distance ≤ 2 of the row's own.
-    # Candidates travel as BARE ID PAIRS (16 bytes) through the bucket join
-    # and the dedup — embeddings re-attach only to the ~|output|-sized
-    # surviving pair set. Attaching both vectors inside the bucket join
-    # would multiply the shuffle by the vector width (measured 6× slower
-    # end-to-end at sf0.1).
-    flips = [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-    flips2 = [
-        F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-        for i in range(n_planes)
-        for j in range(i + 1, n_planes)
-    ]
+    # probe side: every bucket within Hamming distance ≤ radius of the
+    # row's own. Candidates travel as BARE ID PAIRS (16 bytes) through
+    # the bucket join and the dedup — embeddings re-attach only to the
+    # ~|output|-sized surviving pair set. Attaching both vectors inside
+    # the bucket join would multiply the shuffle by the vector width
+    # (measured 6× slower end-to-end at sf0.1).
+    flips = (
+        [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        if radius >= 1
+        else []
+    )
+    flips2 = (
+        [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+        if radius >= 2
+        else []
+    )
     probes = F.array(F.col("bucket"), *flips, *flips2)
     probing = banded.select(
         F.col("vec_id").alias("vec_id_1"),
@@ -506,9 +538,20 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_pandas(F.col("emb_1"), F.col("emb_2")).alias("cos"),
     )
     return (
-        scored.where(F.col("cos") >= 0.4)
+        scored.where(F.col("cos") >= threshold)
         .select("vec_id_1", "vec_id_2", F.round("cos", 4).alias("cosine_sim"))
     )
+
+
+def neardup_lsh_production_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented production configuration as a named, sweep-visible
+    plan: (4 tables, radius 1, threshold 0.7) — a real corpus near-dups
+    at high cosine, where per-plane agreement is high enough that the
+    radius-1 probe set (1 + p instead of 1 + p + p(p−1)/2) holds recall
+    while cutting the shuffle's log² factor to log. Recall pinned
+    against the exact twin in tests/test_similarity.py; hygiene/empty
+    sweeps pick this up via conftest.NON_CATALOG_HELPERS."""
+    return neardup_lsh_pairs(spark, sf_dir, threshold=0.7, n_tables=4, radius=1)
 
 
 # ---------------------------------------------------------------------------

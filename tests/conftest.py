@@ -48,6 +48,7 @@ NON_CATALOG_HELPERS = [
     ("triangles_degree_oriented", "live_data_spark.operators.graph"),
     ("source_cap_hash_rate", "live_data_spark.operators.curation"),
     ("html_strip_stats_dom", "live_data_spark.operators.text"),
+    ("neardup_lsh_production_band", "live_data_spark.operators.similarity"),
 ]
 
 

@@ -135,6 +135,55 @@ def test_neardup_lsh_matches_exact_twin(spark, sf_dir):
     assert len(exact) > 0  # the 0.4 band is non-empty on this testdata
 
 
+def test_neardup_lsh_production_band_recall(spark, tmp_path):
+    """The documented tune-down lever, executed: at the ≥0.7 production
+    band, (4 tables, radius 1) must still recover ALL planted near-dups
+    — high-cosine pairs agree on most sign bits (cos 0.97 → per-plane
+    agreement ≈ 0.92, per-table miss ≈ 3%, 4-table miss ≈ 1e-6), so the
+    radius-1 probe set (1 + p buckets instead of 1 + p + p(p−1)/2)
+    suffices at a log-factor shuffle instead of log². Planted case
+    (house style — the testdata's uniform-random embeddings top out
+    near cosine 0.5, so the production band must be planted): 400
+    seeded background vectors (pairwise cosine ≪ 0.7) + 25 planted
+    pairs at cosine ≈ 0.97. Precision stays 1 by construction
+    (true-cosine re-score) — asserted by exact set equality."""
+    import numpy as np
+
+    from live_data_spark.operators.similarity import neardup_lsh_production_band
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(400, 64)
+    planted = base[:25] + 0.25 * rng.randn(25, 64)  # cos ≈ 0.97 with base[i]
+    vecs = np.vstack([base, planted]).astype("float32")
+    rows = [(int(i), v.tolist(), int(i % 3)) for i, v in enumerate(vecs)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    # ground truth from numpy: every pair at cosine >= 0.7
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sim = unit @ unit.T
+    ii, jj = np.triu_indices(len(vecs), k=1)
+    truth = {(int(a), int(b)) for a, b in zip(ii[sim[ii, jj] >= 0.7], jj[sim[ii, jj] >= 0.7])}
+    assert len(truth) >= 25, "planting failed"
+
+    got = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in neardup_lsh_production_band(spark, sf).collect()
+    }
+    assert got == truth  # full recall AND precision at the production band
+
+
+def test_neardup_lsh_radius_validation():
+    import pytest as _pytest
+
+    from live_data_spark.operators.similarity import neardup_lsh_pairs
+
+    with _pytest.raises(ValueError, match="radius"):
+        neardup_lsh_pairs(None, "/nonexistent", radius=3)
+
+
 def test_neardup_pairs_symmetric_threshold(spark, sf_dir):
     out = catalog()["embedding_neardup_pairs"].spark(spark, sf_dir)
     rows = out.collect()
