@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from live_data_spark.catalog import load, register
-from live_data_spark.operators.similarity import as_double
+from live_data_spark.operators.similarity import as_double, pin_for_iteration
 
 TARGET_LABEL = 0  # positive class for the catalog entry's binary task
 N_NEWTON = 8
@@ -118,34 +118,42 @@ def logreg_fit(
     hit = _FIT_CACHE.get(key)
     if history is None and hit is not None and hit[0] == fp:
         return hit[1]
-    e = load(spark, sf_dir, "embeddings").select(
-        as_double("embedding").alias("emb"), "label"
+    # pinned across rounds: each Newton round is one Arrow partials pass
+    # over this frame — without the pin an ``iters``-round fit re-scans
+    # the source ``iters`` times (see pin_for_iteration's scale notes)
+    e = pin_for_iteration(
+        load(spark, sf_dir, "embeddings").select(
+            as_double("embedding").alias("emb"), "label"
+        )
     )
-    first = e.first()
-    if first is None:  # empty corpus: no fit — callers emit empty results
-        return None
-    d1 = len(first["emb"]) + 1
-    beta = np.zeros(d1)
-    reg = ridge * np.eye(d1)
-    reg[0, 0] = 0.0  # never shrink the intercept
-    for _ in range(iters):
-        parts = e.mapInPandas(
-            _partials_fn(beta, target),
-            schema="a array<double>, g array<double>, n long, loss double",
-        ).collect()
-        A = np.zeros((d1, d1))
-        g = np.zeros(d1)
-        loss = 0.0
-        for r in parts:
-            A += np.array(r["a"], dtype=np.float64).reshape(d1, d1)
-            g += np.array(r["g"], dtype=np.float64)
-            loss += r["loss"]
-        if history is not None:
-            history.append(loss + 0.5 * ridge * float(beta[1:] @ beta[1:]))
-        # Newton step on the PENALIZED objective: g already holds X'(y−p);
-        # subtract the ridge gradient so the step targets the same loss
-        # the history tracks (otherwise separable data still diverges).
-        beta = beta + np.linalg.solve(A + reg, g - reg @ beta)
+    try:
+        first = e.first()
+        if first is None:  # empty corpus: no fit — callers emit empty results
+            return None
+        d1 = len(first["emb"]) + 1
+        beta = np.zeros(d1)
+        reg = ridge * np.eye(d1)
+        reg[0, 0] = 0.0  # never shrink the intercept
+        for _ in range(iters):
+            parts = e.mapInPandas(
+                _partials_fn(beta, target),
+                schema="a array<double>, g array<double>, n long, loss double",
+            ).collect()
+            A = np.zeros((d1, d1))
+            g = np.zeros(d1)
+            loss = 0.0
+            for r in parts:
+                A += np.array(r["a"], dtype=np.float64).reshape(d1, d1)
+                g += np.array(r["g"], dtype=np.float64)
+                loss += r["loss"]
+            if history is not None:
+                history.append(loss + 0.5 * ridge * float(beta[1:] @ beta[1:]))
+            # Newton step on the PENALIZED objective: g already holds X'(y−p);
+            # subtract the ridge gradient so the step targets the same loss
+            # the history tracks (otherwise separable data still diverges).
+            beta = beta + np.linalg.solve(A + reg, g - reg @ beta)
+    finally:
+        e.unpersist()
     if history is None:
         _FIT_CACHE[key] = (fp, beta)
     return beta

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from live_data_spark.catalog import load, register
-from live_data_spark.operators.similarity import as_double
+from live_data_spark.operators.similarity import as_double, pin_for_iteration
 
 K_CLUSTERS = 8
 N_ITERS = 5
@@ -126,9 +126,21 @@ def kmeans_fit(
     objective = Σ_j dot(vsum_j, c_j) = Σ_i |emb_i|·cos(emb_i, c_assigned)
     — the weighted spherical objective both Lloyd steps maximize, so it
     is non-decreasing round over round (pinned in tests)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    e = pin_for_iteration(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("emb")
+        )
     )
+    try:
+        return _fit_rounds(e, k, iters, history)
+    finally:
+        e.unpersist()
+
+
+def _fit_rounds(e: DataFrame, k: int, iters: int, history: list | None) -> np.ndarray:
+    """The Lloyd loop proper, over an already-pinned frame: ``iters``
+    rounds of one Arrow partial-sums pass each, centroid state merged
+    driver-side (see kmeans_fit docstring for the aggregate contract)."""
     centroids = _init_centroids(e, k)
     if centroids.size == 0:  # empty corpus: nothing to fit
         return centroids

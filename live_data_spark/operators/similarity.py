@@ -35,6 +35,37 @@ def as_double(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def pin_for_iteration(df: DataFrame) -> DataFrame:
+    """Persist a frame an iterative fit will scan once per round
+    (k-means Lloyd rounds, logreg Newton rounds). Caller unpersists
+    after its loop (``try/finally``).
+
+    The scale defect this closes: each round's
+    ``mapInPandas(...).collect()`` re-executes the frame's full lineage,
+    so an ``iters``-round fit reads the source table ``iters`` times. At
+    100 TB that is the difference between 12 full reads and 1 read + 11
+    executor-local block re-reads — the posture MLlib's own iterative
+    trainers use (they warn when the input is uncached). MEMORY_AND_DISK,
+    so memory pressure spills instead of failing. Measured at sf0.1
+    (best-of-4, one JVM, variants swapped in-process): embedding_kmeans
+    2.38 → 2.15 s, semdedup_pairs level — modest locally because the
+    whole table is one ~26 MB page-cached split, but the read-per-round
+    multiplier is what matters at real scale.
+
+    Deliberately NOT a repartition floor: the sf0.1 parquet is a single
+    split, so every Lloyd pass runs as one task — yet repartitioning up
+    to the core count measured SLOWER than leaving it alone (3.14 s vs
+    2.38 s baseline: the added shuffle plus 32 tasks' overhead exceed
+    any gain when one numpy pass over the block is already ~10 ms). At
+    production scale the input has splits ≫ cores and a floor would
+    never trigger; the only regime where the scan is under-parallel is
+    exactly the regime where the per-round compute is trivial.
+    """
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
