@@ -27,6 +27,22 @@ banded path as super-linear):
   preserved — each copy is an isometric image with identical near-dup
   structure — while cross-copy cosines decorrelate. vec_id shifts by
   i×(max_id+1).
+- events (``--tables`` opt-in): copy i>0 shifts event_id and user_id
+  by i×(max+1); ts/type/value/props unchanged — per-user temporal
+  structure (sessions, interarrival gaps) is preserved exactly and
+  copies' user populations are disjoint, so m× corpus means m× the
+  sessions, not longer ones. Time-bucket aggregates see m× rows in the
+  SAME buckets (more users, same hours) — fair for growth.
+- lineitem / orders / part (``--tables`` opt-in, scaled as a UNIT with
+  shared key offsets so referential integrity holds): copy i>0 shifts
+  l_orderkey/o_orderkey by i×(max_orderkey+1) and l_partkey/p_partkey
+  by i×(max_partkey+1); o_custkey and l_suppkey stay UNSHIFTED (the
+  unscaled customer/supplier dims absorb m× the volume — real growth).
+  The co-purchase graph becomes m disjoint isomorphic components: m×
+  nodes and edges at the same diameter, so iterative graph entries
+  scale honestly. CAVEAT: text columns (p_name etc.) are NOT salted —
+  do not replay name-similarity entries (fuzzy_part_names) with part
+  scaled, or identical names manufacture m² fuzzy pairs.
 - every other table is symlinked unscaled.
 
 Timing discipline: per (entry, m), min over --runs noop-write
@@ -53,7 +69,10 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-SCALED_TABLES = ("documents", "embeddings")
+DEFAULT_TABLES = "documents,embeddings"
+# lineitem/orders/part share key offsets — requesting any of them scales
+# all three so foreign keys stay intact (see module docstring)
+TPCH_UNIT = ("lineitem", "orders", "part")
 
 
 def _scaled_documents(spark, src: str, m: int):
@@ -110,23 +129,76 @@ def _scaled_embeddings(spark, src: str, m: int):
     return out.select("vec_id", "embedding", "label")
 
 
-def build_scaled_dir(spark, sf_dir: str, m: int, root: Path) -> str:
-    """Materialize the m× sf-dir: scaled corpus tables, symlinked rest."""
+def _max_key(spark, sf_dir: str, table: str, col: str) -> int:
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").agg(F.max(col)).collect()[0][0]
+        + 1
+    )
+
+
+def _scaled_shifted(spark, src: str, m: int, shifts: dict[str, int]):
+    """m unioned copies of ``src``; copy i>0 adds i×offset to each named
+    key column, everything else verbatim (structure-preserving for key
+    domains: copies are disjoint isomorphic images)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(src)
+    copies = [d]
+    for i in range(1, m):
+        c = d
+        for col, off in shifts.items():
+            c = c.withColumn(col, F.col(col) + F.lit(i * off))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.select(*d.columns)
+
+
+def build_scaled_dir(spark, sf_dir: str, m: int, root: Path, tables: set[str]) -> str:
+    """Materialize the m× sf-dir: scaled tables per request, symlinked rest."""
     out = root / f"x{m}"
     if m == 1:
         return sf_dir  # identity — time against the real dir
+    if tables & set(TPCH_UNIT):
+        tables = tables | set(TPCH_UNIT)  # FK unit: all or none
     out.mkdir(parents=True, exist_ok=True)
     for f in Path(sf_dir).glob("*.parquet"):
-        if f.stem not in SCALED_TABLES:
+        if f.stem not in tables:
             dst = out / f.name
             if not dst.exists():
                 os.symlink(f, dst)
-    _scaled_documents(spark, f"{sf_dir}/documents.parquet", m).write.mode(
-        "overwrite"
-    ).parquet(str(out / "documents.parquet"))
-    _scaled_embeddings(spark, f"{sf_dir}/embeddings.parquet", m).write.mode(
-        "overwrite"
-    ).parquet(str(out / "embeddings.parquet"))
+
+    if "documents" in tables:
+        _scaled_documents(spark, f"{sf_dir}/documents.parquet", m).write.mode(
+            "overwrite"
+        ).parquet(str(out / "documents.parquet"))
+    if "embeddings" in tables:
+        _scaled_embeddings(spark, f"{sf_dir}/embeddings.parquet", m).write.mode(
+            "overwrite"
+        ).parquet(str(out / "embeddings.parquet"))
+    if "events" in tables:
+        ev_shifts = {
+            "event_id": _max_key(spark, sf_dir, "events", "event_id"),
+            "user_id": _max_key(spark, sf_dir, "events", "user_id"),
+        }
+        _scaled_shifted(spark, f"{sf_dir}/events.parquet", m, ev_shifts).write.mode(
+            "overwrite"
+        ).parquet(str(out / "events.parquet"))
+    if set(TPCH_UNIT) & tables:
+        order_off = _max_key(spark, sf_dir, "orders", "o_orderkey")
+        part_off = _max_key(spark, sf_dir, "part", "p_partkey")
+        unit_shifts = {
+            "lineitem": {"l_orderkey": order_off, "l_partkey": part_off},
+            "orders": {"o_orderkey": order_off},
+            "part": {"p_partkey": part_off},
+        }
+        for t, shifts in unit_shifts.items():
+            _scaled_shifted(spark, f"{sf_dir}/{t}.parquet", m, shifts).write.mode(
+                "overwrite"
+            ).parquet(str(out / f"{t}.parquet"))
     return str(out)
 
 
@@ -147,9 +219,21 @@ def main() -> int:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument(
+        "--tables",
+        default=DEFAULT_TABLES,
+        help="comma-separated tables to scale (documents,embeddings,events,"
+        "lineitem,orders,part — the TPC-H three scale as a unit); the rest "
+        "symlink unscaled",
+    )
     ap.add_argument("--keep", action="store_true", help="keep the scaled dirs on exit")
     args = ap.parse_args()
     mults = sorted({int(x) for x in args.mults.split(",")})
+    tables = {t.strip() for t in args.tables.split(",") if t.strip()}
+    known = {"documents", "embeddings", "events", *TPCH_UNIT}
+    if tables - known:
+        print(f"unknown tables: {sorted(tables - known)}", file=sys.stderr)
+        return 2
 
     from live_data_spark.catalog import catalog
     from live_data_spark.session import get_spark
@@ -165,7 +249,7 @@ def main() -> int:
 
     root = Path(tempfile.mkdtemp(prefix="scale_replay_"))
     try:
-        dirs = {m: build_scaled_dir(spark, args.sf_dir, m, root) for m in mults}
+        dirs = {m: build_scaled_dir(spark, args.sf_dir, m, root, tables) for m in mults}
         results: dict[str, dict[int, float]] = {}
         for name in args.entries:
             results[name] = {}
@@ -191,7 +275,17 @@ def main() -> int:
                 f"{ts[b] / ts[a]:.2f}" for a, b in zip(mults, mults[1:])
             )
             print(f"| {name} | {cells} | {slopes} |")
-        print(json.dumps({"sf_dir": args.sf_dir, "mults": mults, "runs": args.runs, "sec": results}))
+        print(
+            json.dumps(
+                {
+                    "sf_dir": args.sf_dir,
+                    "mults": mults,
+                    "runs": args.runs,
+                    "tables": sorted(tables),
+                    "sec": results,
+                }
+            )
+        )
     finally:
         if args.keep:
             print(f"scaled dirs kept at {root}", file=sys.stderr)
