@@ -133,3 +133,20 @@ def test_semdedup_sf01_precision_and_recall_floor(spark):
     assert sem <= exact  # precision 1.0
     assert exact, "exact twin returned no pairs at sf0.1 — threshold drifted"
     assert len(sem) / len(exact) >= 0.5, (len(sem), len(exact))
+
+
+def test_fits_leave_no_persisted_blocks(spark, sf_dir):
+    """pin_for_iteration's contract has two halves: the fit persists its
+    training frame for the loop, and the try/finally UNPERSISTS it — a
+    leak here pins executor storage per fit call for the session's
+    lifetime (sweeps call hundreds of entries in one session)."""
+    from live_data_spark.operators.classifier import logreg_fit
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    kmeans_fit(spark, sf_dir)
+    # force a fresh logreg run (memo-independent): history sidesteps the cache
+    logreg_fit(spark, sf_dir, iters=2, history=[])
+    assert n_cached() == before
