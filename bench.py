@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -62,7 +63,14 @@ def _committed_anchors(sf) -> list[tuple[str, float]]:
     comparison) and the BEST/lowest (the idle-host reference — the newest
     round may itself have run loaded, as BENCH_r09 did)."""
     found = []
-    for f in sorted(Path(_REPO).glob("BENCH_r*.json")):
+    # numeric round order, not filename order: lexicographic sorting puts
+    # BENCH_r100 before BENCH_r99, pinning "newest" to the wrong round
+    # from r100 on (and misordering any unpadded BENCH_r9.json today)
+    def _round_no(p: Path) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p.name)
+        return int(m.group(1)) if m else -1
+
+    for f in sorted(Path(_REPO).glob("BENCH_r*.json"), key=_round_no):
         try:
             d = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):
@@ -127,7 +135,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     anchors = _committed_anchors(sf_val)
-    drift = None
+    drift, suspect = None, False
     if anchors:
         newest_name, newest_sec = anchors[-1]
         best_name, best_sec = min(anchors, key=lambda kv: kv[1])
@@ -139,6 +147,9 @@ def main() -> None:
             "best_sec": best_sec,
             "factor_vs_best": round(anchor_sec / best_sec, 2),
         }
+        # flag on the UNROUNDED ratio: a true 1.204 rounds to 1.20 and
+        # would otherwise slip under the > 1.2 rule it violates
+        suspect = anchor_sec / best_sec > 1.2
     print(
         json.dumps(
             {
@@ -154,7 +165,7 @@ def main() -> None:
                 # idle-host reference) = loaded host; absolute totals
                 # overstate, read the ratios. This rule applied to
                 # BENCH_r09 flags it: 0.242/0.195 = 1.24.
-                "host_load_suspect": bool(drift and drift["factor_vs_best"] > 1.2),
+                "host_load_suspect": bool(drift and suspect),
                 "sf": sf_val,
                 "runs_per_query": runs,
                 "timing": "min (steady-state; excludes one-time codegen compile); "

@@ -186,21 +186,30 @@ def _fact_line_parity_violations(project: Project) -> DataFrame:
     """Per-order line-count parity between the fact and its staging
     grain: the two left joins in fct_order_products must neither fan
     out (a dup key in products/orders multiplies lines) nor drop rows.
-    Two key-only aggregates + one full-outer join on order_id;
-    eqNullSafe so an order present on only one side is a violation,
-    not a NULL-swallowed pass."""
+    Two key-only aggregates + one full-outer join on order_id. The join
+    key compares eqNullSafe too: a NULL order_id forms its own group on
+    BOTH sides (the not_null test owns flagging it), and a plain
+    equi-join can never match NULL to NULL — the two NULL-key groups
+    would arrive as separate half-rows and report spurious parity
+    violations even when the line counts agree exactly."""
     fct = (
         project.relation("fct_order_products")
-        .groupBy("order_id")
+        .groupBy(F.col("order_id").alias("f_order_id"))
         .agg(F.count(F.lit(1)).alias("n_fact"))
     )
     stg = (
         project.relation("stg_bike_shop__order_products")
-        .groupBy("order_id")
+        .groupBy(F.col("order_id").alias("s_order_id"))
         .agg(F.count(F.lit(1)).alias("n_staged"))
     )
-    return fct.join(stg, "order_id", "full_outer").where(
-        ~F.col("n_fact").eqNullSafe(F.col("n_staged"))
+    return (
+        fct.join(stg, F.col("f_order_id").eqNullSafe(F.col("s_order_id")), "full_outer")
+        .where(~F.col("n_fact").eqNullSafe(F.col("n_staged")))
+        .select(
+            F.coalesce(F.col("f_order_id"), F.col("s_order_id")).alias("order_id"),
+            "n_fact",
+            "n_staged",
+        )
     )
 
 

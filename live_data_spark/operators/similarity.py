@@ -576,12 +576,25 @@ def neardup_lsh_pairs(
 
 def neardup_lsh_production_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented production configuration as a named, sweep-visible
-    plan: (4 tables, radius 1, threshold 0.7) — a real corpus near-dups
-    at high cosine, where per-plane agreement is high enough that the
-    radius-1 probe set (1 + p instead of 1 + p + p(p−1)/2) holds recall
-    while cutting the shuffle's log² factor to log. Recall pinned
-    against the exact twin in tests/test_similarity.py; hygiene/empty
-    sweeps pick this up via conftest.NON_CATALOG_HELPERS."""
+    plan: (4 tables, radius 1, threshold 0.7) — sized for hunting TRUE
+    NEAR-DUPS (cosine ≳ 0.9), where per-plane agreement is high enough
+    that the radius-1 probe set (1 + p instead of 1 + p + p(p−1)/2)
+    holds recall while cutting the shuffle's log² factor to log.
+
+    Recall is band-dependent and the contract is quantitative, not
+    flat: per-pair retention is 1 − (1 − p_t)^4 with p_t = P(Hamming ≤ 1
+    across p planes) under per-plane flip q = θ/π. At cosine 0.97
+    (θ≈14°, q≈0.08) retention is ≈1 even at p = 10 — the regime this
+    config is FOR, pinned exact-set-equal against a numpy ground truth
+    in tests/test_similarity.py. Near the 0.7 scoring threshold itself
+    (θ≈46°, q≈0.25) retention falls to roughly 70-80% at p = 10: pairs
+    scored just above the cutoff are NOT fully recalled. threshold=0.7
+    is the re-scoring cutoff (precision stays exactly 1), not a recall
+    promise for the whole band — a corpus whose interesting pairs sit
+    at 0.7-0.85 should run the adversarial full-recall config
+    (``embedding_neardup_lsh``'s 8 tables, radius 2) instead.
+    Hygiene/empty sweeps pick this up via conftest.NON_CATALOG_HELPERS.
+    """
     return neardup_lsh_pairs(spark, sf_dir, threshold=0.7, n_tables=4, radius=1)
 
 

@@ -311,10 +311,19 @@ def _write_generation(spark: SparkSession, rootp: Path, new_state: DataFrame) ->
     n = 0 if prev is None else prev + 1
     out, tmp = rootp / f"_v{n}", rootp / f"_v{n}.__tmp"
     # clear leftovers from a crashed prior attempt: an existing _v{n}
-    # here is by definition UNCOMMITTED (a committed one would be prev)
+    # here is by definition UNCOMMITTED (a committed one would be prev —
+    # an invariant this function itself guarantees by always planting the
+    # sentinel below, independent of the Hadoop committer's marker)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
     new_state.write.mode("overwrite").parquet(str(tmp))
+    # plant _SUCCESS ourselves: the Hadoop committer only writes it when
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs is on (off under
+    # some cloud committers). Without this, every committed generation
+    # would fail _latest_generation's gate and the next write's rmtree
+    # would destroy the real history. touch() is idempotent when the
+    # committer already wrote the marker.
+    (tmp / "_SUCCESS").touch()
     os.rename(tmp, out)
     return spark.read.parquet(str(out))
 

@@ -79,7 +79,10 @@ def _scaled_documents(spark, src: str, m: int):
     from pyspark.sql import functions as F
 
     d = spark.read.parquet(src)
-    offset = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    offset = d.agg(F.max("doc_id")).collect()[0][0]
+    if offset is None:
+        raise SystemExit("cannot scale an empty documents table")
+    offset += 1
     copies = []
     for i in range(m):
         c = d
@@ -107,7 +110,10 @@ def _scaled_embeddings(spark, src: str, m: int):
     from pyspark.sql import functions as F
 
     d = spark.read.parquet(src)
-    offset = d.agg(F.max("vec_id")).collect()[0][0] + 1
+    offset = d.agg(F.max("vec_id")).collect()[0][0]
+    if offset is None:
+        raise SystemExit("cannot scale an empty embeddings table")
+    offset += 1
     def _signer(i: int):
         def sign(v, j):
             flip = F.lit(1.0) - 2.0 * F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)).cast(
@@ -132,10 +138,10 @@ def _scaled_embeddings(spark, src: str, m: int):
 def _max_key(spark, sf_dir: str, table: str, col: str) -> int:
     from pyspark.sql import functions as F
 
-    return (
-        spark.read.parquet(f"{sf_dir}/{table}.parquet").agg(F.max(col)).collect()[0][0]
-        + 1
-    )
+    mx = spark.read.parquet(f"{sf_dir}/{table}.parquet").agg(F.max(col)).collect()[0][0]
+    if mx is None:
+        raise SystemExit(f"cannot scale empty table {table!r} (no {col} to offset)")
+    return mx + 1
 
 
 def _scaled_shifted(spark, src: str, m: int, shifts: dict[str, int]):
@@ -169,7 +175,10 @@ def build_scaled_dir(spark, sf_dir: str, m: int, root: Path, tables: set[str]) -
         if f.stem not in tables:
             dst = out / f.name
             if not dst.exists():
-                os.symlink(f, dst)
+                # absolute target: a relative --sf-dir would otherwise
+                # produce symlinks that resolve against the scaled dir
+                # itself and dangle
+                os.symlink(f.resolve(), dst)
 
     if "documents" in tables:
         _scaled_documents(spark, f"{sf_dir}/documents.parquet", m).write.mode(
@@ -229,6 +238,9 @@ def main() -> int:
     ap.add_argument("--keep", action="store_true", help="keep the scaled dirs on exit")
     args = ap.parse_args()
     mults = sorted({int(x) for x in args.mults.split(",")})
+    if mults[0] < 1:
+        print("multipliers must be >= 1", file=sys.stderr)
+        return 2
     tables = {t.strip() for t in args.tables.split(",") if t.strip()}
     known = {"documents", "embeddings", "events", *TPCH_UNIT}
     if tables - known:

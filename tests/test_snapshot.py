@@ -252,3 +252,33 @@ def test_crashed_generation_write_is_ignored_and_healed(spark, tmp_path):
     assert _latest_generation(Path(root)) == 1
     assert (root / "_v1" / "_SUCCESS").exists()
     assert not (root / "_v1.__tmp").exists()
+
+
+def test_generations_commit_without_hadoop_success_marker(spark, tmp_path):
+    """The _SUCCESS gate must be self-sufficient: some committers never
+    write the marker (marksuccessfuljobs=false), and if the gate relied
+    on it, every committed generation would read as uncommitted — and
+    the next write's debris-clearing rmtree would destroy the real
+    history. _write_generation plants the sentinel itself."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prev = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        root = tmp_path / "snap_nomarker"
+        snapshot(spark, _src(spark, [(1, "new", T1)]), str(root), "id", "updated_at")
+        assert (root / "_v0" / "_SUCCESS").exists()
+        s2 = snapshot(
+            spark, _src(spark, [(1, "shipped", T2)]), str(root), "id", "updated_at"
+        )
+        # history intact: the second write merged against _v0, not a wipe
+        assert {(r["id"], r["status"], r[VALID_TO]) for r in s2.collect()} == {
+            (1, "new", T2),
+            (1, "shipped", None),
+        }
+        assert (root / "_v1" / "_SUCCESS").exists()
+    finally:
+        if prev is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, prev)
