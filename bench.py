@@ -36,8 +36,25 @@ cpu count) and `anchor_drift` (this run's anchor vs BOTH the newest
 committed BENCH_r*.json at the same SF — the round-over-round read — and
 the best/lowest committed anchor — the idle-host reference, since the
 newest round may itself have run loaded). `host_load_suspect` is true
-when the anchor ran >20% slower than the best committed anchor; absolute
-totals in such a run overstate cost and only the ratios should be read.
+when ANY of three independent detectors fires (`suspect_reasons` names
+the ones that did); absolute totals in a suspect run overstate cost and
+only the ratios should be read:
+
+  1. anchor drift — the single-stage anchor ran >20% slower than the
+     best committed anchor.
+  2. canary drift — the SHUFFLE canary ran >20% slower than the best
+     committed canary. BENCH_r10 proved detector 1 alone is blind to
+     the hypervisor-steal mode this host exhibits: 32-way shuffle
+     stages slowed 2-4× while the 0.2 s single-stage anchor moved <16%
+     (too small/serial to feel multi-core contention). The canary is a
+     fixed synthetic 2-stage plan — 32-way range scan, ~4M-row hash
+     exchange on a ~1M-key column, final aggregate — sized to keep all
+     cores busy across a real exchange, independent of SF, timed
+     before and after the main loop exactly like the anchor.
+  3. pre-JVM loadavg — the 1-minute loadavg sampled before the JVM
+     starts is >= 1.5 (the SCALE.md §18 quiet-host rule). Detectors
+     1-2 compare against committed history; this one needs none, and
+     it fires on BENCH_r10's recorded 5.09 retroactively.
 """
 
 from __future__ import annotations
@@ -57,11 +74,12 @@ from live_data_spark.catalog import catalog  # noqa: E402
 from live_data_spark.session import get_spark  # noqa: E402
 
 
-def _committed_anchors(sf) -> list[tuple[str, float]]:
-    """(filename, anchor_sec) per committed BENCH_r*.json at the same SF,
-    round order. Two baselines matter: the NEWEST (the verdict-to-verdict
-    comparison) and the BEST/lowest (the idle-host reference — the newest
-    round may itself have run loaded, as BENCH_r09 did)."""
+def _committed_probe(sf, field: str) -> list[tuple[str, float]]:
+    """(filename, sec) for the pinned probe `field` ("anchor" or
+    "canary") per committed BENCH_r*.json at the same SF, round order.
+    Two baselines matter: the NEWEST (the verdict-to-verdict comparison)
+    and the BEST/lowest (the idle-host reference — the newest round may
+    itself have run loaded, as BENCH_r09 and BENCH_r10 did)."""
     found = []
     # numeric round order, not filename order: lexicographic sorting puts
     # BENCH_r100 before BENCH_r99, pinning "newest" to the wrong round
@@ -77,10 +95,65 @@ def _committed_anchors(sf) -> list[tuple[str, float]]:
             continue
         # the driver wraps bench.py's stdout line under "parsed"
         d = d.get("parsed") or d
-        sec = (d.get("anchor") or {}).get("sec")
+        sec = (d.get(field) or {}).get("sec")
         if d.get("sf") == sf and sec:
             found.append((f.name, float(sec)))
     return found
+
+
+def _committed_anchors(sf) -> list[tuple[str, float]]:
+    return _committed_probe(sf, "anchor")
+
+
+# Shuffle-canary shape constants. ~4M rows over defaultParallelism map
+# tasks, keyed modulo ~1M so map-side partial aggregation barely reduces
+# the stream — the exchange really moves ~4M records across all cores.
+# Small enough to run in ~0.3 s idle, parallel enough that the r10
+# steal mode (multi-core stages 2-4× slower, serial code untouched)
+# cannot hide from it.
+_CANARY_ROWS = 4_000_000
+_CANARY_KEYS = 1_048_576
+
+
+def _canary_df(spark):
+    """Fixed 2-stage shuffle probe: range scan -> hash exchange -> agg.
+    Independent of SF and catalog code; the plan is pinned by the two
+    constants above so committed canary times compare across rounds."""
+    from pyspark.sql import functions as F
+
+    p = int(spark.sparkContext.defaultParallelism)
+    return (
+        spark.range(_CANARY_ROWS, numPartitions=p)
+        .select((F.col("id") % _CANARY_KEYS).alias("k"), F.col("id"))
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+    )
+
+
+def _drift(sec: float, committed: list[tuple[str, float]]):
+    """(drift-dict, suspect) for a measured probe time vs its committed
+    history; (None, False) when no history exists at this SF yet."""
+    if not committed:
+        return None, False
+    newest_name, newest_sec = committed[-1]
+    best_name, best_sec = min(committed, key=lambda kv: kv[1])
+    drift = {
+        "vs_newest": newest_name,
+        "newest_sec": newest_sec,
+        "factor": round(sec / newest_sec, 2),
+        "vs_best": best_name,
+        "best_sec": best_sec,
+        "factor_vs_best": round(sec / best_sec, 2),
+    }
+    # flag on the UNROUNDED ratio: a true 1.204 rounds to 1.20 and
+    # would otherwise slip under the > 1.2 rule it violates
+    return drift, sec / best_sec > 1.2
+
+
+# pre-JVM 1-minute loadavg at/above this = the host is already busy;
+# SCALE.md §18's quiet-host rule. Fires on BENCH_r10's 5.09 with no
+# committed history needed.
+_LOADAVG_SUSPECT = 1.5
 
 
 def main() -> None:
@@ -121,35 +194,41 @@ def main() -> None:
 
     anchor_name = "dedup_exact"
     anchor_spec = cat[anchor_name]
+
+    def time_canary(n: int) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _canary_df(spark).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     anchor_pre = best_of(anchor_spec, runs)
+    canary_pre = time_canary(runs)
 
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         timings[name] = round(best_of(spec, runs), 3)
 
-    # second anchor window after the loop: min of the two discounts a load
-    # burst that happened to cover either measurement
+    # second anchor/canary window after the loop: min of the two windows
+    # discounts a load burst that happened to cover either measurement
     anchor_sec = min(anchor_pre, best_of(anchor_spec, runs), timings.get(anchor_name, float("inf")))
+    canary_sec = min(canary_pre, time_canary(runs))
     ratios = {n: round(t / anchor_sec, 2) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    anchors = _committed_anchors(sf_val)
-    drift, suspect = None, False
-    if anchors:
-        newest_name, newest_sec = anchors[-1]
-        best_name, best_sec = min(anchors, key=lambda kv: kv[1])
-        drift = {
-            "vs_newest": newest_name,
-            "newest_sec": newest_sec,
-            "factor": round(anchor_sec / newest_sec, 2),
-            "vs_best": best_name,
-            "best_sec": best_sec,
-            "factor_vs_best": round(anchor_sec / best_sec, 2),
-        }
-        # flag on the UNROUNDED ratio: a true 1.204 rounds to 1.20 and
-        # would otherwise slip under the > 1.2 rule it violates
-        suspect = anchor_sec / best_sec > 1.2
+    drift, anchor_suspect = _drift(anchor_sec, _committed_anchors(sf_val))
+    canary_drift, canary_suspect = _drift(canary_sec, _committed_probe(sf_val, "canary"))
+    reasons = [
+        reason
+        for flagged, reason in (
+            (anchor_suspect, "anchor_drift"),
+            (canary_suspect, "canary_drift"),
+            (loadavg_pre[0] >= _LOADAVG_SUSPECT, "loadavg_pre_jvm"),
+        )
+        if flagged
+    ]
     print(
         json.dumps(
             {
@@ -158,14 +237,24 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "anchor": {"query": anchor_name, "sec": round(anchor_sec, 3)},
+                "canary": {
+                    "shape": f"range({_CANARY_ROWS})->exchange(%{_CANARY_KEYS})->agg",
+                    "sec": round(canary_sec, 3),
+                },
                 "ratios": ratios,
                 "host": {"loadavg_pre_jvm": loadavg_pre, "cpus": os.cpu_count()},
                 "anchor_drift": drift,
-                # >20% anchor slowdown vs the best committed anchor (the
-                # idle-host reference) = loaded host; absolute totals
-                # overstate, read the ratios. This rule applied to
-                # BENCH_r09 flags it: 0.242/0.195 = 1.24.
-                "host_load_suspect": bool(drift and suspect),
+                "canary_drift": canary_drift,
+                # three detectors, ORed (suspect_reasons names the ones
+                # that fired): >20% slowdown vs the best committed value
+                # on EITHER the single-stage anchor (flags BENCH_r09:
+                # 0.242/0.195 = 1.24) or the shuffle canary (the r10
+                # steal mode the anchor cannot feel), or a pre-JVM
+                # 1-min loadavg >= 1.5 (flags BENCH_r10's 5.09 with no
+                # history needed). Absolute totals in a suspect run
+                # overstate cost; read the ratios.
+                "suspect_reasons": reasons,
+                "host_load_suspect": bool(reasons),
                 "sf": sf_val,
                 "runs_per_query": runs,
                 "timing": "min (steady-state; excludes one-time codegen compile); "

@@ -237,7 +237,13 @@ def main() -> int:
     )
     ap.add_argument("--keep", action="store_true", help="keep the scaled dirs on exit")
     args = ap.parse_args()
-    mults = sorted({int(x) for x in args.mults.split(",")})
+    # ADVICE r10: malformed tokens ('', '1,,3', 'x') must take the clean
+    # exit-2 path, not an int() traceback
+    try:
+        mults = sorted({int(x) for x in args.mults.split(",")})
+    except ValueError:
+        print(f"bad --mults {args.mults!r}: comma-separated integers", file=sys.stderr)
+        return 2
     if mults[0] < 1:
         print("multipliers must be >= 1", file=sys.stderr)
         return 2
@@ -255,6 +261,21 @@ def main() -> int:
     if unknown:
         print(f"unknown entries: {unknown}", file=sys.stderr)
         return 2
+    # ADVICE r10: the m² fuzzy-pair hazard is enforced, not just
+    # documented — scaled part/documents text columns carry identical
+    # copies of the same names, so a name-similarity entry replayed over
+    # them reports manufactured super-linear slopes. Refuse the combo.
+    if tables & set(TPCH_UNIT):
+        hazard = [e for e in args.entries if "fuzzy" in cat[e].tags]
+        if hazard:
+            print(
+                f"refusing: {hazard} do name-similarity over part's UNSALTED "
+                "text columns; scaling part manufactures m² identical-name "
+                "pairs and the slope would be meaningless. Drop part (and "
+                "the lineitem/orders FK unit) from --tables for these.",
+                file=sys.stderr,
+            )
+            return 2
 
     spark = get_spark(app_name="scale_replay")
     spark.sparkContext.setLogLevel("ERROR")

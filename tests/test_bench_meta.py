@@ -37,6 +37,53 @@ def test_committed_anchor_reader_empty_at_unknown_sf():
     assert bench._committed_anchors(123.456) == []
 
 
+def test_drift_rule_and_empty_history():
+    """_drift: (None, False) with no committed history; flags only >1.2x
+    of the BEST committed value, on the unrounded ratio."""
+    assert bench._drift(0.5, []) == (None, False)
+    hist = [("BENCH_r01.json", 0.30), ("BENCH_r02.json", 0.20)]
+    drift, suspect = bench._drift(0.241, hist)
+    assert suspect  # 0.241/0.20 = 1.205 > 1.2 (rounds to 1.2 — must still flag)
+    assert drift["vs_best"] == "BENCH_r02.json"
+    assert drift["vs_newest"] == "BENCH_r02.json"
+    drift, suspect = bench._drift(0.24, hist)
+    assert not suspect  # exactly 1.2 passes
+    assert drift["factor_vs_best"] == 1.2
+
+
+def test_canary_probe_reader_round_trips():
+    """The canary reader shares the anchor reader's envelope/SF logic;
+    rounds before r11 carry no canary, so history grows from r11 on and
+    is empty at never-benched SFs. If any canary IS committed its shape
+    must be the pinned one (constants are part of the cross-round
+    contract)."""
+    canaries = dict(bench._committed_probe(0.1, "canary"))
+    assert all(s > 0 for s in canaries.values())
+    for name in canaries:
+        d = json.loads((REPO / name).read_text())
+        d = d.get("parsed") or d
+        assert d["canary"]["shape"] == (
+            f"range({bench._CANARY_ROWS})->exchange(%{bench._CANARY_KEYS})->agg"
+        )
+    assert bench._committed_probe(123.456, "canary") == []
+
+
+def test_loadavg_detector_flags_r10_retroactively():
+    """BENCH_r10 ran at pre-JVM loadavg 5.09 and slipped past the
+    anchor-only rule; the direct loadavg gate must catch that artifact."""
+    import pytest
+
+    f = REPO / "BENCH_r10.json"
+    if not f.exists():
+        pytest.skip("r10 artifact not present")
+    d = json.loads(f.read_text())
+    d = d.get("parsed") or d
+    load1 = d["host"]["loadavg_pre_jvm"][0]
+    assert load1 >= bench._LOADAVG_SUSPECT  # the gate fires
+    # …and the anchor-only rule indeed did NOT (why the canary exists)
+    assert d["host_load_suspect"] is False
+
+
 def test_suspect_rule_flags_r9_retroactively():
     """The >1.2x-of-best rule must flag the known-contaminated r9 anchor
     and pass the known-idle r8 one — the calibration case the rule was

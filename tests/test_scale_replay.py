@@ -94,7 +94,11 @@ def test_document_copies_have_disjoint_shingles_but_equal_dup_structure(spark, s
 
     base = spark.read.parquet(f"{SF}/documents.parquet")
     d = spark.read.parquet(f"{scaled_dir}/documents.parquet")
-    n_base = base.count()
+    # ADVICE r10: the builder shifts copy i by i*(max(id)+1), which only
+    # equals i*count when ids are 0-based and dense — slice by the
+    # builder's own stride so regenerated gappy/1-based testdata cannot
+    # fail these invariants spuriously
+    n_base = base.agg(F.max("doc_id")).first()[0] + 1
 
     # in-copy duplicate structure: the multiset of exact-text group
     # sizes is identical in every copy
@@ -130,9 +134,12 @@ def test_document_copies_have_disjoint_shingles_but_equal_dup_structure(spark, s
 def test_embedding_copies_are_isometric_images(spark, scaled_dir):
     """Rademacher sign flip: norms and in-copy pairwise cosines exactly
     preserved (orthogonal transform), cross-copy cosines decorrelated."""
+    from pyspark.sql import functions as F
+
     base = spark.read.parquet(f"{SF}/embeddings.parquet")
     d = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
-    n_base = base.count()
+    # builder stride, not count (see the documents twin above)
+    n_base = base.agg(F.max("vec_id")).first()[0] + 1
 
     def mat(df, lo, hi):
         rows = (
@@ -162,3 +169,42 @@ def test_embedding_copies_are_isometric_images(spark, scaled_dir):
 
 def test_multiplier_one_is_identity(sr, spark, tmp_path):
     assert sr.build_scaled_dir(spark, SF, 1, tmp_path, {"documents"}) == SF
+
+
+def _run_main(sr, monkeypatch, capsys, argv):
+    monkeypatch.setattr("sys.argv", ["scale_replay.py", *argv])
+    rc = sr.main()
+    return rc, capsys.readouterr().err
+
+
+@pytest.mark.parametrize("mults", ["", "1,,3", "x", "3;10"])
+def test_malformed_mults_exit_cleanly(sr, monkeypatch, capsys, mults):
+    """ADVICE r10: bad --mults tokens take the exit-2 path with a
+    message, never an int() traceback."""
+    rc, err = _run_main(sr, monkeypatch, capsys, ["dedup_exact", "--mults", mults])
+    assert rc == 2
+    assert "bad --mults" in err
+
+
+def test_fuzzy_entry_with_part_scaled_is_refused(sr, monkeypatch, capsys):
+    """ADVICE r10: the m² identical-name hazard is enforced — replaying a
+    name-similarity entry with part in the scaled set is refused before
+    any JVM starts."""
+    rc, err = _run_main(
+        sr, monkeypatch, capsys,
+        ["fuzzy_part_names", "--tables", "part", "--mults", "1,3"],
+    )
+    assert rc == 2
+    assert "fuzzy_part_names" in err and "UNSALTED" in err
+    # …and the same entry with the default (documents,embeddings) scaled
+    # set passes the guard (it fails later only if entries are unknown;
+    # use --mults bad ordering? no — guard order: mults, tables, entries,
+    # THEN hazard; so reaching the JVM is the pass signal. Avoid that
+    # cost: scaling documents with a fuzzy entry is fine and the guard
+    # must NOT fire — assert by checking the hazard branch condition
+    # directly instead of launching Spark.
+    from live_data_spark.catalog import catalog
+
+    cat = catalog()
+    assert "fuzzy" in cat["fuzzy_part_names"].tags
+    assert not ({"documents"} & set(sr.TPCH_UNIT))
