@@ -574,12 +574,22 @@ def neardup_lsh_pairs(
     )
 
 
+@register("neardup_lsh_production_band", oracle=None, tags=("similarity", "dedup", "lsh"))
 def neardup_lsh_production_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documented production configuration as a named, sweep-visible
-    plan: (4 tables, radius 1, threshold 0.7) — sized for hunting TRUE
+    """The documented production configuration as a named plan:
+    (4 tables, radius 1, threshold 0.7) — sized for hunting TRUE
     NEAR-DUPS (cosine ≳ 0.9), where per-plane agreement is high enough
     that the radius-1 probe set (1 + p instead of 1 + p + p(p−1)/2)
     holds recall while cutting the shuffle's log² factor to log.
+
+    Catalog-registered rows-only from r11 (promoted out of
+    conftest.NON_CATALOG_HELPERS) so the production rung accumulates
+    driver rows like every other swap-in; exactness lives in the
+    planted-pair recall+precision pin (tests/test_similarity.py). No
+    SQL oracle: the probe-set membership is a function of the seeded
+    random hyperplanes, not expressible as a DuckDB query over the
+    table alone. Registration does not change the ≥0.7 band's emptiness
+    on uniform-random testdata — see the non-empty note below.
 
     Recall is band-dependent and the contract is quantitative, not
     flat: per-pair retention is 1 − (1 − p_t)^4 with p_t = P(Hamming ≤ 1

@@ -31,6 +31,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # the semantically-correct result on clean testdata, not a trivial oracle.
 EMPTY_OK = {"test_relationships_orphans", "test_accepted_values"}
 
+# Rows-only entries whose CORRECT output is empty on this synthetic
+# testdata: the ≥0.7 production near-dup band has nothing to find in
+# uniform-random embeddings (pairwise cosines top out near 0.5 — true
+# near-dups don't exist here by construction). Exactness for these
+# lives in planted-case pytest pins, not in testdata row counts.
+ROWS_ONLY_EMPTY_OK = {"neardup_lsh_production_band"}
+
 
 def normalize(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
@@ -75,7 +82,14 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             sql = oracles.get(name)
             if sql is None:
-                status = "ROWS-ONLY-EMPTY" if len(srows) == 0 else "ok(rows-only)"
+                if len(srows) == 0:
+                    status = (
+                        "ok(rows-only, empty-by-nature)"
+                        if name in ROWS_ONLY_EMPTY_OK
+                        else "ROWS-ONLY-EMPTY"
+                    )
+                else:
+                    status = "ok(rows-only)"
             else:
                 res = con.execute(sql)
                 ocols = [d[0] for d in res.description]

@@ -48,7 +48,10 @@ NON_CATALOG_HELPERS = [
     ("triangles_degree_oriented", "live_data_spark.operators.graph"),
     ("source_cap_hash_rate", "live_data_spark.operators.curation"),
     ("html_strip_stats_dom", "live_data_spark.operators.text"),
-    ("neardup_lsh_production_band", "live_data_spark.operators.similarity"),
+    # neardup_lsh_production_band graduated to the catalog in r11 (the
+    # catalog sweeps discover it there); semdedup's production-k twin
+    # takes the swap-in slot
+    ("semdedup_pairs_production", "live_data_spark.operators.clustering"),
 ]
 
 
