@@ -34,6 +34,15 @@ tripwire. Entries tagged "streaming" are additionally exempt from the
 ratio comparison and checked against an absolute stall ceiling instead:
 their wall time is availableNow-drain machinery, not plan work, so a
 ratio-to-anchor is not meaningful signal for them under ANY load.
+
+Quiet-host gate (r11 — encodes SCALE.md §18's manual anchor-gate rule
+after BENCH_r10 slipped through it): the sweep also refuses when the
+pre-JVM 1-minute loadavg is >= 1.5 or the warmup anchor (best-of-4)
+exceeds 0.25 s. r10's steal mode showed loadavg alone is not enough
+(multi-core stages slowed 2-4x on an idle loadavg), and the anchor
+alone is not either (it is single-stage) — both must pass. `--force`
+overrides for deliberate loaded-run diagnostics; a FORCED artifact
+should never be committed.
 """
 
 from __future__ import annotations
@@ -54,6 +63,9 @@ SF = "/root/testdata/sf0.1"
 ARTIFACT = REPO / "PERF_SF01.json"
 ANCHOR = "dedup_exact"
 RUNS = 2
+# quiet-host gate (see module docstring): both must pass unless --force
+ANCHOR_GATE_SEC = 0.25
+LOADAVG_GATE = 1.5
 TRIP_RATIO = 3.0  # flag an entry whose ratio-to-anchor tripled
 NOISE_FLOOR_SEC = 0.2  # sub-floor entries are scheduling noise, not signal
 STREAMING_STALL_SEC = 60.0  # streaming entries: absolute ceiling, not ratio
@@ -84,14 +96,32 @@ def _time(spec, spark, runs: int = RUNS) -> float:
     return best
 
 
-def sweep() -> dict:
+def sweep(force: bool = False) -> dict | None:
+    """Time every entry; None = quiet-host gate refused (nothing timed)."""
+    import os
+
+    loadavg1 = os.getloadavg()[0]
+    if loadavg1 >= LOADAVG_GATE and not force:
+        print(
+            f"perf_sweep: pre-JVM 1-min loadavg {loadavg1:.2f} >= {LOADAVG_GATE} — "
+            "host busy; wait for quiet or --force (do not commit a forced artifact)."
+        )
+        return None
     spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     cat = catalog()
     # JVM/codegen + Arrow worker warmup (bench.py's recipe)
     cat[ANCHOR].spark(spark, SF).limit(1).collect()
 
-    anchor_pre = _time(cat[ANCHOR], spark)
+    anchor_pre = _time(cat[ANCHOR], spark, runs=4)
+    if anchor_pre > ANCHOR_GATE_SEC and not force:
+        print(
+            f"perf_sweep: warmup anchor {anchor_pre:.3f}s > {ANCHOR_GATE_SEC}s — "
+            "host in a degraded window (loadavg can look idle under "
+            "hypervisor steal); wait for quiet or --force."
+        )
+        spark.stop()
+        return None
     entries: dict[str, float] = {}
     for i, (name, spec) in enumerate(sorted(cat.items())):
         entries[name] = round(_time(spec, spark), 3)
@@ -143,7 +173,9 @@ def main() -> int:
         print("timings under contention are not signal (streaming entries "
               "false-positive the tripwire). Wait for it, or re-run with --force.")
         return 2
-    fresh = sweep()
+    fresh = sweep(force="--force" in sys.argv)
+    if fresh is None:
+        return 2
     if not check:
         ARTIFACT.write_text(json.dumps(fresh, indent=1, sort_keys=True) + "\n")
         print(f"perf_sweep: wrote {ARTIFACT.name} ({len(fresh['entries'])} entries)")

@@ -115,3 +115,15 @@ def test_perf_sweep_detects_foreign_spark_drivers(monkeypatch):
 
     monkeypatch.setattr(ps.subprocess, "run", boom)
     assert ps.other_spark_drivers() == []
+
+
+def test_sweep_refuses_on_busy_loadavg_before_jvm(monkeypatch, capsys):
+    """The r11 quiet-host gate: a busy pre-JVM loadavg refuses the sweep
+    in milliseconds (no JVM start), returning None -> exit 2. The anchor
+    half of the gate needs Spark and stays a live-tool behavior; this
+    pins the half that can be checked purely."""
+    ps = _perf_sweep_module()
+    monkeypatch.setattr("os.getloadavg", lambda: (9.9, 9.9, 9.9))
+    assert ps.sweep(force=False) is None
+    assert "loadavg" in capsys.readouterr().out
+    assert ps.ANCHOR_GATE_SEC == 0.25 and ps.LOADAVG_GATE == 1.5
