@@ -284,6 +284,7 @@ def main() -> int:
     try:
         dirs = {m: build_scaled_dir(spark, args.sf_dir, m, root, tables) for m in mults}
         results: dict[str, dict[int, float]] = {}
+        drifts: dict[str, float] = {}
         for name in args.entries:
             results[name] = {}
             # one untimed run at the smallest multiplier: session-level
@@ -294,20 +295,37 @@ def main() -> int:
                 sec = time_entry(spark, cat[name], dirs[m], args.runs)
                 results[name][m] = round(sec, 2)
                 print(f"  {name} x{m}: {sec:.2f}s", file=sys.stderr)
+            # drift self-check: slopes are within-session ratios, so a
+            # STABLE host (even a stably-degraded one) cancels out — but
+            # a ramp DURING the entry's sweep masquerades as slope.
+            # Re-time the smallest point after the largest; >1.3x of its
+            # first reading marks this entry's slopes suspect.
+            if len(mults) > 1:
+                re1 = time_entry(spark, cat[name], dirs[mults[0]], args.runs)
+                drifts[name] = round(re1 / max(results[name][mults[0]], 1e-9), 2)
+                if drifts[name] > 1.3:
+                    print(
+                        f"  {name}: 1x re-time {re1:.2f}s = {drifts[name]}x its "
+                        "first reading — host ramped mid-entry; slopes suspect, "
+                        "re-run this entry",
+                        file=sys.stderr,
+                    )
 
         # markdown table for SCALE.md + one JSON line for tooling
         hdr = " | ".join(f"{m}×" for m in mults)
         slope_hdr = " | ".join(
             f"{b}×/{a}× (lin {b / a:.1f})" for a, b in zip(mults, mults[1:])
         )
-        print(f"| entry | {hdr} | {slope_hdr} |")
-        print("|" + "---|" * (1 + len(mults) + len(mults) - 1))
+        print(f"| entry | {hdr} | {slope_hdr} | 1× drift |")
+        print("|" + "---|" * (1 + len(mults) + len(mults) - 1 + 1))
         for name, ts in results.items():
             cells = " | ".join(f"{ts[m]:.2f}s" for m in mults)
             slopes = " | ".join(
                 f"{ts[b] / ts[a]:.2f}" for a, b in zip(mults, mults[1:])
             )
-            print(f"| {name} | {cells} | {slopes} |")
+            d = drifts.get(name)
+            dcell = f"{d:.2f}" + (" SUSPECT" if d and d > 1.3 else "") if d else "—"
+            print(f"| {name} | {cells} | {slopes} | {dcell} |")
         print(
             json.dumps(
                 {
@@ -316,6 +334,7 @@ def main() -> int:
                     "runs": args.runs,
                     "tables": sorted(tables),
                     "sec": results,
+                    "drift_1x": drifts,
                 }
             )
         )
