@@ -341,3 +341,39 @@ def gated_pair_sides(
 # gated_pair_sides): bounds cache residency to MAX × gate per session.
 _PAIR_CACHE: dict[tuple[str, int], DataFrame] = {}
 _PAIR_CACHE_MAX = 2
+
+
+# ---------------------------------------------------------------------------
+# Non-catalog hardening helpers: named swap-in configurations (documented
+# in SCALE.md/COVERAGE.md) that are NOT catalog entries — no driver row —
+# but share the full catalog-entry contract otherwise. ONE list, imported
+# by the default-deny test sweeps (tests/conftest.py) AND by tools that
+# resolve entry names (scripts/scale_replay.py), so a new swap-in lands
+# everywhere together. (fn_name, module) pairs.
+# ---------------------------------------------------------------------------
+NON_CATALOG_HELPERS: list[tuple[str, str]] = [
+    ("triangles_degree_oriented", "live_data_spark.operators.graph"),
+    ("source_cap_hash_rate", "live_data_spark.operators.curation"),
+    ("html_strip_stats_dom", "live_data_spark.operators.text"),
+    # neardup_lsh_production_band graduated to the catalog in r11;
+    # semdedup's production-k twin takes the swap-in slot
+    ("semdedup_pairs_production", "live_data_spark.operators.clustering"),
+]
+
+
+def resolve_runnable(name: str):
+    """A catalog QuerySpec, or a helper wrapped in one, by name — how
+    tools (scale_replay) accept both catalog entries and the named
+    swap-in configurations above. None if the name is neither."""
+    cat = catalog()
+    if name in cat:
+        return cat[name]
+    for fn_name, module in NON_CATALOG_HELPERS:
+        if fn_name == name:
+            import importlib
+
+            fn = getattr(importlib.import_module(module), fn_name)
+            return QuerySpec(
+                spark=fn, oracle=None, doc=(fn.__doc__ or "").strip(), tags=("helper",)
+            )
+    return None

@@ -253,11 +253,14 @@ def main() -> int:
         print(f"unknown tables: {sorted(tables - known)}", file=sys.stderr)
         return 2
 
-    from live_data_spark.catalog import catalog
+    from live_data_spark.catalog import resolve_runnable
     from live_data_spark.session import get_spark
 
-    cat = catalog()
-    unknown = [e for e in args.entries if e not in cat]
+    # catalog entries AND the named swap-in configurations
+    # (catalog.NON_CATALOG_HELPERS) resolve here — production rungs get
+    # replayed with the same tool as the entries they tune
+    cat = {e: resolve_runnable(e) for e in args.entries}
+    unknown = [e for e, spec in cat.items() if spec is None]
     if unknown:
         print(f"unknown entries: {unknown}", file=sys.stderr)
         return 2

@@ -42,17 +42,11 @@ def canon_rows(rows, columns):
 
 # Non-catalog hardening helpers (implemented swap-ins documented in
 # SCALE.md): the default-deny sweeps (plan hygiene, empty input) can't
-# discover them through the catalog, so they enumerate this ONE list —
-# append every new swap-in here and both sweeps pick it up together.
-NON_CATALOG_HELPERS = [
-    ("triangles_degree_oriented", "live_data_spark.operators.graph"),
-    ("source_cap_hash_rate", "live_data_spark.operators.curation"),
-    ("html_strip_stats_dom", "live_data_spark.operators.text"),
-    # neardup_lsh_production_band graduated to the catalog in r11 (the
-    # catalog sweeps discover it there); semdedup's production-k twin
-    # takes the swap-in slot
-    ("semdedup_pairs_production", "live_data_spark.operators.clustering"),
-]
+# discover them through the catalog, so they enumerate ONE shared list.
+# Since r11 that list lives beside the catalog (append new swap-ins
+# THERE) so tools like scripts/scale_replay.py resolve the same names
+# via resolve_runnable.
+from live_data_spark.catalog import NON_CATALOG_HELPERS  # noqa: E402, F401
 
 
 @pytest.fixture(scope="session")
