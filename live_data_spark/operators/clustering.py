@@ -281,7 +281,10 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora near-dups sit at cos ≥0.95 and co-cluster almost surely,
     which is why SemDeDup clusters at all. Shuffle cost: probes·n rows
     hash-partitioned by cluster id, versus the exact twin's O(n·B)
-    replication.
+    replication. The pinned k=8 leaves a within-cluster n²/8 term that
+    the r11 replay measured emerging (slopes 1.52/2.56 at 3×/10×);
+    ``semdedup_pairs_production`` scales k with n and measured flat
+    (0.96/1.30) — SCALE.md §19.
     """
     return semdedup_pairs_at_k(spark, sf_dir, k=K_CLUSTERS)
 

@@ -918,7 +918,10 @@ def dedup_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is still O(corpus shingles), never O(pairs); only band-bucket
     collisions are ever compared. At 100 TB the knobs are window size
     (recall floor per embedded span length) and band shape (collision
-    selectivity), both independent of corpus size.
+    selectivity), both independent of corpus size. MEASURED (r11,
+    scale_replay 1×/3×/10× on salted copies, SCALE.md §19): slopes
+    1.25 / 1.59 vs linear 3.0 / 3.3 — sublinear through 10× the corpus,
+    confirming the cost model above.
     """
     d = spread(load(spark, sf_dir, "documents"))
     k = 3
