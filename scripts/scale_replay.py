@@ -301,12 +301,16 @@ def main() -> int:
             # drift self-check: slopes are within-session ratios, so a
             # STABLE host (even a stably-degraded one) cancels out — but
             # a ramp DURING the entry's sweep masquerades as slope.
-            # Re-time the smallest point after the largest; >1.3x of its
-            # first reading marks this entry's slopes suspect.
+            # Re-time the smallest point after the largest; outside
+            # [1/1.3, 1.3] of its first reading marks this entry's
+            # slopes suspect — a host that SLOWED inflates them (fake
+            # super-linearity), a host that RECOVERED deflates them
+            # (hides real super-linearity; the dedup_simhash 0.43-drift
+            # row that motivated the lower bound).
             if len(mults) > 1:
                 re1 = time_entry(spark, cat[name], dirs[mults[0]], args.runs)
                 drifts[name] = round(re1 / max(results[name][mults[0]], 1e-9), 2)
-                if drifts[name] > 1.3:
+                if not (1 / 1.3 <= drifts[name] <= 1.3):
                     print(
                         f"  {name}: 1x re-time {re1:.2f}s = {drifts[name]}x its "
                         "first reading — host ramped mid-entry; slopes suspect, "
@@ -327,7 +331,8 @@ def main() -> int:
                 f"{ts[b] / ts[a]:.2f}" for a, b in zip(mults, mults[1:])
             )
             d = drifts.get(name)
-            dcell = f"{d:.2f}" + (" SUSPECT" if d and d > 1.3 else "") if d else "—"
+            suspect = d is not None and not (1 / 1.3 <= d <= 1.3)
+            dcell = f"{d:.2f}" + (" SUSPECT" if suspect else "") if d else "—"
             print(f"| {name} | {cells} | {slopes} | {dcell} |")
         print(
             json.dumps(
