@@ -156,6 +156,32 @@ def _drift(sec: float, committed: list[tuple[str, float]]):
 _LOADAVG_SUSPECT = 1.5
 
 
+def _proc_stat_snapshot() -> list[int] | None:
+    """Aggregate CPU jiffies [user..guest] from /proc/stat (Linux), or
+    None where unavailable. Sampled at run start and end to expose
+    HYPERVISOR STEAL across the run: while our executors load all
+    cores, steal% is the share of demanded cycles the host never got —
+    the r11 session measured 10% steal under full load with 0.45% idle
+    and a 1-min loadavg of 0.02, i.e. the steal mode that slows 32-way
+    stages is INVISIBLE to loadavg but plain in this counter. Metadata
+    only for now (no suspect threshold until a few rounds calibrate
+    what idle-window steal looks like); adjudicate odd ratios with it."""
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:10]))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(pre, post) -> float | None:
+    """Steal share (%) of all jiffies elapsed between two snapshots."""
+    if not pre or not post:
+        return None
+    d = [b - a for a, b in zip(pre, post)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total > 0 and len(d) > 7 else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -163,6 +189,7 @@ def main() -> None:
     # own executor threads dominate loadavg, so only this pre-start sample
     # measures the rest of the host
     loadavg_pre = [round(v, 2) for v in os.getloadavg()]
+    cpu_pre = _proc_stat_snapshot()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -242,7 +269,15 @@ def main() -> None:
                     "sec": round(canary_sec, 3),
                 },
                 "ratios": ratios,
-                "host": {"loadavg_pre_jvm": loadavg_pre, "cpus": os.cpu_count()},
+                "host": {
+                    "loadavg_pre_jvm": loadavg_pre,
+                    "cpus": os.cpu_count(),
+                    # steal share of ALL cpu jiffies across the run —
+                    # our own executors keep the cores demanded, so
+                    # nonzero values here are cycles the hypervisor
+                    # withheld (see _proc_stat_snapshot docstring)
+                    "steal_pct_run": _steal_pct(cpu_pre, _proc_stat_snapshot()),
+                },
                 "anchor_drift": drift,
                 "canary_drift": canary_drift,
                 # three detectors, ORed (suspect_reasons names the ones

@@ -96,3 +96,18 @@ def test_suspect_rule_flags_r9_retroactively():
     best = min(anchors.values())
     assert anchors["BENCH_r09.json"] / best > 1.2  # loaded run flags
     assert anchors["BENCH_r08.json"] / best <= 1.2  # idle run passes
+
+
+def test_steal_pct_math_and_none_paths():
+    """steal share of elapsed jiffies; None when either snapshot is
+    missing (non-Linux) or nothing elapsed."""
+    pre = [100, 0, 50, 800, 10, 0, 5, 20, 0]
+    post = [200, 0, 70, 1500, 12, 0, 6, 60, 0]  # +40 steal of +863 total
+    got = bench._steal_pct(pre, post)
+    assert got == round(100 * 40 / 863, 2)
+    assert bench._steal_pct(None, post) is None
+    assert bench._steal_pct(pre, None) is None
+    assert bench._steal_pct(pre, pre) is None  # zero elapsed
+    # the live reader returns a 9-field snapshot on this host
+    snap = bench._proc_stat_snapshot()
+    assert snap is None or len(snap) == 9
