@@ -100,6 +100,11 @@ def sweep(force: bool = False) -> dict | None:
     """Time every entry; None = quiet-host gate refused (nothing timed)."""
     import os
 
+    # bench.py's steal probe (shared reader): steal share across the
+    # sweep goes into the artifact so future --check adjudications can
+    # tell "plan regressed" from "host was being robbed when written"
+    import bench
+
     loadavg1 = os.getloadavg()[0]
     if loadavg1 >= LOADAVG_GATE and not force:
         print(
@@ -107,6 +112,7 @@ def sweep(force: bool = False) -> dict | None:
             "host busy; wait for quiet or --force (do not commit a forced artifact)."
         )
         return None
+    cpu_pre = bench._proc_stat_snapshot()
     spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     cat = catalog()
@@ -131,6 +137,10 @@ def sweep(force: bool = False) -> dict | None:
         "sf": 0.1,
         "runs_per_entry": RUNS,
         "anchor": {"query": ANCHOR, "sec": round(anchor_sec, 3)},
+        "host": {
+            "loadavg_pre_jvm": round(loadavg1, 2),
+            "steal_pct_run": bench._steal_pct(cpu_pre, bench._proc_stat_snapshot()),
+        },
         "entries": {
             n: {"sec": s, "ratio": round(s / anchor_sec, 2)} for n, s in entries.items()
         },
