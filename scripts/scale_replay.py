@@ -288,8 +288,14 @@ def main() -> int:
         dirs = {m: build_scaled_dir(spark, args.sf_dir, m, root, tables) for m in mults}
         results: dict[str, dict[int, float]] = {}
         drifts: dict[str, float] = {}
+        steals: dict[str, float | None] = {}
+        # steal share per entry (bench.py's /proc/stat probe): the drift
+        # column says WHETHER a row is valid; this says WHY it wasn't
+        import bench
+
         for name in args.entries:
             results[name] = {}
+            cpu_pre = bench._proc_stat_snapshot()
             # one untimed run at the smallest multiplier: session-level
             # warmup (codegen, worker pools) would otherwise land entirely
             # on the first timed point and flatten the measured slope
@@ -317,6 +323,7 @@ def main() -> int:
                         "re-run this entry",
                         file=sys.stderr,
                     )
+            steals[name] = bench._steal_pct(cpu_pre, bench._proc_stat_snapshot())
 
         # markdown table for SCALE.md + one JSON line for tooling
         hdr = " | ".join(f"{m}×" for m in mults)
@@ -343,6 +350,7 @@ def main() -> int:
                     "tables": sorted(tables),
                     "sec": results,
                     "drift_1x": drifts,
+                    "steal_pct": steals,
                 }
             )
         )
