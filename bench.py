@@ -55,6 +55,13 @@ only the ratios should be read:
      starts is >= 1.5 (the SCALE.md §18 quiet-host rule). Detectors
      1-2 compare against committed history; this one needs none, and
      it fires on BENCH_r10's recorded 5.09 retroactively.
+  4. hypervisor steal — /proc/stat steal share across the run >= 3%.
+     Needs no history either, and it catches the mode the other three
+     all missed live in r11: anchor 0.218 (min-of-N dodges
+     INTERMITTENT steal), loadavg 1.11, no canary history yet — but
+     steal 4.87% across the run and every shuffle-heavy ratio ~2×
+     inflated. Calibration: 0.45% at rest vs 4.9-10.4% in the
+     degraded window on this host; 3% splits those modes with margin.
 """
 
 from __future__ import annotations
@@ -154,6 +161,9 @@ def _drift(sec: float, committed: list[tuple[str, float]]):
 # SCALE.md §18's quiet-host rule. Fires on BENCH_r10's 5.09 with no
 # committed history needed.
 _LOADAVG_SUSPECT = 1.5
+# steal share across the run at/above this = the hypervisor is robbing
+# the multi-core stages (see module docstring detector 4 calibration)
+_STEAL_SUSPECT_PCT = 3.0
 
 
 def _proc_stat_snapshot() -> list[int] | None:
@@ -163,9 +173,8 @@ def _proc_stat_snapshot() -> list[int] | None:
     cores, steal% is the share of demanded cycles the host never got —
     the r11 session measured 10% steal under full load with 0.45% idle
     and a 1-min loadavg of 0.02, i.e. the steal mode that slows 32-way
-    stages is INVISIBLE to loadavg but plain in this counter. Metadata
-    only for now (no suspect threshold until a few rounds calibrate
-    what idle-window steal looks like); adjudicate odd ratios with it."""
+    stages is INVISIBLE to loadavg but plain in this counter. Suspect
+    detector 4 fires at _STEAL_SUSPECT_PCT (see module docstring)."""
     try:
         with open("/proc/stat") as f:
             return list(map(int, f.readline().split()[1:10]))
@@ -247,12 +256,14 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     drift, anchor_suspect = _drift(anchor_sec, _committed_anchors(sf_val))
     canary_drift, canary_suspect = _drift(canary_sec, _committed_probe(sf_val, "canary"))
+    steal_run = _steal_pct(cpu_pre, _proc_stat_snapshot())  # timing is done
     reasons = [
         reason
         for flagged, reason in (
             (anchor_suspect, "anchor_drift"),
             (canary_suspect, "canary_drift"),
             (loadavg_pre[0] >= _LOADAVG_SUSPECT, "loadavg_pre_jvm"),
+            (steal_run is not None and steal_run >= _STEAL_SUSPECT_PCT, "steal_pct_run"),
         )
         if flagged
     ]
@@ -276,18 +287,21 @@ def main() -> None:
                     # our own executors keep the cores demanded, so
                     # nonzero values here are cycles the hypervisor
                     # withheld (see _proc_stat_snapshot docstring)
-                    "steal_pct_run": _steal_pct(cpu_pre, _proc_stat_snapshot()),
+                    "steal_pct_run": steal_run,
                 },
                 "anchor_drift": drift,
                 "canary_drift": canary_drift,
-                # three detectors, ORed (suspect_reasons names the ones
+                # four detectors, ORed (suspect_reasons names the ones
                 # that fired): >20% slowdown vs the best committed value
                 # on EITHER the single-stage anchor (flags BENCH_r09:
                 # 0.242/0.195 = 1.24) or the shuffle canary (the r10
-                # steal mode the anchor cannot feel), or a pre-JVM
-                # 1-min loadavg >= 1.5 (flags BENCH_r10's 5.09 with no
-                # history needed). Absolute totals in a suspect run
-                # overstate cost; read the ratios.
+                # steal mode the anchor cannot feel), a pre-JVM 1-min
+                # loadavg >= 1.5 (flags BENCH_r10's 5.09 with no
+                # history needed), or >=3% /proc/stat steal across the
+                # run (no history needed either — the only detector
+                # that fired on r11's robbed-but-intermittent window).
+                # Absolute totals in a suspect run overstate cost; read
+                # the ratios.
                 "suspect_reasons": reasons,
                 "host_load_suspect": bool(reasons),
                 "sf": sf_val,

