@@ -36,7 +36,7 @@ cpu count) and `anchor_drift` (this run's anchor vs BOTH the newest
 committed BENCH_r*.json at the same SF — the round-over-round read — and
 the best/lowest committed anchor — the idle-host reference, since the
 newest round may itself have run loaded). `host_load_suspect` is true
-when ANY of three independent detectors fires (`suspect_reasons` names
+when ANY of four independent detectors fires (`suspect_reasons` names
 the ones that did); absolute totals in a suspect run overstate cost and
 only the ratios should be read:
 
@@ -82,8 +82,9 @@ from live_data_spark.session import get_spark  # noqa: E402
 
 
 def _committed_probe(sf, field: str) -> list[tuple[str, float]]:
-    """(filename, sec) for the pinned probe `field` ("anchor" or
-    "canary") per committed BENCH_r*.json at the same SF, round order.
+    """(filename, sec) for the pinned probe `field` (the SF-bound
+    "anchor"; the SF-free canary uses _committed_canaries instead) per
+    committed BENCH_r*.json at the same SF, round order.
     Two baselines matter: the NEWEST (the verdict-to-verdict comparison)
     and the BEST/lowest (the idle-host reference — the newest round may
     itself have run loaded, as BENCH_r09 and BENCH_r10 did)."""
@@ -110,6 +111,34 @@ def _committed_probe(sf, field: str) -> list[tuple[str, float]]:
 
 def _committed_anchors(sf) -> list[tuple[str, float]]:
     return _committed_probe(sf, "anchor")
+
+
+def _committed_canaries(parallelism: int) -> list[tuple[str, float]]:
+    """Canary history across ALL committed rounds and SFs — the probe
+    never touches SF data, so per-SF filtering (ADVICE r11) only thinned
+    the baseline for no reason. Rows are comparable ONLY at the same
+    partition count: the plan fans out over defaultParallelism, so a
+    core-count change silently reshapes it — rows recording a different
+    `parallelism` are excluded, and rows predating the field (pre-r12)
+    are kept iff the current count matches this host's historical 32."""
+    found = []
+
+    def _round_no(p: Path) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p.name)
+        return int(m.group(1)) if m else -1
+
+    for f in sorted(Path(_REPO).glob("BENCH_r*.json"), key=_round_no):
+        try:
+            d = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        d = d.get("parsed") or d
+        c = d.get("canary") or {}
+        sec = c.get("sec")
+        recorded_p = c.get("parallelism", 32 if parallelism == 32 else None)
+        if sec and recorded_p == parallelism:
+            found.append((f.name, float(sec)))
+    return found
 
 
 # Shuffle-canary shape constants. ~4M rows over defaultParallelism map
@@ -255,7 +284,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     drift, anchor_suspect = _drift(anchor_sec, _committed_anchors(sf_val))
-    canary_drift, canary_suspect = _drift(canary_sec, _committed_probe(sf_val, "canary"))
+    parallelism = int(spark.sparkContext.defaultParallelism)
+    canary_drift, canary_suspect = _drift(canary_sec, _committed_canaries(parallelism))
     steal_run = _steal_pct(cpu_pre, _proc_stat_snapshot())  # timing is done
     reasons = [
         reason
@@ -278,6 +308,10 @@ def main() -> None:
                 "canary": {
                     "shape": f"range({_CANARY_ROWS})->exchange(%{_CANARY_KEYS})->agg",
                     "sec": round(canary_sec, 3),
+                    # the plan fans out over defaultParallelism; drift
+                    # comparison skips committed rows at a different
+                    # count (see _committed_canaries)
+                    "parallelism": parallelism,
                 },
                 "ratios": ratios,
                 "host": {

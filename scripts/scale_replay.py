@@ -75,6 +75,18 @@ DEFAULT_TABLES = "documents,embeddings"
 TPCH_UNIT = ("lineitem", "orders", "part")
 
 
+def fuzzy_hazard(entries, tables, cat) -> list[str]:
+    """ADVICE r10 guard as a pure predicate: names in ``entries`` whose
+    replay over the scaled ``tables`` would manufacture m² fuzzy pairs.
+    Scaled part copies carry IDENTICAL unsalted text columns, so any
+    name-similarity ("fuzzy"-tagged) entry replayed with the part FK
+    unit in the scaled set reports fake super-linear slopes. Empty list
+    = combo is safe (e.g. fuzzy entries over salted documents copies)."""
+    if not (set(tables) & set(TPCH_UNIT)):
+        return []
+    return [e for e in entries if "fuzzy" in cat[e].tags]
+
+
 def _scaled_documents(spark, src: str, m: int):
     from pyspark.sql import functions as F
 
@@ -264,21 +276,16 @@ def main() -> int:
     if unknown:
         print(f"unknown entries: {unknown}", file=sys.stderr)
         return 2
-    # ADVICE r10: the m² fuzzy-pair hazard is enforced, not just
-    # documented — scaled part/documents text columns carry identical
-    # copies of the same names, so a name-similarity entry replayed over
-    # them reports manufactured super-linear slopes. Refuse the combo.
-    if tables & set(TPCH_UNIT):
-        hazard = [e for e in args.entries if "fuzzy" in cat[e].tags]
-        if hazard:
-            print(
-                f"refusing: {hazard} do name-similarity over part's UNSALTED "
-                "text columns; scaling part manufactures m² identical-name "
-                "pairs and the slope would be meaningless. Drop part (and "
-                "the lineitem/orders FK unit) from --tables for these.",
-                file=sys.stderr,
-            )
-            return 2
+    hazard = fuzzy_hazard(args.entries, tables, cat)
+    if hazard:
+        print(
+            f"refusing: {hazard} do name-similarity over part's UNSALTED "
+            "text columns; scaling part manufactures m² identical-name "
+            "pairs and the slope would be meaningless. Drop part (and "
+            "the lineitem/orders FK unit) from --tables for these.",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark(app_name="scale_replay")
     spark.sparkContext.setLogLevel("ERROR")
@@ -300,9 +307,12 @@ def main() -> int:
             # warmup (codegen, worker pools) would otherwise land entirely
             # on the first timed point and flatten the measured slope
             time_entry(spark, cat[name], dirs[mults[0]], 1)
+            first_sec = None  # UNROUNDED 1× reading for the drift divide
             for m in mults:
                 sec = time_entry(spark, cat[name], dirs[m], args.runs)
                 results[name][m] = round(sec, 2)
+                if first_sec is None:
+                    first_sec = sec
                 print(f"  {name} x{m}: {sec:.2f}s", file=sys.stderr)
             # drift self-check: slopes are within-session ratios, so a
             # STABLE host (even a stably-degraded one) cancels out — but
@@ -313,9 +323,14 @@ def main() -> int:
             # super-linearity), a host that RECOVERED deflates them
             # (hides real super-linearity; the dedup_simhash 0.43-drift
             # row that motivated the lower bound).
+            # divide by the UNROUNDED first reading (ADVICE r11): a fast
+            # entry whose 1× time rounds to 0.00 would otherwise yield an
+            # astronomical false-SUSPECT drift, and even ~0.05 s entries
+            # pick up ~10% rounding error inside a ±30% band — the same
+            # rounded-boundary hazard bench.py's _drift guards against
             if len(mults) > 1:
                 re1 = time_entry(spark, cat[name], dirs[mults[0]], args.runs)
-                drifts[name] = round(re1 / max(results[name][mults[0]], 1e-9), 2)
+                drifts[name] = round(re1 / max(first_sec, 1e-9), 2)
                 if not (1 / 1.3 <= drifts[name] <= 1.3):
                     print(
                         f"  {name}: 1x re-time {re1:.2f}s = {drifts[name]}x its "

@@ -196,15 +196,16 @@ def test_fuzzy_entry_with_part_scaled_is_refused(sr, monkeypatch, capsys):
     )
     assert rc == 2
     assert "fuzzy_part_names" in err and "UNSALTED" in err
-    # …and the same entry with the default (documents,embeddings) scaled
-    # set passes the guard (it fails later only if entries are unknown;
-    # use --mults bad ordering? no — guard order: mults, tables, entries,
-    # THEN hazard; so reaching the JVM is the pass signal. Avoid that
-    # cost: scaling documents with a fuzzy entry is fine and the guard
-    # must NOT fire — assert by checking the hazard branch condition
-    # directly instead of launching Spark.
+    # …and the guard's NEGATIVE path, exercised via the pure predicate
+    # (no JVM needed): the same fuzzy entry over a documents-only scaled
+    # set is safe (salted copies), while the part FK unit triggers it.
     from live_data_spark.catalog import catalog
 
     cat = catalog()
     assert "fuzzy" in cat["fuzzy_part_names"].tags
-    assert not ({"documents"} & set(sr.TPCH_UNIT))
+    assert sr.fuzzy_hazard(["fuzzy_part_names"], {"documents"}, cat) == []
+    assert sr.fuzzy_hazard(["fuzzy_part_names"], {"part"}, cat) == [
+        "fuzzy_part_names"
+    ]
+    # non-fuzzy entries never trip it, even with part scaled
+    assert sr.fuzzy_hazard(["dedup_exact"], {"part", "lineitem"}, cat) == []
