@@ -356,8 +356,9 @@ NON_CATALOG_HELPERS: list[tuple[str, str]] = [
     ("source_cap_hash_rate", "live_data_spark.operators.curation"),
     ("html_strip_stats_dom", "live_data_spark.operators.text"),
     # neardup_lsh_production_band graduated to the catalog in r11;
-    # semdedup's production-k twin takes the swap-in slot
-    ("semdedup_pairs_production", "live_data_spark.operators.clustering"),
+    # semdedup_pairs_production followed in r12 — production rungs that
+    # earn planted-case pins AND scale rows get promoted so the driver
+    # accumulates rows on the config users would actually run
 ]
 
 

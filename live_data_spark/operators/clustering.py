@@ -334,9 +334,12 @@ def semdedup_pairs_at_k(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
 
 
+@register("semdedup_pairs_production", oracle=None, tags=("similarity", "dedup", "clustering"))
 def semdedup_pairs_production(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documented production configuration as a named, sweep-visible
-    plan: ``k = semdedup_production_k(n)`` — fixed ~512-vector target
+    """The documented production configuration as a catalog entry
+    (promoted r12, same move as r11's neardup_lsh_production_band — the
+    production rung accumulates its own driver rows): ``k =
+    semdedup_production_k(n)`` — fixed ~512-vector target
     cluster size instead of the catalog entry's pinned k=8, so the
     within-cluster exact term stays O(n·C) as the corpus grows (the
     r10 scale_replay measured the pinned-k entry's slope drifting
@@ -350,9 +353,9 @@ def semdedup_pairs_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     the regime SemDeDup is FOR) co-cluster almost surely at any k; the
     planted-case pin in tests/test_clustering.py measures exactly
     that split: full recall on planted cos≈0.97 pairs, precision 1
-    globally. Hygiene/empty sweeps pick this up via
-    conftest.NON_CATALOG_HELPERS. One extra parquet count() action
-    sizes k (metadata-only read).
+    globally. Rows-only by nature (k-means assignment is
+    init-order-sensitive, same as semdedup_pairs). One extra parquet
+    count() action sizes k (metadata-only read).
     """
     n = load(spark, sf_dir, "embeddings").count()
     return semdedup_pairs_at_k(spark, sf_dir, k=semdedup_production_k(n))

@@ -603,7 +603,6 @@ def neardup_lsh_production_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     promise for the whole band — a corpus whose interesting pairs sit
     at 0.7-0.85 should run the adversarial full-recall config
     (``embedding_neardup_lsh``'s 8 tables, radius 2) instead.
-    Hygiene/empty sweeps pick this up via conftest.NON_CATALOG_HELPERS.
     """
     return neardup_lsh_pairs(spark, sf_dir, threshold=0.7, n_tables=4, radius=1)
 
