@@ -68,6 +68,30 @@ def test_canary_probe_reader_round_trips():
     assert bench._committed_probe(123.456, "canary") == []
 
 
+def test_committed_canaries_pool_across_sf_and_filter_parallelism(tmp_path, monkeypatch):
+    """r12 reader: canary history pools across ALL SFs (the probe never
+    touches SF data) but only at the SAME defaultParallelism — the plan
+    fans out over it, so rows from a different core count are not
+    comparable. Rows predating the `parallelism` field count as this
+    host's historical 32."""
+    rows = {
+        # pre-r12 artifact: no parallelism field -> treated as 32
+        "BENCH_r11.json": {"sf": 0.1, "canary": {"sec": 0.6}},
+        # r12+ artifacts at two SFs and two core counts
+        "BENCH_r12.json": {
+            "parsed": {"sf": 0.01, "canary": {"sec": 0.5, "parallelism": 32}}
+        },
+        "BENCH_r13.json": {"sf": 0.1, "canary": {"sec": 0.2, "parallelism": 16}},
+    }
+    for name, d in rows.items():
+        (tmp_path / name).write_text(json.dumps(d))
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    at32 = bench._committed_canaries(32)
+    assert at32 == [("BENCH_r11.json", 0.6), ("BENCH_r12.json", 0.5)]
+    # a core-count change invalidates the pre-field rows too
+    assert bench._committed_canaries(16) == [("BENCH_r13.json", 0.2)]
+
+
 def test_loadavg_detector_flags_r10_retroactively():
     """BENCH_r10 ran at pre-JVM loadavg 5.09 and slipped past the
     anchor-only rule; the direct loadavg gate must catch that artifact."""
