@@ -98,6 +98,32 @@ def main() -> int:
                     }
                 )
             else:
+                # the probe itself poisons the next gate: 32 busy procs
+                # for 4 s add ~2.1 to the 1-min loadavg (32·(1−e^(−4/60))),
+                # which trips perf_sweep's own ≥1.5 refusal — measured
+                # live at r12 open (0.12 before probe, 2.24 at sweep
+                # start). Wait out the exponential decay before
+                # launching; steal state rarely flips inside 2 minutes.
+                decay_deadline = time.time() + 240
+                while (
+                    os.getloadavg()[0] >= LOAD_GATE
+                    and time.time() < decay_deadline
+                ):
+                    time.sleep(15)
+                if os.getloadavg()[0] >= LOAD_GATE:
+                    # shadow never cleared — something else started
+                    # (e.g. a foreground replay); do NOT launch into it
+                    log_row(
+                        {
+                            "attempt": "probe",
+                            "refused": "loadavg_after_decay_wait",
+                            "load1": round(os.getloadavg()[0], 2),
+                        }
+                    )
+                    if args.once:
+                        return 1
+                    time.sleep(args.interval_sec)
+                    continue
                 mtime0 = ARTIFACT.stat().st_mtime if ARTIFACT.exists() else 0
                 r = subprocess.run(
                     [sys.executable, str(REPO / "scripts" / "perf_sweep.py")],

@@ -248,6 +248,13 @@ def main() -> int:
         "symlink unscaled",
     )
     ap.add_argument("--keep", action="store_true", help="keep the scaled dirs on exit")
+    ap.add_argument(
+        "--settle-sec",
+        type=float,
+        default=180,
+        help="max seconds to wait for the 1-min loadavg to decay below "
+        "1.5 before each entry's timing block (0 disables)",
+    )
     args = ap.parse_args()
     # ADVICE r10: malformed tokens ('', '1,,3', 'x') must take the clean
     # exit-2 path, not an int() traceback
@@ -301,6 +308,18 @@ def main() -> int:
         import bench
 
         for name in args.entries:
+            # settle before timing: the corpus build (and the previous
+            # entry's large multipliers) saturate all cores for minutes,
+            # so the next 1× point otherwise starts inside the decay/GC
+            # shadow and reads high — the RECOVERY-drift mode (1× drift
+            # < 1/1.3) that invalidated five replay rows across r11-r12
+            # (simhash ×2, basket ×3, minhash-30× ×1). The JVM idles
+            # between jobs, so the 1-min loadavg decaying below 1.5 is a
+            # usable "shadow has passed" signal; the drift self-check
+            # below stays the arbiter of validity.
+            settle_deadline = time.time() + args.settle_sec
+            while os.getloadavg()[0] >= 1.5 and time.time() < settle_deadline:
+                time.sleep(10)
             results[name] = {}
             cpu_pre = bench._proc_stat_snapshot()
             # one untimed run at the smallest multiplier: session-level
