@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from live_data_spark.catalog import load, register
+from live_data_spark.catalog import load, register, table_rowcount
 from live_data_spark.operators.similarity import as_double, pin_for_iteration
 
 K_CLUSTERS = 8
@@ -79,7 +79,15 @@ def _init_centroids(e: DataFrame, k: int) -> np.ndarray:
 
 
 def _assign_udf(centroids: np.ndarray):
-    """argmax-cosine cluster id per vector, Arrow-batched (ties → lowest id)."""
+    """argmax-cosine cluster id per vector, Arrow-batched (ties → lowest id).
+
+    Non-deterministic marking is an optimizer fence, not a semantics
+    change (the function is pure): downstream joins on the assigned
+    cluster imply an ``isnotnull(cluster)`` filter that Catalyst pushes
+    below the projection while keeping the projection too, so the whole
+    argmax-cosine batch ran TWICE per pass (two ArrowEvalPython nodes —
+    plans/r12/embedding_kmeans_before.txt nodes 2+6 and 9+13; the
+    optimization guide §4.4 pattern). The fence keeps it to one."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -91,7 +99,7 @@ def _assign_udf(centroids: np.ndarray):
         m = _normalized(np.stack(emb.to_numpy()))
         return pd.Series(np.argmax(m @ c.T, axis=1).astype("int32"))
 
-    return pandas_udf(_assign, "int")
+    return pandas_udf(_assign, "int").asNondeterministic()
 
 
 def _partial_sums_fn(centroids: np.ndarray):
@@ -211,6 +219,45 @@ def kmeans_assign(
     return e.withColumn("cluster", _assign_udf(centroids)("emb"))
 
 
+def _profile_partials_fn(centroids: np.ndarray):
+    """mapInPandas fn for the ONE-PASS cluster profile: per partition,
+    per final-assignment cluster, emit (raw-Σemb, Σ(emb/|emb|), count)
+    — ≤k rows per partition. The raw sum rebuilds the profile centroid
+    (consistent with what the assignment returns, exactly like the old
+    in-plan recompute); the unit sum gives mean cos-to-centroid as
+    dot(Σ emb/|emb|, c)/n without a second pass or join."""
+    import pandas as pd
+
+    c = centroids
+    k, _ = c.shape
+
+    def part(batches):
+        sums = np.zeros_like(c)
+        usums = np.zeros_like(c)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["emb"].to_numpy())
+            u = _normalized(m)
+            a = np.argmax(u @ c.T, axis=1)
+            np.add.at(sums, a, m)
+            np.add.at(usums, a, u)
+            counts += np.bincount(a, minlength=k)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cluster": nz.astype("int32"),
+                    "vsum": list(sums[nz]),
+                    "usum": list(usums[nz]),
+                    "n": counts[nz],
+                }
+            )
+
+    return part
+
+
 @register("embedding_kmeans", oracle=None, headline=True, tags=("similarity", "clustering"))
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster profile after 5 spherical k-means rounds: size and mean
@@ -223,45 +270,57 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate, and driver state is k·d doubles per
     round. k scales to ~100k centroids before the closure broadcast
     wants to become a proper ``spark.sparkContext.broadcast``.
+
+    The profile itself is ONE more pass of the same mergeable shape (r12,
+    guide §§1.2/2.4): the final assignment's per-cluster (Σemb, Σemb/|emb|,
+    n) partials collect as ≤k·partitions rows and the k-row profile is
+    merged on the driver — mean cos-to-centroid = dot(Σ emb/|emb|, c)/n
+    with c the recomputed profile centroid Σemb/|Σemb|, algebraically the
+    same average the old plan took. That replaces the r11 shape — TWO
+    full scan+assignment subtrees (the broadcast join between them defeats
+    exchange reuse), a 64-column JVM aggregate, and three exchanges —
+    with one scan, one Arrow pass, zero exchanges. The pass ALSO reuses
+    the fit's pinned frame (same persist, executor-local re-read), and
+    the fit's centroid matrix already gives the dimension count, where
+    the old build ran an extra ``first()`` probe job. Measured at sf0.1:
+    2.88 → 1.45 s (plans/r12/embedding_kmeans_{before,after}.txt).
     """
-    assigned = kmeans_assign(spark, sf_dir)
-    probe = assigned.select("emb").first()
-    if probe is None:  # empty corpus: no clusters, defined empty profile
-        return assigned.limit(0).select(
-            "cluster",
-            F.lit(0).cast("long").alias("n_points"),
-            F.lit(0.0).alias("mean_cos_to_centroid"),
-        )
-    dims = len(probe["emb"])
-    norm = F.sqrt(
-        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
     )
-    # cosine to the (unit) centroid = dot(emb/|emb|, c); recompute the
-    # centroid in-plan from the final assignment so the profile is
-    # consistent with what the query returns.
-    sums = assigned.groupBy("cluster").agg(
-        F.array(*[F.sum(F.col("emb")[i]) for i in range(dims)]).alias("vsum"),
-        F.count(F.lit(1)).alias("n_points"),
-    )
-    cnorm = F.sqrt(F.aggregate(F.col("vsum"), F.lit(0.0), lambda a, x: a + x * x))
-    centroids = sums.select(
-        "cluster", "n_points", F.transform("vsum", lambda x: x / cnorm).alias("c")
-    )
-    scored = assigned.join(F.broadcast(centroids), "cluster").select(
-        "cluster",
-        "n_points",
-        (
-            F.aggregate(
-                F.zip_with("emb", "c", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    pinned = pin_for_iteration(e)
+    try:
+        centroids = _fit_rounds(pinned, K_CLUSTERS, N_ITERS, None)
+        if centroids.size == 0:  # empty corpus: defined empty profile
+            return e.limit(0).select(
+                F.lit(0).cast("int").alias("cluster"),
+                F.lit(0).cast("long").alias("n_points"),
+                F.lit(0.0).alias("mean_cos_to_centroid"),
             )
-            / norm
-        ).alias("cos"),
-    )
-    return (
-        scored.groupBy("cluster", "n_points")
-        .agg(F.round(F.avg("cos"), 4).alias("mean_cos_to_centroid"))
-        .orderBy("cluster")
-    )
+        parts = pinned.mapInPandas(
+            _profile_partials_fn(centroids),
+            schema="cluster int, vsum array<double>, usum array<double>, n long",
+        ).collect()
+    finally:
+        pinned.unpersist()
+    k, _ = centroids.shape
+    sums = np.zeros_like(centroids)
+    usums = np.zeros_like(centroids)
+    counts = np.zeros(k, dtype=np.int64)
+    for r in parts:
+        sums[r["cluster"]] += np.array(r["vsum"], dtype=np.float64)
+        usums[r["cluster"]] += np.array(r["usum"], dtype=np.float64)
+        counts[r["cluster"]] += r["n"]
+    rows = []
+    for c in range(k):
+        if counts[c]:
+            cvec = sums[c] / np.linalg.norm(sums[c])
+            rows.append((c, int(counts[c]), float(np.dot(usums[c], cvec) / counts[c])))
+    out = spark.createDataFrame(rows, "cluster int, n_points long, mean_cos double")
+    # F.round (HALF_UP), matching the old plan's rounding exactly
+    return out.select(
+        "cluster", "n_points", F.round("mean_cos", 4).alias("mean_cos_to_centroid")
+    ).orderBy("cluster")
 
 
 @register("semdedup_pairs", oracle=None, headline=True, tags=("similarity", "dedup", "clustering"))
@@ -354,8 +413,10 @@ def semdedup_pairs_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-case pin in tests/test_clustering.py measures exactly
     that split: full recall on planted cos≈0.97 pairs, precision 1
     globally. Rows-only by nature (k-means assignment is
-    init-order-sensitive, same as semdedup_pairs). One extra parquet
-    count() action sizes k (metadata-only read).
+    init-order-sensitive, same as semdedup_pairs). k is sized from the
+    parquet FOOTER rowcount — a driver-side metadata read, zero Spark
+    jobs (the r11 version ran an eager ``count()`` action per build;
+    same number, one fewer full pass — guide §1.2 step 1).
     """
-    n = load(spark, sf_dir, "embeddings").count()
+    n = table_rowcount(sf_dir, "embeddings")
     return semdedup_pairs_at_k(spark, sf_dir, k=semdedup_production_k(n))

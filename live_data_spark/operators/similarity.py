@@ -79,6 +79,15 @@ def cosine_pandas(a: Column, b: Column) -> Column:
     tests/test_similarity.py), so swapping is a one-line change at any
     call site. Defined lazily so importing the module never requires an
     active session.
+
+    Marked non-deterministic (it is pure — this is an optimizer fence,
+    not a semantics change): callers filter on the returned score, and
+    Catalyst pushes such a filter BELOW the projection while keeping the
+    projection too, evaluating the UDF twice per row — two
+    ArrowEvalPython nodes for one call, every candidate pair shipping
+    its two 64-double vectors across the Python boundary twice
+    (plans/r12/embedding_neardup_lsh_before.txt nodes 36+39; the
+    optimization guide §4.4 pattern). The fence keeps it to one.
     """
     import numpy as np
     import pandas as pd
@@ -93,7 +102,7 @@ def cosine_pandas(a: Column, b: Column) -> Column:
         den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
         return pd.Series(num / den)
 
-    return pandas_udf(_cos, "double")(a, b)
+    return pandas_udf(_cos, "double").asNondeterministic()(a, b)
 
 
 _TOPK_ORACLE = f"""
@@ -508,7 +517,20 @@ def neardup_lsh_pairs(
 
     if radius not in (0, 1, 2):
         raise ValueError("radius must be 0, 1, or 2")
-    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    # no cycle at call time (the text.py idiom); spread() fans the
+    # single-split embeddings scan across cores BEFORE the probe
+    # explode and candidate join — without it the ~tables·probes·n
+    # probe fan-out, the bucket join, and the map-side pair dedup all
+    # ran in ONE scan task (guide §2.5 input skew: the r12 breakdown
+    # measured the whole pre-exchange pipeline single-threaded, 3.2 s
+    # of the query's 4.5 s; spread cut the query to ~1.9 s at sf0.1).
+    # At real scale the file count keeps the scan wide and spread()
+    # no-ops — this only rescues the small-input regime.
+    from live_data_spark.operators.dedup import spread
+
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
     # plane count from parquet-footer metadata, NOT an eager e.count():
     # building this plan must not run a Spark job (was the one eager
     # action in a hot query path — a full extra table pass per build).
@@ -561,6 +583,86 @@ def neardup_lsh_pairs(
         # stream before the pair-key shuffle
         .dropDuplicates(["vec_id_1", "vec_id_2"])
     )
+    return _rescore_pairs(spark, sf_dir, e, cand, threshold)
+
+
+def _rescore_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    e: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine re-score of a bare (vec_id_1, vec_id_2) candidate
+    frame, gated on corpus size (r12, guide §§2.3/8 — move decisions on
+    keys, not payloads):
+
+    - gate OPEN (``table_bytes(embeddings)`` ≤ BROADCAST_GATE_BYTES,
+      the repo-wide broadcast budget): the embedding matrix rides to
+      executors ONCE as a Spark broadcast (ids sorted, numpy float64 —
+      identical doubles to ``as_double``), and candidates cross the
+      Python boundary as 16-byte id pairs; each Arrow batch gathers its
+      rows by ``searchsorted`` and scores with the exact
+      ``cosine_pandas`` expression ((va·vb)/(|va|·|vb|) on gathered
+      rows — bit-identical values). The r11 shape attached both 64-double
+      vectors to every candidate via two joins and shipped ~128 B/pair
+      through Arrow both ways; at sf0.1's ~2M candidates that was ~2 s
+      of the query (measured: scoring stage 1.9 s → 0.25 s, whole
+      query 3.5 → 1.9 s).
+    - gate CLOSED (corpus too big to hold per-executor): the r11 plan
+      unchanged — candidates stay bare through the dedup, embeddings
+      re-attach by join to the surviving pair set, numpy cosine per
+      Arrow batch. Nothing is ever driver- or executor-resident.
+
+    Both arms return identical values (same float64 ops); parity is
+    covered by the shared oracle at sf0.001/0.01 and the planted-pair
+    pins, plus the gate-closed sweep (tests/test_broadcast_gate_closed.py)
+    which forces this gate shut like every other."""
+    import numpy as np
+    import pandas as pd
+
+    from live_data_spark.catalog import BROADCAST_GATE_BYTES, table_bytes
+
+    if table_bytes(sf_dir, "embeddings") <= BROADCAST_GATE_BYTES:
+        rows = e.select("vec_id", "emb").collect()  # gate-bounded (≤32 MiB parquet)
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = (
+            np.array([r["emb"] for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, 0))
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        bc = spark.sparkContext.broadcast((ids, mat))
+        thr = threshold
+
+        def rescore(batches):
+            ids_, m = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                i1 = np.searchsorted(ids_, pdf["vec_id_1"].to_numpy())
+                i2 = np.searchsorted(ids_, pdf["vec_id_2"].to_numpy())
+                va, vb = m[i1], m[i2]
+                num = (va * vb).sum(axis=1)
+                den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+                cos = num / den
+                keep = cos >= thr
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "vec_id_1": pdf["vec_id_1"].to_numpy()[keep],
+                            "vec_id_2": pdf["vec_id_2"].to_numpy()[keep],
+                            "cos": cos[keep],
+                        }
+                    )
+
+        scored = cand.select("vec_id_1", "vec_id_2").mapInPandas(
+            rescore, schema="vec_id_1 long, vec_id_2 long, cos double"
+        )
+        return scored.select(
+            "vec_id_1", "vec_id_2", F.round("cos", 4).alias("cosine_sim")
+        )
     e1 = e.select(F.col("vec_id").alias("vec_id_1"), F.col("emb").alias("emb_1"))
     e2 = e.select(F.col("vec_id").alias("vec_id_2"), F.col("emb").alias("emb_2"))
     scored = cand.join(e1, "vec_id_1").join(e2, "vec_id_2").select(
@@ -778,7 +880,15 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    # NO spread() here, deliberately (r12): interleaved A/B at sf0.1
+    # measured the spread arm 1.74 s vs 1.23 s without — this entry's
+    # candidate volume is bounded by the 10-query probe fan-out, so the
+    # single-split scan task is NOT the bottleneck (unlike
+    # neardup_lsh_pairs), and the extra round-robin exchange plus
+    # 32-way Arrow batches only add overhead.
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
     # footer-metadata count — no Spark job at plan-build time (see
     # embedding_neardup_lsh note)
     n = table_rowcount(sf_dir, "embeddings")

@@ -2777,18 +2777,26 @@ def _hourly_xs(e: DataFrame) -> DataFrame:
     the gap-fill rule can never desynchronize the backtest from the
     operators it ranks; the heavy side is one map-side-combined hourly
     hash aggregate, the fold length |hours|×|types| regardless of
-    volume."""
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    types = e.select("event_type").distinct()
-    grid = bounds.crossJoin(types).select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-        "event_type",
-    )
+    volume.
+
+    r12 rewrite (guide §2.4): bounds and the type list both derive from
+    the hourly-count aggregate — ``min(h)`` over truncated hours equals
+    ``date_trunc('hour', min(ts))`` by monotonicity, and the distinct
+    types are the aggregate's own keys. Catalyst then specializes each
+    consumer (RemoveRedundantAggregates + column pruning), so the plan
+    keeps three passes but each is pruned to a SINGLE column (the old
+    bounds pass read ts on a two-column scan, the DISTINCT pass read
+    event_type unpruned) and one exchange disappears
+    (plans/r12/events_holt_winters_{before,after}.txt: 6 → 4
+    exchanges). Measured at sf0.1: 1.19 → 0.92 s."""
     counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
+    )
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = counts.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        "event_type",
     )
     series = grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
         "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
