@@ -1594,24 +1594,38 @@ def dsir_log_weights(d: DataFrame) -> DataFrame:
 
     w = F.split(normalized_text("text"), " ")
     base = d.select("doc_id", "lang", w.alias("w"))
-    uni = base.select("doc_id", "lang", F.explode("w").alias("g"))
-    big = base.select(
+    # ONE pass emits unigrams AND bigrams (r12, guide §1.2): the r11
+    # shape unioned two explodes, so every consumer of the gram stream
+    # re-ran the upstream lineage TWICE (for the pipeline entries that
+    # lineage is the full quality-gate + dedup-window prefix — measured
+    # 4.3 s for docw-over-ded vs 1.8 s over raw docs at sf0.1, almost
+    # all of it prefix recomputation). Per position i: the unigram
+    # w[i], plus the bigram w[i]||' '||w[i+1] when a successor exists
+    # (NULL otherwise, dropped by the filter) — the exact same gram
+    # multiset, one lineage execution. This makes the "two map-only
+    # corpus passes" the weights docstring promises literal: histogram
+    # pass + scoring pass, nothing doubled.
+    idx = base.select(
         "doc_id",
         "lang",
         "w",
-        F.explode(
-            F.when(F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)).otherwise(
-                F.expr("array()").cast("array<int>")
-            )
-        ).alias("i"),
-    ).select(
+        F.explode(F.sequence(F.lit(1), F.size("w"))).alias("i"),
+    )
+    grams = idx.select(
         "doc_id",
         "lang",
-        F.concat_ws(
-            " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
+        F.explode(
+            F.array(
+                F.element_at("w", F.col("i")),
+                F.when(
+                    F.col("i") < F.size("w"),
+                    F.concat_ws(
+                        " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
+                    ),
+                ),
+            )
         ).alias("g"),
-    )
-    grams = uni.unionByName(big).where(F.col("g") != "")
+    ).where(F.col("g").isNotNull() & (F.col("g") != ""))
     bucket = F.pmod(
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint"),
         F.lit(_DSIR_BUCKETS),

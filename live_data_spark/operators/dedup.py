@@ -541,7 +541,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Singletons rejoin via ONE left join at the end (label = own id).
 
     Survivor policy downstream: keep ``doc_id == cluster_id`` (min id).
+
+    Two arms, gated on dup-GRAPH bytes (r12, same move as pagerank —
+    guide §1.2): the dup graph is orders of magnitude smaller than the
+    corpus by design, so when the materialized edge list fits the
+    repo-wide broadcast budget the components come from a driver-side
+    union-find over the collected pairs (connected components are
+    algorithm-independent — min id per component is exactly what the
+    label propagation converges to, and the recursive-CTE oracle pins
+    it). Above the gate: the r11 distributed label-propagation loop,
+    unchanged. The distributed loop paid a checkpoint materialization
+    plus a convergence-count job PER ROUND — pure fixed cost on a
+    thousands-of-edges graph.
     """
+    from live_data_spark.catalog import BROADCAST_GATE_BYTES
+
     docs = load(spark, sf_dir, "documents").select("doc_id")
     dup = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
@@ -549,6 +563,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _truncate_lineage(
         dup.unionByName(dup.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
+    n_edges = edges.count()  # cheap: counts the checkpointed blocks
+    if n_edges * 16 <= BROADCAST_GATE_BYTES:
+        labels = _components_driver(spark, edges)
+        return docs.join(labels, "doc_id", "left").select(
+            "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")
+        )
 
     # propagation domain: edges are bidirectional, so `a` alone covers
     # every endpoint
@@ -583,6 +603,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")
     )
+
+
+def _components_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Gate-open small-graph arm of ``dedup_clusters``: union-find over
+    the collected (symmetric) edge list → (doc_id, lbl) with lbl the
+    component's min doc_id — the same fixed point the distributed
+    min-label propagation reaches, computed in one pass instead of
+    diameter-many checkpoint+count rounds. Collect is gate-bounded."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        m = comp_min.get(root)
+        if m is None or node < m:
+            comp_min[root] = node
+    rows = sorted((node, comp_min[find(node)]) for node in parent)
+    return spark.createDataFrame(rows, "doc_id long, lbl long")
 
 
 # ---------------------------------------------------------------------------
