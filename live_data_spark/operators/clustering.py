@@ -282,8 +282,10 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one scan, one Arrow pass, zero exchanges. The pass ALSO reuses
     the fit's pinned frame (same persist, executor-local re-read), and
     the fit's centroid matrix already gives the dimension count, where
-    the old build ran an extra ``first()`` probe job. Measured at sf0.1:
-    2.88 → 1.45 s (plans/r12/embedding_kmeans_{before,after}.txt).
+    the old build ran an extra ``first()`` probe job. Measured at sf0.1
+    (same-session bench pair): 2.88 → 2.33 s — the profile action is
+    now ~instant and the remaining cost is the fit's 5 sequential Lloyd
+    rounds (plans/r12/embedding_kmeans_{before,after}.txt).
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")

@@ -565,7 +565,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.count()  # cheap: counts the checkpointed blocks
     if n_edges * 16 <= BROADCAST_GATE_BYTES:
-        labels = _components_driver(spark, edges)
+        # explicit broadcast: the labels frame is a stats-less LOCAL
+        # relation (gate-bounded by construction) and would otherwise
+        # plan as a sort-merge join against the corpus — the r6 lesson,
+        # equi-join variant (it planned SMJ here, caught by the r12
+        # plan sweep). Broadcasting the non-preserved side of the left
+        # join is hint-legal.
+        labels = F.broadcast(_components_driver(spark, edges))
         return docs.join(labels, "doc_id", "left").select(
             "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")
         )

@@ -606,9 +606,10 @@ def _rescore_pairs(
       ``cosine_pandas`` expression ((va·vb)/(|va|·|vb|) on gathered
       rows — bit-identical values). The r11 shape attached both 64-double
       vectors to every candidate via two joins and shipped ~128 B/pair
-      through Arrow both ways; at sf0.1's ~2M candidates that was ~2 s
-      of the query (measured: scoring stage 1.9 s → 0.25 s, whole
-      query 3.5 → 1.9 s).
+      through Arrow both ways; at sf0.1's ~2M candidates that scoring
+      stage alone added ~1.9 s (stage breakdown), and the interleaved
+      whole-query A/B reads 2.37 s (matrix) vs 2.99 s (join) for the
+      full-recall entry, 2.04 vs 2.49 for the production band.
     - gate CLOSED (corpus too big to hold per-executor): the r11 plan
       unchanged — candidates stay bare through the dedup, embeddings
       re-attach by join to the surviving pair set, numpy cosine per
