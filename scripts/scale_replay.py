@@ -249,6 +249,16 @@ def main() -> int:
     )
     ap.add_argument("--keep", action="store_true", help="keep the scaled dirs on exit")
     ap.add_argument(
+        "--gate-closed",
+        action="store_true",
+        help="force every size-gated plan arm shut (catalog."
+        "BROADCAST_GATE_BYTES = -1), so the replay measures the "
+        "DISTRIBUTED arm of entries that gained a small-state driver "
+        "arm in r12 (pagerank, dedup_clusters, the LSH re-score): at "
+        "replay multipliers their state still fits the gate, and "
+        "without this flag the slope would describe the wrong arm",
+    )
+    ap.add_argument(
         "--settle-sec",
         type=float,
         default=180,
@@ -293,6 +303,12 @@ def main() -> int:
             file=sys.stderr,
         )
         return 2
+
+    if args.gate_closed:
+        from live_data_spark import catalog as _catmod
+
+        _catmod.BROADCAST_GATE_BYTES = -1
+        print("gate-closed replay: BROADCAST_GATE_BYTES = -1 (distributed arms)")
 
     spark = get_spark(app_name="scale_replay")
     spark.sparkContext.setLogLevel("ERROR")

@@ -209,3 +209,14 @@ def test_fuzzy_entry_with_part_scaled_is_refused(sr, monkeypatch, capsys):
     ]
     # non-fuzzy entries never trip it, even with part scaled
     assert sr.fuzzy_hazard(["dedup_exact"], {"part", "lineitem"}, cat) == []
+
+
+def test_gate_closed_flag_is_exposed(sr):
+    """r12: entries with a size-gated driver arm (pagerank,
+    dedup_clusters, the LSH re-score) still fit the gate at replay
+    multipliers, so measuring the DISTRIBUTED arm needs --gate-closed;
+    the flag must exist, default off, and document that purpose."""
+    src = (REPO / "scripts" / "scale_replay.py").read_text()
+    assert '"--gate-closed"' in src
+    assert "BROADCAST_GATE_BYTES = -1" in src
+    assert "DISTRIBUTED" in src
