@@ -168,6 +168,24 @@ def table_bytes(sf_dir: str, table: str) -> int:
 # (tests/test_plans.py pins that fallback produces identical results).
 BROADCAST_GATE_BYTES = 32 * 1024 * 1024
 
+# One size model for a collected 2-long edge row (src, dst), shared by
+# every small-graph driver arm (pagerank, dedup_clusters/survivors): 16 B
+# of payload plus driver-side row overhead headroom. r12 shipped two
+# inconsistent per-site constants (16 vs 24 B/edge) for the same row
+# shape; a single estimate keeps the gates from drifting apart as they
+# are tuned (they guard value-identical arms, so the exact constant only
+# moves the switchover point, never the result).
+EDGE_BYTES = 24
+
+
+def edges_fit_gate(n_edges: int) -> bool:
+    """True when a collected edge list of ``n_edges`` (src, dst) rows
+    fits the repo-wide broadcast budget — the shared driver-arm gate.
+    Reads ``BROADCAST_GATE_BYTES`` at CALL time so the gate-closed sweep
+    (tests/test_broadcast_gate_closed.py) can force it shut by patching
+    the module constant, like every other size gate."""
+    return n_edges * EDGE_BYTES <= BROADCAST_GATE_BYTES
+
 
 def key_domain_span(sf_dir: str, table: str, column: str) -> int:
     """Upper bound on an integer key column's DISTINCT count from parquet

@@ -258,6 +258,28 @@ def _profile_partials_fn(centroids: np.ndarray):
     return part
 
 
+def _merge_profile_partials(pdf):
+    """applyInPandas merge of one cluster's profile partials → ONE row.
+
+    Bounds the driver collect at k rows (guide §5 driver hygiene): the
+    r12 shape collected the partials UNMERGED — ≤k rows × 2·d doubles
+    PER PARTITION, which at 10⁵–10⁶ partitions of a 100 TB corpus is
+    GB-scale driver traffic for a k-row result. One tiny exchange on
+    the ≤k·partitions partial rows merges them where they are. Counts
+    are integer-exact under any merge order; the float sums drift only
+    at the 1e-16 grain, far under the profile's 1e-4 rounding."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "cluster": [pdf["cluster"].iloc[0]],
+            "vsum": [list(np.sum(np.stack(pdf["vsum"].to_numpy()), axis=0))],
+            "usum": [list(np.sum(np.stack(pdf["usum"].to_numpy()), axis=0))],
+            "n": [int(pdf["n"].sum())],
+        }
+    )
+
+
 @register("embedding_kmeans", oracle=None, headline=True, tags=("similarity", "clustering"))
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster profile after 5 spherical k-means rounds: size and mean
@@ -299,10 +321,16 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long").alias("n_points"),
                 F.lit(0.0).alias("mean_cos_to_centroid"),
             )
-        parts = pinned.mapInPandas(
-            _profile_partials_fn(centroids),
-            schema="cluster int, vsum array<double>, usum array<double>, n long",
-        ).collect()
+        _profile_schema = "cluster int, vsum array<double>, usum array<double>, n long"
+        parts = (
+            pinned.mapInPandas(_profile_partials_fn(centroids), schema=_profile_schema)
+            # merge partials to ≤k rows IN SPARK before the collect
+            # (guide §5): one exchange of tiny partial rows instead of
+            # ≤k·partitions rows of 2·d doubles to the driver
+            .groupBy("cluster")
+            .applyInPandas(_merge_profile_partials, schema=_profile_schema)
+            .collect()
+        )
     finally:
         pinned.unpersist()
     k, _ = centroids.shape

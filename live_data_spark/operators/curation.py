@@ -1609,7 +1609,14 @@ def dsir_log_weights(d: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         "w",
-        F.explode(F.sequence(F.lit(1), F.size("w"))).alias("i"),
+        # the when() guards the empty-array edge: sequence(1, 0) yields
+        # the DESCENDING [1, 0] and element_at(w, 0) throws. Unreachable
+        # today (split never returns an empty array; NULL text propagates
+        # to a NULL array, and explode of NULL emits nothing) but robust
+        # to upstream normalization changes.
+        F.explode(
+            F.when(F.size("w") >= 1, F.sequence(F.lit(1), F.size("w")))
+        ).alias("i"),
     )
     grams = idx.select(
         "doc_id",

@@ -554,7 +554,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a convergence-count job PER ROUND — pure fixed cost on a
     thousands-of-edges graph.
     """
-    from live_data_spark.catalog import BROADCAST_GATE_BYTES
+    from live_data_spark.catalog import edges_fit_gate
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     dup = dedup_ngram_jaccard(spark, sf_dir).select(
@@ -564,7 +564,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.unionByName(dup.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
     n_edges = edges.count()  # cheap: counts the checkpointed blocks
-    if n_edges * 16 <= BROADCAST_GATE_BYTES:
+    # shared EDGE_BYTES size model (catalog.edges_fit_gate); the empty-
+    # edge case stays on the driver arm (correct and tested: no edges →
+    # every doc a singleton)
+    if edges_fit_gate(n_edges):
         # explicit broadcast: the labels frame is a stats-less LOCAL
         # relation (gate-bounded by construction) and would otherwise
         # plan as a sort-merge join against the corpus — the r6 lesson,

@@ -134,7 +134,8 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
     repo (r12, guide §1.2 — pick the distributed algorithm by the data
     that actually iterates):
 
-    - gate OPEN (edge list under BROADCAST_GATE_BYTES at 24 B/edge —
+    - gate OPEN (edge list under BROADCAST_GATE_BYTES at the shared
+      catalog.EDGE_BYTES estimate —
       the co-purchase graph is support-floor-trimmed and node-bounded,
       7k edges at sf0.1): collect the edges once and fold the 12 rounds
       in numpy with the IDENTICAL quantized arithmetic (same IEEE ops
@@ -153,11 +154,14 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFra
     gate-closed sweep (tests/test_broadcast_gate_closed.py) forces the
     distributed arm and requires identical output.
     """
-    from live_data_spark.catalog import BROADCAST_GATE_BYTES
+    from live_data_spark.catalog import edges_fit_gate
 
     edges = _truncate_lineage(copurchase_edges(spark, sf_dir))
     n_edges = edges.count()  # cheap: counts the checkpointed blocks
-    if 0 < n_edges * 24 <= BROADCAST_GATE_BYTES:
+    # shared EDGE_BYTES size model (catalog.edges_fit_gate); the 0 <
+    # lower bound keeps the empty graph on the distributed arm's defined
+    # empty-ranking path (the driver arm would divide by n = 0)
+    if 0 < n_edges and edges_fit_gate(n_edges):
         return _pagerank_driver(spark, edges, iters)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # one row per node; carries outdeg so iterations touch no extra table

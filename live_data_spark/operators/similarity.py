@@ -598,62 +598,101 @@ def _rescore_pairs(
     keys, not payloads):
 
     - gate OPEN (``table_bytes(embeddings)`` ≤ BROADCAST_GATE_BYTES,
-      the repo-wide broadcast budget): the embedding matrix rides to
-      executors ONCE as a Spark broadcast (ids sorted, numpy float64 —
-      identical doubles to ``as_double``), and candidates cross the
-      Python boundary as 16-byte id pairs; each Arrow batch gathers its
+      the repo-wide broadcast budget): candidates cross the Python
+      boundary as 16-byte id pairs and each TASK materializes the
+      embedding matrix itself, once, from the table's parquet files
+      (guide §4.5 — heavyweight init before the batch loop; the file
+      list is resolved driver-side by the same stat walk the gate uses).
+      float32 → float64 widening is exact, so the matrix holds the
+      identical doubles ``as_double`` produces, and each batch gathers
       rows by ``searchsorted`` and scores with the exact
       ``cosine_pandas`` expression ((va·vb)/(|va|·|vb|) on gathered
-      rows — bit-identical values). The r11 shape attached both 64-double
-      vectors to every candidate via two joins and shipped ~128 B/pair
-      through Arrow both ways; at sf0.1's ~2M candidates that scoring
-      stage alone added ~1.9 s (stage breakdown), and the interleaved
-      whole-query A/B reads 2.37 s (matrix) vs 2.99 s (join) for the
-      full-recall entry, 2.04 vs 2.49 for the production band.
+      rows — bit-identical values). The r12 shape collected + Spark-
+      broadcast the matrix at plan-BUILD time, which put an eager Spark
+      job into the exact hot path the build contract above says must
+      not run one, re-paid per rebuild (bench builds 5×, plan sweeps),
+      and leaked one broadcast per build (ContextCleaner-only); the
+      per-task read is a gate-bounded (≤32 MiB) local-file scan that
+      runs only when the query actually executes. The r11 shape before
+      it attached both 64-double vectors to every candidate via two
+      joins and shipped ~128 B/pair through Arrow both ways; at sf0.1's
+      ~2M candidates that scoring stage alone added ~1.9 s, and the
+      interleaved whole-query A/B read 2.37 s (matrix) vs 2.99 s (join)
+      for the full-recall entry, 2.04 vs 2.49 for the production band.
     - gate CLOSED (corpus too big to hold per-executor): the r11 plan
       unchanged — candidates stay bare through the dedup, embeddings
       re-attach by join to the surviving pair set, numpy cosine per
       Arrow batch. Nothing is ever driver- or executor-resident.
 
-    Both arms return identical values (same float64 ops); parity is
-    covered by the shared oracle at sf0.001/0.01 and the planted-pair
-    pins, plus the gate-closed sweep (tests/test_broadcast_gate_closed.py)
-    which forces this gate shut like every other."""
+    Both arms return identical values (same float64 ops) AND identical
+    row semantics at the edges: a candidate id absent from the
+    embeddings table is dropped (the gather validates ``searchsorted``
+    hits — matching the closed arm's inner join; an unvalidated gather
+    would return a neighboring row's vector), and a NaN cosine
+    (zero-norm vector) is dropped by BOTH arms — numpy's ``>=`` is
+    False for NaN and the closed arm filters ``NOT isnan`` explicitly,
+    where bare Spark ``>=`` would keep NaN (NaN sorts above every
+    double). Parity is covered by the shared oracle at sf0.001/0.01 and
+    the planted-pair pins, plus the gate-closed sweep
+    (tests/test_broadcast_gate_closed.py) which forces this gate shut
+    like every other."""
     import numpy as np
     import pandas as pd
 
-    from live_data_spark.catalog import BROADCAST_GATE_BYTES, table_bytes
+    from live_data_spark.catalog import (
+        BROADCAST_GATE_BYTES,
+        _table_state,
+        table_bytes,
+    )
 
     if table_bytes(sf_dir, "embeddings") <= BROADCAST_GATE_BYTES:
-        rows = e.select("vec_id", "emb").collect()  # gate-bounded (≤32 MiB parquet)
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = (
-            np.array([r["emb"] for r in rows], dtype=np.float64)
-            if rows
-            else np.zeros((0, 0))
-        )
-        order = np.argsort(ids, kind="stable")
-        ids, mat = ids[order], mat[order]
-        bc = spark.sparkContext.broadcast((ids, mat))
+        # driver-side stat walk only — building this plan runs NO Spark
+        # job; tasks read these files themselves (gate-bounded bytes)
+        emb_files = _table_state(sf_dir, "embeddings")[0]
         thr = threshold
 
         def rescore(batches):
-            ids_, m = bc.value
+            import pyarrow.parquet as pq
+
+            ids_list, mats = [], []
+            for fpath in emb_files:
+                t = pq.read_table(fpath, columns=["vec_id", "embedding"])
+                ids_list.append(t.column("vec_id").to_numpy().astype(np.int64))
+                arr = t.column("embedding").combine_chunks()
+                flat = np.asarray(arr.flatten(), dtype=np.float64)
+                widths = np.diff(np.asarray(arr.offsets))
+                mats.append(
+                    flat.reshape(len(arr), int(widths[0]))
+                    if len(arr)
+                    else np.zeros((0, 0))
+                )
+            ids_ = np.concatenate(ids_list) if ids_list else np.zeros(0, np.int64)
+            m = np.vstack([x for x in mats if x.size]) if ids_.size else np.zeros((0, 0))
+            order = np.argsort(ids_, kind="stable")
+            ids_, m = ids_[order], m[order] if m.size else m
+            n_ids = len(ids_)
             for pdf in batches:
-                if not len(pdf):
+                if not len(pdf) or not n_ids:
                     continue
-                i1 = np.searchsorted(ids_, pdf["vec_id_1"].to_numpy())
-                i2 = np.searchsorted(ids_, pdf["vec_id_2"].to_numpy())
-                va, vb = m[i1], m[i2]
+                a1 = pdf["vec_id_1"].to_numpy()
+                a2 = pdf["vec_id_2"].to_numpy()
+                i1 = np.minimum(np.searchsorted(ids_, a1), n_ids - 1)
+                i2 = np.minimum(np.searchsorted(ids_, a2), n_ids - 1)
+                # validated gather: ids missing from the table drop out,
+                # matching the gate-closed arm's inner-join semantics
+                ok = (ids_[i1] == a1) & (ids_[i2] == a2)
+                if not ok.any():
+                    continue
+                va, vb = m[i1[ok]], m[i2[ok]]
                 num = (va * vb).sum(axis=1)
                 den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
                 cos = num / den
-                keep = cos >= thr
+                keep = cos >= thr  # False for NaN: zero-norm rows drop
                 if keep.any():
                     yield pd.DataFrame(
                         {
-                            "vec_id_1": pdf["vec_id_1"].to_numpy()[keep],
-                            "vec_id_2": pdf["vec_id_2"].to_numpy()[keep],
+                            "vec_id_1": a1[ok][keep],
+                            "vec_id_2": a2[ok][keep],
                             "cos": cos[keep],
                         }
                     )
@@ -671,8 +710,11 @@ def _rescore_pairs(
         "vec_id_2",
         cosine_pandas(F.col("emb_1"), F.col("emb_2")).alias("cos"),
     )
+    # NOT isnan: numpy `>=` in the gate-open arm is False for NaN while
+    # Spark orders NaN above every double (`NaN >= thr` is true) — without
+    # the guard a zero-norm embedding would make the result gate-dependent
     return (
-        scored.where(F.col("cos") >= threshold)
+        scored.where((~F.isnan("cos")) & (F.col("cos") >= threshold))
         .select("vec_id_1", "vec_id_2", F.round("cos", 4).alias("cosine_sim"))
     )
 

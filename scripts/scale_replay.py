@@ -223,6 +223,19 @@ def build_scaled_dir(spark, sf_dir: str, m: int, root: Path, tables: set[str]) -
     return str(out)
 
 
+def force_gate_closed() -> None:
+    """Force every size-gated plan arm shut for this process:
+    ``catalog.BROADCAST_GATE_BYTES = -1``. Every gate reads the module
+    constant at CALL time (the gate-closed sweep contract), so patching
+    it here flips entries with a small-state driver arm (pagerank,
+    dedup_clusters, the LSH re-score) onto their DISTRIBUTED arms.
+    Factored out of main() so tests can exercise the actual patch path
+    instead of grepping for the flag strings (ADVICE r12)."""
+    from live_data_spark import catalog as _catmod
+
+    _catmod.BROADCAST_GATE_BYTES = -1
+
+
 def time_entry(spark, spec, sf_dir: str, runs: int) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -305,9 +318,7 @@ def main() -> int:
         return 2
 
     if args.gate_closed:
-        from live_data_spark import catalog as _catmod
-
-        _catmod.BROADCAST_GATE_BYTES = -1
+        force_gate_closed()
         print("gate-closed replay: BROADCAST_GATE_BYTES = -1 (distributed arms)")
 
     spark = get_spark(app_name="scale_replay")

@@ -218,5 +218,25 @@ def test_gate_closed_flag_is_exposed(sr):
     the flag must exist, default off, and document that purpose."""
     src = (REPO / "scripts" / "scale_replay.py").read_text()
     assert '"--gate-closed"' in src
-    assert "BROADCAST_GATE_BYTES = -1" in src
+    assert "force_gate_closed()" in src  # main() invokes the patch path
     assert "DISTRIBUTED" in src
+
+
+def test_gate_closed_patch_really_patches_catalog(sr):
+    """ADVICE r12: exercise the actual patch path, not just the flag
+    strings — force_gate_closed() must flip the live catalog module
+    constant that every size gate reads at call time (a regression that
+    parses the flag but patches a stale binding stays green under a
+    source grep)."""
+    from live_data_spark import catalog as catmod
+
+    before = catmod.BROADCAST_GATE_BYTES
+    assert before > 0  # the repo-wide default budget is a real positive gate
+    try:
+        sr.force_gate_closed()
+        assert catmod.BROADCAST_GATE_BYTES == -1
+        # the call-time read contract: the shared edge gate sees the patch
+        assert catmod.edges_fit_gate(0) is False
+        assert catmod.edges_fit_gate(1) is False
+    finally:
+        catmod.BROADCAST_GATE_BYTES = before
