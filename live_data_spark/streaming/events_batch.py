@@ -2779,16 +2779,23 @@ def _hourly_xs(e: DataFrame) -> DataFrame:
     hash aggregate, the fold length |hours|×|types| regardless of
     volume.
 
-    r12 rewrite (guide §2.4): bounds and the type list both derive from
-    the hourly-count aggregate — ``min(h)`` over truncated hours equals
-    ``date_trunc('hour', min(ts))`` by monotonicity, and the distinct
-    types are the aggregate's own keys. Catalyst then specializes each
-    consumer (RemoveRedundantAggregates + column pruning), so the plan
-    keeps three passes but each is pruned to a SINGLE column (the old
-    bounds pass read ts on a two-column scan, the DISTINCT pass read
-    event_type unpruned) and one exchange disappears
-    (plans/r12/events_holt_winters_{before,after}.txt: 6 → 4
-    exchanges). Measured at sf0.1: 1.19 → 0.92 s."""
+    r12 rewrite (guide §2.4), r13 honest re-measurement: bounds and the
+    type list both derive from the hourly-count aggregate — ``min(h)``
+    over truncated hours equals ``date_trunc('hour', min(ts))`` by
+    monotonicity, and the distinct types are the aggregate's own keys.
+    Catalyst specializes each consumer again (RemoveRedundantAggregates
+    + pruning), and the r13 audit against a TRUE r11-tree plan capture
+    (plans/r13/events_holt_winters_{r11tree_before,after}.txt) shows the
+    rewrite is PLAN-NEUTRAL: identical node-type counts (4 Exchange + 2
+    BroadcastExchange both sides) and the r11 scans were already
+    single-column pruned. The r12 write-up's "6 → 4 exchanges /
+    un-pruned distinct" claim was wrong, and its 1.19 → 0.92 s delta was
+    host noise — the r13 interleaved A/B (one JVM, arms alternated,
+    min-of-4 post-codegen) reads old 0.628 s vs new 0.658 s: equal
+    within jitter. Kept because it is semantically identical (values
+    verified row-identical in the same A/B; oracle green) and expresses
+    the derivation without re-stating the bounds/type queries, not for
+    a measured win."""
     counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
