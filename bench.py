@@ -89,14 +89,7 @@ def _committed_probe(sf, field: str) -> list[tuple[str, float]]:
     and the BEST/lowest (the idle-host reference — the newest round may
     itself have run loaded, as BENCH_r09 and BENCH_r10 did)."""
     found = []
-    # numeric round order, not filename order: lexicographic sorting puts
-    # BENCH_r100 before BENCH_r99, pinning "newest" to the wrong round
-    # from r100 on (and misordering any unpadded BENCH_r9.json today)
-    def _round_no(p: Path) -> int:
-        m = re.search(r"BENCH_r(\d+)\.json$", p.name)
-        return int(m.group(1)) if m else -1
-
-    for f in sorted(Path(_REPO).glob("BENCH_r*.json"), key=_round_no):
+    for f in _round_bench_files():
         try:
             d = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):
@@ -107,6 +100,22 @@ def _committed_probe(sf, field: str) -> list[tuple[str, float]]:
         if d.get("sf") == sf and sec:
             found.append((f.name, float(sec)))
     return found
+
+
+def _round_bench_files() -> list[Path]:
+    """Committed per-round bench artifacts, STRICTLY ``BENCH_r<N>.json``,
+    in numeric round order. Numeric (not filename) order keeps r100
+    after r99; the strict-name filter keeps variant artifacts out of the
+    probe history — the driver's 8-core run landed as BENCH_r12_c8.json
+    (r13 inherited state), which the old ``BENCH_r*.json`` glob swept
+    into the anchor baseline at a different core count and sorted FIRST
+    (its round regex didn't match → -1)."""
+    out = []
+    for f in Path(_REPO).glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f.name)
+        if m:
+            out.append((int(m.group(1)), f))
+    return [f for _, f in sorted(out)]
 
 
 def _committed_anchors(sf) -> list[tuple[str, float]]:
@@ -122,12 +131,7 @@ def _committed_canaries(parallelism: int) -> list[tuple[str, float]]:
     `parallelism` are excluded, and rows predating the field (pre-r12)
     are kept iff the current count matches this host's historical 32."""
     found = []
-
-    def _round_no(p: Path) -> int:
-        m = re.search(r"BENCH_r(\d+)\.json$", p.name)
-        return int(m.group(1)) if m else -1
-
-    for f in sorted(Path(_REPO).glob("BENCH_r*.json"), key=_round_no):
+    for f in _round_bench_files():
         try:
             d = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):

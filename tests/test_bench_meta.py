@@ -26,6 +26,13 @@ def test_committed_anchor_reader_unwraps_driver_envelope():
     names = [n for n, _ in anchors]
     assert names == sorted(names)  # round order (glob-sorted)
     assert all(n.startswith("BENCH_r") and n.endswith(".json") for n in names)
+    # r13 inherited-state fix: variant artifacts (the driver's 8-core
+    # BENCH_r12_c8.json) must stay OUT of the probe history — they run
+    # at a different core count and their unmatched round number
+    # misordered the walk
+    import re
+
+    assert all(re.fullmatch(r"BENCH_r\d+\.json", n) for n in names)
     assert all(s > 0 for _, s in anchors)
     # every returned file really is at the requested SF
     for name, _ in anchors:
