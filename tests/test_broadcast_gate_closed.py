@@ -34,6 +34,10 @@ from __future__ import annotations
 
 import pytest
 
+# r13 lane split (VERDICT item 2): catalog-wide strategy/hygiene sweep —
+# slow lane (`-m slow`); excluded from the default verify lane by pytest.ini.
+pytestmark = pytest.mark.slow
+
 import live_data_spark.catalog as cat
 from conftest import canon_rows as _canon
 from live_data_spark.catalog import catalog

@@ -26,6 +26,10 @@ from __future__ import annotations
 import pyarrow.parquet as pq
 import pytest
 
+# r13 lane split (VERDICT item 2): catalog-wide strategy/hygiene sweep —
+# slow lane (`-m slow`); excluded from the default verify lane by pytest.ini.
+pytestmark = pytest.mark.slow
+
 from live_data_spark.catalog import catalog
 
 SF_SRC = "/root/testdata/sf0.001"

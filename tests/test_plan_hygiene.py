@@ -18,6 +18,10 @@ from __future__ import annotations
 
 import pytest
 
+# r13 lane split (VERDICT item 2): catalog-wide strategy/hygiene sweep —
+# slow lane (`-m slow`); excluded from the default verify lane by pytest.ini.
+pytestmark = pytest.mark.slow
+
 from live_data_spark.catalog import catalog
 
 # entries whose plan legitimately contains a CartesianProduct node
