@@ -176,7 +176,30 @@ def shingle_rows(
             ).alias("s"),
         )
     )
-    return ex.dropDuplicates([key, "s"]) if distinct else ex
+    if not distinct:
+        return ex
+    if key == "doc_id":
+        # r13 (guide §2.4 — share one exchange): hash-partition the gram
+        # stream by doc_id BEFORE the distinct. HashPartitioning(doc_id)
+        # satisfies the distinct's ClusteredDistribution(doc_id, s) (the
+        # subset rule), and every downstream per-doc aggregate — the
+        # 64-min MinHash signature, the collect_list verify sets, the
+        # per-doc size counts — then runs WITHOUT its own exchange. The
+        # repartition node is also the consumers' ReuseExchange point,
+        # so the scan+explode subtree still executes once per query (a
+        # variant that moved the exchange BEFORE the explode removed the
+        # reuse point and measured 56% SLOWER on dedup_ngram_jaccard —
+        # each consumer re-ran the whole subtree). At scale the win is
+        # byte-shaped: the old plan's collect_list partial-agg exchange
+        # re-shipped every distinct gram as array payloads; now the gram
+        # stream crosses the wire once. Interleaved A/B at sf0.1
+        # (values row-identical): dedup_minhash 2.08 → 1.79 s,
+        # dedup_ngram_jaccard 1.71 → 1.40 s, dedup_threshold_curve and
+        # the incremental family share the shape. key="source" keeps the
+        # plain distinct: hash-partitioning by a handful of sources
+        # would collapse the distinct to |sources| tasks.
+        return ex.repartition(key).dropDuplicates([key, "s"])
+    return ex.dropDuplicates([key, "s"])
 
 
 _SHINGLE_CTE = r"""
